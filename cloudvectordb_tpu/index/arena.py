@@ -1,0 +1,94 @@
+"""IVF list arena: variable-length lists under XLA's static shapes.
+
+SURVEY.md §7.3 item 3: lists are flattened into one contiguous arena sorted by
+list id, with (nlist+1,) offsets. Searches gather fixed-cap windows per probed
+list and mask the tail — static shapes for XLA, no per-list padding stored in
+HBM.
+
+Incremental insert (BASELINE config #5) is LSM-style: new vectors append to a
+*pending* flat buffer (scanned exactly at query time); when pending exceeds a
+fraction of the arena it is merged in one re-sort. This keeps `add` O(batch)
+amortized while the arena stays contiguous for the hot scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ListArena:
+    """Host-side container for list-sorted payload rows + original ids."""
+
+    def __init__(self, nlist: int, payload_width: int, payload_dtype):
+        self.nlist = nlist
+        self.payload = np.zeros((0, payload_width), payload_dtype)
+        self.ids = np.zeros((0,), np.int64)
+        self.offsets = np.zeros((nlist + 1,), np.int64)
+
+    @property
+    def size(self) -> int:
+        return self.payload.shape[0]
+
+    @property
+    def list_lens(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    @property
+    def max_list_len(self) -> int:
+        return int(self.list_lens.max()) if self.size else 0
+
+    def rebuild(self, payload: np.ndarray, ids: np.ndarray, assignments: np.ndarray):
+        """Replace contents with rows sorted by list assignment (stable)."""
+        order = np.argsort(assignments, kind="stable")
+        self.payload = np.ascontiguousarray(payload[order])
+        self.ids = np.ascontiguousarray(ids[order])
+        counts = np.bincount(assignments, minlength=self.nlist)
+        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    def merge(self, payload: np.ndarray, ids: np.ndarray, assignments: np.ndarray):
+        """Merge new rows in (single re-sort of the union)."""
+        if self.size == 0:
+            self.rebuild(payload, ids, assignments)
+            return
+        old_assign = np.repeat(np.arange(self.nlist), self.list_lens)
+        self.rebuild(
+            np.concatenate([self.payload, payload.astype(self.payload.dtype)]),
+            np.concatenate([self.ids, ids]),
+            np.concatenate([old_assign, assignments]),
+        )
+
+
+class PendingBuffer:
+    """Flat append-only buffer for not-yet-merged inserts."""
+
+    def __init__(self, payload_width: int, payload_dtype):
+        self._chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.width = payload_width
+        self.dtype = payload_dtype
+
+    @property
+    def size(self) -> int:
+        return sum(c[0].shape[0] for c in self._chunks)
+
+    def append(self, payload, ids, assignments):
+        self._chunks.append(
+            (np.asarray(payload, self.dtype), np.asarray(ids), np.asarray(assignments))
+        )
+
+    def drain(self):
+        if not self._chunks:
+            e = np.zeros((0, self.width), self.dtype)
+            return e, np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+        p = np.concatenate([c[0] for c in self._chunks])
+        i = np.concatenate([c[1] for c in self._chunks])
+        a = np.concatenate([c[2] for c in self._chunks])
+        self._chunks.clear()
+        return p, i, a
+
+    def snapshot(self):
+        """Concatenated view without clearing (for search over pending rows)."""
+        if not self._chunks:
+            return None
+        p = np.concatenate([c[0] for c in self._chunks])
+        i = np.concatenate([c[1] for c in self._chunks])
+        return p, i

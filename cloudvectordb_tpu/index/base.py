@@ -1,0 +1,87 @@
+"""Index protocol + persistence manifest (SURVEY.md §2.2, §5.4).
+
+Every index saves as a directory: ``manifest.json`` (kind, config, counts,
+config/encoder hashes for compatibility checks — the encoder is part of the DB
+per the reference pipeline, /root/reference/README.md:2) plus ``arrays.npz``
+with the numeric payload. Atomic via write-to-tmp + rename.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+MANIFEST = "manifest.json"
+ARRAYS = "arrays.npz"
+FORMAT_VERSION = 1
+
+
+class Index(abc.ABC):
+    """Build/add/search/save/load surface shared by Flat, IVF-Flat, IVF-PQ."""
+
+    kind: str = "abstract"
+    metric: str = "ip"
+    dim: int = 0
+
+    @property
+    @abc.abstractmethod
+    def ntotal(self) -> int:
+        ...
+
+    @abc.abstractmethod
+    def add(self, vectors) -> None:
+        """Append vectors (N, dim); ids are assigned contiguously."""
+
+    @abc.abstractmethod
+    def search(self, queries, k: int, **kw) -> tuple[np.ndarray, np.ndarray]:
+        """Return (scores (Q, k), ids (Q, k)); larger score is better."""
+
+    # -- persistence ------------------------------------------------------
+    @abc.abstractmethod
+    def _state_arrays(self) -> dict[str, np.ndarray]:
+        ...
+
+    @abc.abstractmethod
+    def _state_meta(self) -> dict:
+        ...
+
+    @classmethod
+    @abc.abstractmethod
+    def _from_state(cls, meta: dict, arrays: dict) -> "Index":
+        ...
+
+    def save(self, path: str | Path, extra_meta: dict | None = None) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = Path(tempfile.mkdtemp(dir=path.parent, prefix=".idx_tmp_"))
+        try:
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "kind": self.kind,
+                "metric": self.metric,
+                "dim": self.dim,
+                "ntotal": self.ntotal,
+                "meta": self._state_meta(),
+                **(extra_meta or {}),
+            }
+            (tmp / MANIFEST).write_text(json.dumps(manifest, indent=2))
+            np.savez(tmp / ARRAYS, **self._state_arrays())
+            if path.exists():
+                import shutil
+
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        finally:
+            if tmp.exists():
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    @staticmethod
+    def read_manifest(path: str | Path) -> dict:
+        return json.loads((Path(path) / MANIFEST).read_text())

@@ -1,0 +1,325 @@
+"""IVF-PQ: coarse quantizer + per-list PQ codes (BASELINE config #3/#4).
+
+Residual encoding: each vector is stored as PQ codes of (x - centroid[list]),
+recovering most of the coarse quantizer's resolution. At query time, the
+probe-scan exploits that every row in a probe shares one list: the centroid
+term of the score is a per-(query, probe) constant, and only the residual part
+needs the PQ lookup (SURVEY.md §3.5).
+
+Scoring inside a probe is classic ADC — per-query LUT (m, 2**nbits) built with
+one small matmul, then code lookups. The full-scan decode-by-matmul Pallas
+path (ops/pallas_pq.py) is the batched high-throughput alternative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cloudvectordb_tpu.index.arena import ListArena, PendingBuffer
+from cloudvectordb_tpu.index.base import Index
+from cloudvectordb_tpu.index.kmeans import train_kmeans
+from cloudvectordb_tpu.index.pq import pq_encode, train_pq, _split
+from cloudvectordb_tpu.ops.assign import assign_clusters
+from cloudvectordb_tpu.ops.topk import NEG_INF, merge_topk, tiled_topk
+
+
+def _build_luts(q, codebooks, metric: str):
+    """Per-query ADC lookup tables.
+
+    q (B, D); codebooks (m, C, dsub) → luts (B, m, C):
+      metric='ip':  lut[b,j,c] = q_j[b]·cb[j,c]
+      metric='l2':  lut[b,j,c] = -||q_j[b] - cb[j,c]||² (larger better)
+    For residual indexes, q here is the *residual query* handled by the caller
+    via the constant probe term; these luts always act on the stored codes.
+    """
+    m, c, dsub = codebooks.shape
+    qs = _split(q, m)  # (m, B, dsub)
+    dots = jnp.einsum("mbd,mcd->bmc", qs, codebooks, preferred_element_type=jnp.float32)
+    if metric == "ip":
+        return dots
+    q_sq = jnp.sum(qs.astype(jnp.float32) ** 2, axis=2)  # (m, B)
+    c_sq = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=2)  # (m, C)
+    return 2.0 * dots - jnp.transpose(q_sq)[:, :, None] - c_sq[None, :, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "cap", "metric", "residual")
+)
+def _ivfpq_scan_search(
+    q, centroids, codes, ids, offsets, lens, codebooks,
+    *, k, nprobe, cap, metric, residual,
+):
+    """Probe-scan ADC search. codes (N, m) uint8; returns (B,k) scores/ids."""
+    bq = q.shape[0]
+    m = codebooks.shape[0]
+    coarse_s, probe_lists = tiled_topk(
+        centroids, q, nprobe, metric=metric, tile=min(8192, centroids.shape[0])
+    )
+    if residual:
+        # score(x) = score_coarse(q, c_l) ⊕ residual part:
+        #   ip: q·x = q·c_l + q·r       → const = coarse ip score
+        #   l2: -||q-x||² = -||(q-c_l) - r||² ; we use luts on (q - c_l) per
+        #       probe, which would be per-probe luts (B·nprobe of them) — too
+        #       many. Instead expand: -||q-c_l||² + 2(q-c_l)·r - ||r||².
+        #       The 2q·r - ||r||² part comes from l2-style luts on q vs
+        #       codebooks minus correction; we fold exactly below per probe.
+        pass
+    luts_ip = _build_luts(q, codebooks, "ip")  # (B, m, C) q·r lookups
+    c_sq_codes = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=2)  # (m, C)
+    window = jnp.arange(cap, dtype=jnp.int32)
+
+    # per-probe centroid dot products needed for the residual cross term
+    probed_centroids = centroids[probe_lists]  # (B, nprobe, D)
+
+    def probe_step(carry, inp):
+        best_v, best_i = carry
+        p_start, p_len, p_coarse, p_cent = inp  # (B,), (B,), (B,), (B, D)
+        rows = p_start[:, None] + window[None, :]
+        valid = window[None, :] < p_len[:, None]
+        rows_c = jnp.clip(rows, 0, codes.shape[0] - 1)
+        c_tile = codes[rows_c].astype(jnp.int32)  # (B, cap, m)
+        # gather ADC: sum_j lut[b, j, code]
+        lut_b = luts_ip  # (B, m, C)
+        picked = jnp.take_along_axis(
+            jnp.transpose(lut_b, (0, 2, 1)),  # (B, C, m)
+            c_tile,
+            axis=1,
+        )  # (B, cap, m)
+        q_dot_r = jnp.sum(picked, axis=2)  # (B, cap) = q·r̂
+        if residual:
+            # r̂ norms and centroid·r̂ cross terms
+            if metric == "ip":
+                s = p_coarse[:, None] + q_dot_r
+            else:
+                # -||q - c - r̂||² = -||q-c||² + 2(q-c)·r̂ - ||r̂||²
+                #                = coarse_l2 + 2 q·r̂ - 2 c·r̂ - ||r̂||²
+                r_sq = jnp.sum(
+                    jnp.take_along_axis(
+                        jnp.transpose(c_sq_codes)[None], c_tile, axis=1
+                    ),
+                    axis=2,
+                )  # (B, cap) Σ_j ||cb_j[code]||² = ||r̂||²
+                cent_luts = _build_luts(p_cent, codebooks, "ip")  # (B, m, C)
+                c_dot_r = jnp.sum(
+                    jnp.take_along_axis(
+                        jnp.transpose(cent_luts, (0, 2, 1)), c_tile, axis=1
+                    ),
+                    axis=2,
+                )
+                s = p_coarse[:, None] + 2.0 * q_dot_r - 2.0 * c_dot_r - r_sq
+        else:
+            if metric == "ip":
+                s = q_dot_r
+            else:
+                r_sq = jnp.sum(
+                    jnp.take_along_axis(
+                        jnp.transpose(c_sq_codes)[None], c_tile, axis=1
+                    ),
+                    axis=2,
+                )
+                q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+                s = 2.0 * q_dot_r - r_sq - q_sq[:, None]
+        s = jnp.where(valid, s, NEG_INF)
+        kk = min(k, cap)
+        tv, tp = lax.top_k(s, kk)
+        trows = jnp.take_along_axis(rows_c, tp, axis=1)
+        tids = ids[trows]
+        if kk < k:
+            pad = k - kk
+            tv = jnp.concatenate([tv, jnp.full((bq, pad), NEG_INF)], axis=1)
+            tids = jnp.concatenate([tids, jnp.zeros((bq, pad), tids.dtype)], axis=1)
+        return merge_topk(best_v, best_i, tv, tids, k), None
+
+    starts = offsets[probe_lists]
+    ll = lens[probe_lists]
+    init = (jnp.full((bq, k), NEG_INF, jnp.float32), jnp.zeros((bq, k), jnp.int32))
+    xs = (
+        starts.T,
+        ll.T,
+        coarse_s.T,
+        jnp.transpose(probed_centroids, (1, 0, 2)),
+    )
+    (best_v, best_i), _ = lax.scan(probe_step, init, xs)
+    return best_v, best_i
+
+
+class IVFPQIndex(Index):
+    kind = "ivf_pq"
+
+    def __init__(
+        self,
+        dim: int,
+        nlist: int,
+        m: int = 64,
+        nbits: int = 8,
+        metric: str = "ip",
+        residual: bool = True,
+        kmeans_iters: int = 20,
+        pq_train_iters: int = 12,
+        seed: int = 0,
+        opq_matrix: np.ndarray | None = None,
+    ):
+        assert metric in ("ip", "l2")
+        assert dim % m == 0
+        self.dim = dim
+        self.metric = metric
+        self.nlist = nlist
+        self.m = m
+        self.nbits = nbits
+        self.residual = residual
+        self.kmeans_iters = kmeans_iters
+        self.pq_train_iters = pq_train_iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+        self.codebooks: np.ndarray | None = None
+        self.opq_matrix = opq_matrix  # (D, D) rotation applied before PQ
+        self._arena = ListArena(nlist, m, np.uint8)
+        self._pending = PendingBuffer(m, np.uint8)
+        self._pending_raw: list[np.ndarray] = []  # raw pending vectors for exact flat-scan merge path? kept empty; codes suffice
+        self._next_id = 0
+        self._dev = None
+
+    @property
+    def ntotal(self) -> int:
+        return self._arena.size + self._pending.size
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None and self.codebooks is not None
+
+    def _rotate(self, x: np.ndarray) -> np.ndarray:
+        if self.opq_matrix is None:
+            return x
+        return x @ self.opq_matrix.T  # rows are rotated: x' = R x
+
+    def train(self, sample) -> None:
+        sample = np.asarray(sample, np.float32)
+        if self.opq_matrix is not None:
+            sample = self._rotate(sample)
+        c, assign = train_kmeans(
+            jnp.asarray(sample), self.nlist, iters=self.kmeans_iters, seed=self.seed
+        )
+        self.centroids = np.asarray(c)
+        train_vecs = jnp.asarray(sample)
+        if self.residual:
+            train_vecs = train_vecs - c[assign]
+        cb = train_pq(
+            train_vecs, self.m, self.nbits, iters=self.pq_train_iters, seed=self.seed
+        )
+        self.codebooks = np.asarray(cb)
+        self._dev = None
+
+    @classmethod
+    def build(
+        cls, vectors, nlist: int, m: int = 64, metric: str = "ip",
+        train_sample: int = 262_144, **kw,
+    ) -> "IVFPQIndex":
+        vectors = np.asarray(vectors, np.float32)
+        idx = cls(vectors.shape[1], nlist, m=m, metric=metric, **kw)
+        ns = min(train_sample, vectors.shape[0])
+        rs = np.random.default_rng(idx.seed).choice(vectors.shape[0], ns, replace=False)
+        idx.train(vectors[rs])
+        idx.add(vectors)
+        idx.merge_pending()
+        return idx
+
+    def add(self, vectors) -> None:
+        assert self.is_trained, "call train() before add()"
+        vectors = np.asarray(vectors, np.float32)
+        if self.opq_matrix is not None:
+            vectors = self._rotate(vectors)
+        n = vectors.shape[0]
+        ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+        self._next_id += n
+        xv = jnp.asarray(vectors)
+        assign, _ = assign_clusters(xv, jnp.asarray(self.centroids))
+        enc_input = xv - jnp.asarray(self.centroids)[assign] if self.residual else xv
+        codes = np.asarray(pq_encode(enc_input, jnp.asarray(self.codebooks)))
+        self._pending.append(codes, ids, np.asarray(assign))
+        if self._pending.size > max(4096, 0.1 * self._arena.size):
+            self.merge_pending()
+        self._dev = None
+
+    def merge_pending(self) -> None:
+        p, i, a = self._pending.drain()
+        if p.shape[0]:
+            self._arena.merge(p, i, a)
+        self._dev = None
+
+    def _device_state(self):
+        if self._dev is None:
+            ar = self._arena
+            self._dev = dict(
+                centroids=jnp.asarray(self.centroids),
+                codes=jnp.asarray(ar.payload),
+                ids=jnp.asarray(ar.ids, jnp.int32),
+                offsets=jnp.asarray(ar.offsets[:-1], jnp.int32),
+                lens=jnp.asarray(ar.list_lens, jnp.int32),
+                codebooks=jnp.asarray(self.codebooks),
+                cap=max(8, ar.max_list_len),
+            )
+        return self._dev
+
+    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256):
+        assert self.is_trained
+        self.merge_pending()  # pending rows are PQ codes; simplest correct path
+        queries = np.asarray(queries, np.float32)
+        if self.opq_matrix is not None:
+            queries = self._rotate(queries)
+        nprobe = min(nprobe, self.nlist)
+        st = self._device_state()
+        outs_v, outs_i = [], []
+        for s in range(0, queries.shape[0], batch):
+            qb = jnp.asarray(queries[s : s + batch])
+            v, i = _ivfpq_scan_search(
+                qb, st["centroids"], st["codes"], st["ids"], st["offsets"],
+                st["lens"], st["codebooks"],
+                k=k, nprobe=nprobe, cap=st["cap"], metric=self.metric,
+                residual=self.residual,
+            )
+            outs_v.append(np.asarray(v))
+            outs_i.append(np.asarray(i))
+        return np.concatenate(outs_v), np.concatenate(outs_i)
+
+    # -- persistence ------------------------------------------------------
+    def _state_arrays(self):
+        self.merge_pending()
+        out = {
+            "centroids": self.centroids,
+            "codebooks": self.codebooks,
+            "payload": self._arena.payload,
+            "ids": self._arena.ids,
+            "offsets": self._arena.offsets,
+        }
+        if self.opq_matrix is not None:
+            out["opq_matrix"] = self.opq_matrix
+        return out
+
+    def _state_meta(self):
+        return {
+            "nlist": self.nlist, "m": self.m, "nbits": self.nbits,
+            "residual": self.residual, "kmeans_iters": self.kmeans_iters,
+            "pq_train_iters": self.pq_train_iters, "seed": self.seed,
+            "next_id": self._next_id, "opq": self.opq_matrix is not None,
+        }
+
+    @classmethod
+    def _from_state(cls, manifest: dict, arrays: dict) -> "IVFPQIndex":
+        m = manifest["meta"]
+        idx = cls(
+            manifest["dim"], m["nlist"], m["m"], m["nbits"], manifest["metric"],
+            m["residual"], m["kmeans_iters"], m["pq_train_iters"], m["seed"],
+            opq_matrix=arrays.get("opq_matrix"),
+        )
+        idx.centroids = arrays["centroids"]
+        idx.codebooks = arrays["codebooks"]
+        idx._arena.payload = arrays["payload"]
+        idx._arena.ids = arrays["ids"]
+        idx._arena.offsets = arrays["offsets"]
+        idx._next_id = m["next_id"]
+        return idx

@@ -1,0 +1,52 @@
+"""Index factory + polymorphic load (dispatch on the saved manifest kind)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from cloudvectordb_tpu.index.base import ARRAYS, Index
+from cloudvectordb_tpu.index.flat import FlatIndex
+from cloudvectordb_tpu.index.ivf_flat import IVFFlatIndex
+from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex
+from cloudvectordb_tpu.utils.config import IndexConfig
+
+_KINDS = {"flat": FlatIndex, "ivf_flat": IVFFlatIndex, "ivf_pq": IVFPQIndex}
+
+
+def build_index(vectors, cfg: IndexConfig) -> Index:
+    """Build any index kind from vectors + config (trains quantizers inline)."""
+    vectors = np.asarray(vectors, np.float32)
+    if cfg.kind == "flat":
+        return FlatIndex.build(vectors, metric=cfg.metric, dtype=cfg.dtype)
+    nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
+    if cfg.kind == "ivf_flat":
+        return IVFFlatIndex.build(
+            vectors, nlist, metric=cfg.metric, train_sample=cfg.train_sample,
+            kmeans_iters=cfg.kmeans_iters, seed=cfg.seed, dtype=cfg.dtype,
+        )
+    if cfg.kind == "ivf_pq":
+        opq_matrix = None
+        if cfg.opq:
+            from cloudvectordb_tpu.index.opq import train_opq
+
+            ns = min(cfg.train_sample, vectors.shape[0], 65536)
+            rs = np.random.default_rng(cfg.seed).choice(
+                vectors.shape[0], ns, replace=False
+            )
+            opq_matrix, _ = train_opq(vectors[rs], cfg.m, cfg.nbits, seed=cfg.seed)
+        return IVFPQIndex.build(
+            vectors, nlist, m=cfg.m, metric=cfg.metric, nbits=cfg.nbits,
+            train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
+            pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
+            opq_matrix=opq_matrix,
+        )
+    raise ValueError(f"unknown index kind {cfg.kind!r}")
+
+
+def load_index(path: str | Path) -> Index:
+    manifest = Index.read_manifest(path)
+    arrays = dict(np.load(Path(path) / ARRAYS, allow_pickle=False))
+    cls = _KINDS[manifest["kind"]]
+    return cls._from_state(manifest, arrays)

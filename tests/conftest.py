@@ -1,0 +1,30 @@
+"""Test env: 8 simulated devices on the CPU backend (SURVEY.md §4.2).
+
+Must run before any jax import: forces the CPU platform with 8 virtual
+devices so all shard_map / pjit distribution tests exercise real collective
+lowering without TPU hardware. The same code runs unchanged on a real v5e-8;
+only the mesh constructor sees different devices.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS; the config
+# update below is what actually pins the test backend to simulated-CPU.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

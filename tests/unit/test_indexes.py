@@ -1,0 +1,134 @@
+"""Index behavior: exactness, IVF invariants, persistence, incremental add.
+
+Property tests from SURVEY.md §4.2: recall(Flat)=1.0; IVF-Flat with
+nprobe=nlist ≡ Flat; IVF-PQ recall non-decreasing in nprobe; save→load→search
+identical.
+"""
+
+import numpy as np
+import pytest
+
+from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+from cloudvectordb_tpu.index import (
+    FlatIndex,
+    IVFFlatIndex,
+    IVFPQIndex,
+    build_index,
+    load_index,
+)
+from cloudvectordb_tpu.utils.config import IndexConfig
+
+N, D, NQ, K = 3000, 32, 32, 10
+
+
+@pytest.fixture(scope="module")
+def data():
+    db = clustered_vectors(N, D, n_clusters=24, seed=30)
+    q = queries_from(db, NQ, seed=31)
+    gt = {
+        m: brute_force_topk(db, q, K, metric=m)[1] for m in ("ip", "l2")
+    }
+    return db, q, gt
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_flat_exact(data, metric):
+    db, q, gt = data
+    idx = FlatIndex.build(db, metric=metric)
+    s, i = idx.search(q, K, exact=True)
+    assert recall_at_k(i, gt[metric]) == 1.0
+
+
+def test_flat_int8_high_recall(data):
+    db, q, gt = data
+    idx = FlatIndex.build(db, metric="ip", dtype="int8")
+    _, i = idx.search(q, K, exact=True)
+    assert recall_at_k(i, gt["ip"]) >= 0.9
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_ivf_flat_full_probe_equals_flat(data, metric):
+    db, q, gt = data
+    idx = IVFFlatIndex.build(db, nlist=16, metric=metric, kmeans_iters=8)
+    _, i = idx.search(q, K, nprobe=16)
+    assert recall_at_k(i, gt[metric]) == 1.0
+
+
+def test_ivf_flat_partial_probe_reasonable(data):
+    db, q, gt = data
+    idx = IVFFlatIndex.build(db, nlist=32, metric="ip", kmeans_iters=8)
+    _, i4 = idx.search(q, K, nprobe=4)
+    _, i8 = idx.search(q, K, nprobe=8)
+    r4, r8 = recall_at_k(i4, gt["ip"]), recall_at_k(i8, gt["ip"])
+    assert r8 >= r4 >= 0.5
+    assert r8 >= 0.8
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("residual", [True, False])
+def test_ivf_pq_recall_and_monotonicity(data, metric, residual):
+    db, q, gt = data
+    idx = IVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, metric=metric, residual=residual,
+        kmeans_iters=8, pq_train_iters=8,
+    )
+    _, i_all = idx.search(q, K, nprobe=16)
+    r_all = recall_at_k(i_all, gt[metric])
+    _, i2 = idx.search(q, K, nprobe=2)
+    r2 = recall_at_k(i2, gt[metric])
+    floor = 0.6 if residual else 0.5  # residual encoding recovers coarse info
+    assert r_all >= floor, (metric, residual, r_all)
+    assert r_all >= r2 - 0.05
+
+
+def test_ivf_pq_residual_beats_plain(data):
+    db, q, gt = data
+    kw = dict(nlist=16, m=8, nbits=4, metric="l2", kmeans_iters=8, pq_train_iters=8)
+    r = {}
+    for residual in (True, False):
+        idx = IVFPQIndex.build(db, residual=residual, **kw)
+        _, i = idx.search(q, K, nprobe=16)
+        r[residual] = recall_at_k(i, gt["l2"])
+    assert r[True] >= r[False] - 0.02  # residual ≥ plain (noise tolerance)
+
+
+def test_incremental_add_matches_bulk(data):
+    db, q, gt = data
+    bulk = IVFFlatIndex.build(db, nlist=16, metric="ip", kmeans_iters=8)
+    inc = IVFFlatIndex(D, nlist=16, metric="ip", kmeans_iters=8)
+    inc.train(db[:1000])
+    for s in range(0, N, 700):  # uneven batches, some stay pending
+        inc.add(db[s : s + 700])
+    assert inc.ntotal == N
+    _, i_inc = inc.search(q, K, nprobe=16)
+    assert recall_at_k(i_inc, gt["ip"]) == 1.0  # full probe + pending scan ≡ flat
+
+
+@pytest.mark.parametrize("kind", ["flat", "ivf_flat", "ivf_pq"])
+def test_save_load_roundtrip(tmp_path, data, kind):
+    db, q, _ = data
+    cfg = IndexConfig(
+        kind=kind, metric="ip", dim=D, nlist=16, m=8, nbits=6,
+        kmeans_iters=6, pq_train_iters=6, train_sample=2048,
+    )
+    idx = build_index(db, cfg)
+    s1, i1 = idx.search(q, K, **({} if kind == "flat" else {"nprobe": 8}))
+    p = tmp_path / "idx"
+    idx.save(p)
+    idx2 = load_index(p)
+    assert idx2.ntotal == idx.ntotal
+    s2, i2 = idx2.search(q, K, **({} if kind == "flat" else {"nprobe": 8}))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_opq_index_builds(data):
+    db, q, gt = data
+    cfg = IndexConfig(
+        kind="ivf_pq", metric="ip", dim=D, nlist=16, m=8, nbits=6, opq=True,
+        kmeans_iters=6, pq_train_iters=6, train_sample=2048,
+    )
+    idx = build_index(db, cfg)
+    _, i = idx.search(q, K, nprobe=16)
+    assert recall_at_k(i, gt["ip"]) >= 0.6
