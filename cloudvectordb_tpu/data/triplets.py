@@ -1,0 +1,153 @@
+"""Triplet mining — stage 1 of the pipeline [REF README.md:2: "building a
+very large dataset of triplets"].
+
+Strategies (SURVEY.md §2.1 Triplet miner):
+  inbatch — self-supervised inverse-cloze-style pairs: (anchor span, positive
+            span) drawn from the same document, negative from a random other
+            document. Needs no labels; in-batch negatives do the heavy
+            lifting during InfoNCE training.
+  hard    — index-assisted: encode the corpus with the *current* encoder,
+            build an index (L3), and for each anchor sample a negative from
+            retrieval ranks [hard_skip, hard_topk) — near misses, the
+            negatives that actually move a contrastive model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from cloudvectordb_tpu.utils.config import MiningConfig
+from cloudvectordb_tpu.utils.metrics import get_logger
+
+log = get_logger("cvdb.mine")
+
+
+@dataclass
+class Triplets:
+    anchors: list[str]
+    positives: list[str]
+    negatives: list[str]
+
+    def __len__(self) -> int:
+        return len(self.anchors)
+
+    def save(self, path) -> None:
+        import json
+        from pathlib import Path
+
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with p.open("w") as fh:
+            for a, pp, n in zip(self.anchors, self.positives, self.negatives):
+                fh.write(json.dumps({"anchor": a, "positive": pp, "negative": n}) + "\n")
+
+    @classmethod
+    def load(cls, path) -> "Triplets":
+        import json
+
+        a, p, n = [], [], []
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                a.append(rec["anchor"])
+                p.append(rec["positive"])
+                n.append(rec["negative"])
+        return cls(a, p, n)
+
+
+def _split_spans(text: str, rng) -> tuple[str, str]:
+    """Two disjoint halves of a passage (inverse-cloze-style pair)."""
+    words = text.split()
+    if len(words) < 4:
+        return text, text
+    cut = rng.integers(2, len(words) - 1)
+    a, b = " ".join(words[:cut]), " ".join(words[cut:])
+    return (a, b) if rng.integers(2) else (b, a)
+
+
+def mine_triplets(
+    passages: list[str],
+    doc_ids: list[int],
+    cfg: MiningConfig,
+    encode_fn: Callable[[list[str]], np.ndarray] | None = None,
+    index=None,
+) -> Triplets:
+    """passages/doc_ids from the corpus layer; encode_fn+index enable 'hard'."""
+    rng = np.random.default_rng(cfg.seed)
+    n_pass = len(passages)
+    doc_ids = np.asarray(doc_ids)
+    anchors, positives, negatives = [], [], []
+
+    hard_neg_of = None
+    if cfg.strategy == "hard":
+        if encode_fn is None or index is None:
+            raise ValueError("hard mining needs encode_fn and a built index")
+        log.info("hard mining: retrieving negatives for %d anchors", cfg.num_triplets)
+
+    picks = rng.integers(0, n_pass, size=cfg.num_triplets)
+    if cfg.strategy == "hard":
+        # retrieve near-misses for every anchor passage in batches
+        hard_neg_of = np.zeros(cfg.num_triplets, np.int64)
+        bs = 512
+        for s in range(0, cfg.num_triplets, bs):
+            batch_idx = picks[s : s + bs]
+            q = encode_fn([passages[i] for i in batch_idx])
+            _, ids = index.search(q, cfg.hard_topk)
+            for r, anchor_i in enumerate(batch_idx):
+                cand = [
+                    int(c)
+                    for c in ids[r][cfg.hard_skip :]
+                    if doc_ids[int(c)] != doc_ids[anchor_i]
+                ]
+                hard_neg_of[s + r] = (
+                    rng.choice(cand) if cand else rng.integers(0, n_pass)
+                )
+
+    for t, i in enumerate(picks):
+        a, p = _split_spans(passages[i], rng)
+        if cfg.strategy == "hard":
+            j = int(hard_neg_of[t])
+        else:
+            j = int(rng.integers(0, n_pass))
+            while doc_ids[j] == doc_ids[i] and n_pass > 1:
+                j = int(rng.integers(0, n_pass))
+        anchors.append(a)
+        positives.append(p)
+        negatives.append(passages[j])
+    return Triplets(anchors, positives, negatives)
+
+
+def triplet_batches(
+    triplets: Triplets,
+    tokenizer,
+    batch_size: int,
+    max_len: int,
+    seed: int = 0,
+    epochs: int | None = None,
+) -> Iterator[dict]:
+    """Shuffled, tokenized train batches (drop-remainder for static shapes)."""
+    n = len(triplets)
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            a_ids, a_mask = tokenizer.encode_batch(
+                [triplets.anchors[i] for i in sel], max_len
+            )
+            p_ids, p_mask = tokenizer.encode_batch(
+                [triplets.positives[i] for i in sel], max_len
+            )
+            n_ids, n_mask = tokenizer.encode_batch(
+                [triplets.negatives[i] for i in sel], max_len
+            )
+            yield {
+                "anchor_ids": a_ids, "anchor_mask": a_mask,
+                "pos_ids": p_ids, "pos_mask": p_mask,
+                "neg_ids": n_ids, "neg_mask": n_mask,
+            }
+        epoch += 1

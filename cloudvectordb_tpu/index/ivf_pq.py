@@ -228,14 +228,20 @@ class IVFPQIndex(Index):
         idx.merge_pending()
         return idx
 
-    def add(self, vectors) -> None:
+    def add(self, vectors, ids=None) -> None:
+        """Append vectors; ids default to a contiguous range (explicit ids let
+        a sharded wrapper assign global ids across shards)."""
         assert self.is_trained, "call train() before add()"
         vectors = np.asarray(vectors, np.float32)
         if self.opq_matrix is not None:
             vectors = self._rotate(vectors)
         n = vectors.shape[0]
-        ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
-        self._next_id += n
+        if ids is None:
+            ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+            self._next_id += n
+        else:
+            ids = np.asarray(ids, np.int64)
+            self._next_id = max(self._next_id, int(ids.max(initial=-1)) + 1)
         xv = jnp.asarray(vectors)
         assign, _ = assign_clusters(xv, jnp.asarray(self.centroids))
         enc_input = xv - jnp.asarray(self.centroids)[assign] if self.residual else xv

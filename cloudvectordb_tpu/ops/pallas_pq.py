@@ -1,0 +1,173 @@
+"""Fused Pallas PQ scan: on-the-fly decode (one-hot matmuls) + score + top-k.
+
+TPU-first rationale (SURVEY.md §7.3 item 2): TPUs have no fast random gather,
+so classic LUT-gather ADC is off the table. Two matmul formulations exist:
+
+  ADC    scores += LUTⱼᵀ·OHⱼᵀ        cost/vec = m·2ᵇ·B      MACs
+  decode x̂ᵀ += cbⱼᵀ·OHⱼᵀ ; qᵀ·x̂ᵀ    cost/vec = m·2ᵇ·dsub + D·B
+
+Decode amortizes the codebook work over the whole query batch (B), so for
+B ≳ 16 it wins by an order of magnitude — PQ becomes a *memory format* and
+scoring stays a plain MXU matmul. The decoded tile lives only in VMEM scratch
+(never HBM), so HBM traffic is the m bytes/vec of codes: a 12×–48× bandwidth
+saving over raw vectors.
+
+Codes are stored code-major (m, N) uint8 so a (m, T) tile has lane dimension
+T (128-aligned); one-hot construction is a VPU compare against an iota.
+Top-k uses the same bucketed-max streaming merge as pallas_topk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _pq_scan_kernel(
+    q_ref, codes_ref, cbt_ref, out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc,
+    *, n, l_buckets, m, ncode, dsub,
+):
+    qt = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        val_sc[:] = jnp.full_like(val_sc, NEG_INF)
+        idx_sc[:] = jnp.zeros_like(idx_sc)
+
+    tile_sz = codes_ref.shape[1]
+    codes = codes_ref[:]  # (m, T) uint8
+    # decode: x̂ᵀ (D, T) built per subspace as cbⱼᵀ (dsub, 2ᵇ) @ OHⱼᵀ (2ᵇ, T)
+    code_iota = lax.broadcasted_iota(jnp.int32, (ncode, tile_sz), 0)
+    for j in range(m):
+        oh_t = (code_iota == codes[j, :].astype(jnp.int32)[None, :]).astype(
+            jnp.bfloat16
+        )  # (2ᵇ, T)
+        xhat_sc[j * dsub : (j + 1) * dsub, :] = lax.dot_general(
+            cbt_ref[:, j * ncode : (j + 1) * ncode],  # (dsub, 2ᵇ) slice of (dsub, m·2ᵇ)
+            oh_t,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # score: q (Q, D) @ x̂ᵀ (D, T) → (Q, T)
+    scores = lax.dot_general(
+        q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # bucketed streaming top-k merge (same scheme as pallas_topk)
+    rows_per_bucket = tile_sz // l_buckets
+    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+    base = t * tile_sz
+    g_idx = (
+        base
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    )
+    s3 = jnp.where(g_idx < n, s3, NEG_INF)
+    mx = jnp.max(s3, axis=1)
+    is_max = s3 >= mx[:, None, :]
+    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+    better = mx > val_sc[:]
+    val_sc[:] = jnp.where(better, mx, val_sc[:])
+    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+
+    @pl.when(t == n_t - 1)
+    def _emit():
+        out_v_ref[:] = val_sc[:]
+        out_i_ref[:] = idx_sc[:]
+
+
+def _ceil_to(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret"),
+)
+def pq_topk_pallas(
+    codes_cm,
+    codebooks,
+    queries,
+    k: int,
+    tile_n: int = 2048,
+    tile_q: int = 128,
+    l_buckets: int = 0,
+    interpret: bool = False,
+):
+    """Top-k inner-product search over PQ codes (non-residual, IP metric).
+
+    codes_cm  (m, N) uint8 — code-major layout (see ivf_pq arena export)
+    codebooks (m, 2ᵇ, dsub) f32
+    queries   (Q, D) — D = m·dsub
+    Returns (scores (Q, k) f32 vs reconstructions, idx (Q, k) i32).
+    """
+    m, n = codes_cm.shape
+    ncode, dsub = codebooks.shape[1], codebooks.shape[2]
+    d = m * dsub
+    nq, dq = queries.shape
+    assert dq == d, (dq, d)
+    k = min(k, n)
+    if l_buckets == 0:
+        l_buckets = max(512, _ceil_to(8 * k, 128))
+    l_buckets = min(l_buckets, tile_n)
+    assert tile_n % l_buckets == 0
+
+    n_pad = _ceil_to(n, tile_n)
+    q_pad = _ceil_to(nq, tile_q)
+    codes_p = jnp.zeros((m, n_pad), jnp.uint8).at[:, :n].set(codes_cm)
+    qp = (
+        jnp.zeros((q_pad, d), jnp.bfloat16)
+        .at[:nq, :]
+        .set(queries.astype(jnp.bfloat16))
+    )
+    # codebooks transposed + flattened: (dsub, m·2ᵇ), bf16 for the MXU
+    cbt = jnp.transpose(codebooks, (2, 0, 1)).reshape(dsub, m * ncode).astype(
+        jnp.bfloat16
+    )
+
+    grid = (q_pad // tile_q, n_pad // tile_n)
+    kernel = functools.partial(
+        _pq_scan_kernel, n=n, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub
+    )
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (dsub, m * ncode), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, l_buckets), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, tile_n), jnp.float32),  # decoded x̂ᵀ tile
+            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qp, codes_p, cbt)
+
+    cand_v = out_v[:nq]
+    cand_i = out_i[:nq]
+    top_v, pos = lax.top_k(cand_v, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_v, top_i

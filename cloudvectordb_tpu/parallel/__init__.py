@@ -1,0 +1,13 @@
+"""L1 mesh & collectives: device mesh, sharding rules, distributed query path.
+
+All collective use is confined to this package (SURVEY.md §5.8) so the
+single-device, simulated-CPU-mesh, and real v5e-8 paths share code.
+"""
+
+from cloudvectordb_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_rows,
+)
+from cloudvectordb_tpu.parallel.dist_search import DistributedFlatIndex  # noqa: F401

@@ -1,0 +1,178 @@
+"""Sharded IVF-PQ over a device mesh (BASELINE config #4: 100M×768d on v5e-8).
+
+Design: the coarse quantizer and PQ codebooks are trained ONCE on a global
+sample and replicated (they're tiny); the *rows* are partitioned across the
+'shard' axis, each shard holding its own list-sorted code arena in HBM. A
+query runs the probe-scan on every shard in parallel (shard_map), and the
+per-shard partial top-k is all-gathered over ICI and reduced — identical
+recall semantics to a single IVF-PQ index with the same nprobe, because every
+shard probes its own copy of the same global lists.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex, _ivfpq_scan_search
+from cloudvectordb_tpu.index.kmeans import train_kmeans
+from cloudvectordb_tpu.index.pq import pq_encode, train_pq
+from cloudvectordb_tpu.ops.assign import assign_clusters
+from cloudvectordb_tpu.parallel.mesh import make_mesh
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "cap", "metric", "residual", "mesh")
+)
+def _sharded_ivfpq_search(
+    q, centroids, codebooks, codes, ids, offsets, lens,
+    *, k, nprobe, cap, metric, residual, mesh,
+):
+    """codes (S·maxn, m) row-sharded; offsets/lens/ids sharded on axis 0."""
+
+    def local(qb, c, cb, codes_l, ids_l, off_l, lens_l):
+        v, i = _ivfpq_scan_search(
+            qb, c, codes_l, jnp.arange(codes_l.shape[0], dtype=jnp.int32),
+            off_l[0], lens_l[0], cb,
+            k=k, nprobe=nprobe, cap=cap, metric=metric, residual=residual,
+        )
+        # map local rows → global ids through this shard's id table
+        gid = jnp.take_along_axis(ids_l[0][None, :].repeat(i.shape[0], 0), i, axis=1)
+        all_v = lax.all_gather(v, "shard", axis=0)  # (S, B, k)
+        all_i = lax.all_gather(gid, "shard", axis=0)
+        s, b, kk = all_v.shape
+        cand_v = jnp.transpose(all_v, (1, 0, 2)).reshape(b, s * kk)
+        cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * kk)
+        best_v, pos = lax.top_k(cand_v, k)
+        return best_v, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("shard"), P("shard"), P("shard"), P("shard")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, centroids, codebooks, codes, ids, offsets, lens)
+
+
+class ShardedIVFPQIndex:
+    """Row-partitioned IVF-PQ with replicated quantizers."""
+
+    def __init__(self, mesh: Mesh | None = None, **ivfpq_kw):
+        self.mesh = mesh or make_mesh(axis_name="shard")
+        self.kw = ivfpq_kw
+        self.metric = ivfpq_kw.get("metric", "ip")
+        self.residual = ivfpq_kw.get("residual", True)
+        self._shards: list[IVFPQIndex] = []
+        self._dev = None
+        self._next_id = 0
+
+    @property
+    def nshards(self) -> int:
+        return self.mesh.shape["shard"]
+
+    @property
+    def ntotal(self) -> int:
+        return sum(s.ntotal for s in self._shards)
+
+    @classmethod
+    def build(
+        cls, vectors, nlist: int, m: int = 64, mesh: Mesh | None = None,
+        train_sample: int = 262_144, **kw,
+    ) -> "ShardedIVFPQIndex":
+        vectors = np.asarray(vectors, np.float32)
+        idx = cls(mesh, nlist=nlist, m=m, **kw)
+        s = idx.nshards
+        dim = vectors.shape[1]
+        # shared quantizers from a global sample
+        proto = IVFPQIndex(dim, nlist, m=m, **kw)
+        ns = min(train_sample, vectors.shape[0])
+        sel = np.random.default_rng(proto.seed).choice(
+            vectors.shape[0], ns, replace=False
+        )
+        proto.train(vectors[sel])
+        # contiguous row partition; each shard reuses the shared quantizers
+        # and stores GLOBAL ids directly in its arena.
+        bounds = np.linspace(0, vectors.shape[0], s + 1).astype(int)
+        for si in range(s):
+            sub = IVFPQIndex(dim, nlist, m=m, **kw)
+            sub.centroids = proto.centroids
+            sub.codebooks = proto.codebooks
+            sub.add(
+                vectors[bounds[si] : bounds[si + 1]],
+                ids=np.arange(bounds[si], bounds[si + 1], dtype=np.int64),
+            )
+            sub.merge_pending()
+            idx._shards.append(sub)
+        idx._next_id = int(vectors.shape[0])
+        idx._dev = None
+        return idx
+
+    def add(self, vectors) -> None:
+        """Append to the smallest shard (keeps shards balanced); global ids."""
+        assert self._shards, "build() first"
+        vectors = np.asarray(vectors, np.float32)
+        si = int(np.argmin([s.ntotal for s in self._shards]))
+        n = vectors.shape[0]
+        ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+        self._next_id += n
+        self._shards[si].add(vectors, ids=ids)
+        self._shards[si].merge_pending()
+        self._dev = None
+
+    def _device_state(self):
+        if self._dev is not None:
+            return self._dev
+        s = self.nshards
+        max_n = max(sh._arena.size for sh in self._shards)
+        max_n = -(-max_n // 8) * 8
+        m = self.kw.get("m", 64)
+        nlist = self.kw["nlist"]
+        codes = np.zeros((s, max_n, m), np.uint8)
+        ids = np.zeros((s, max_n), np.int32)
+        offsets = np.zeros((s, nlist), np.int32)
+        lens = np.zeros((s, nlist), np.int32)
+        cap = 8
+        for si, sh in enumerate(self._shards):
+            ar = sh._arena
+            codes[si, : ar.size] = ar.payload
+            ids[si, : ar.size] = ar.ids  # arena ids are already global
+            offsets[si] = ar.offsets[:-1]
+            lens[si] = ar.list_lens
+            cap = max(cap, ar.max_list_len)
+        shard_sh = NamedSharding(self.mesh, P("shard"))
+        self._dev = dict(
+            centroids=jnp.asarray(self._shards[0].centroids),
+            codebooks=jnp.asarray(self._shards[0].codebooks),
+            codes=jax.device_put(
+                jnp.asarray(codes.reshape(s * max_n, m)), shard_sh
+            ),
+            ids=jax.device_put(jnp.asarray(ids), shard_sh),
+            offsets=jax.device_put(jnp.asarray(offsets), shard_sh),
+            lens=jax.device_put(jnp.asarray(lens), shard_sh),
+            cap=cap,
+        )
+        return self._dev
+
+    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256):
+        queries = np.asarray(queries, np.float32)
+        st = self._device_state()
+        nprobe = min(nprobe, self.kw["nlist"])
+        outs_v, outs_i = [], []
+        for s0 in range(0, queries.shape[0], batch):
+            qb = jnp.asarray(queries[s0 : s0 + batch])
+            v, i = _sharded_ivfpq_search(
+                qb, st["centroids"], st["codebooks"], st["codes"], st["ids"],
+                st["offsets"], st["lens"],
+                k=k, nprobe=nprobe, cap=st["cap"], metric=self.metric,
+                residual=self.residual, mesh=self.mesh,
+            )
+            outs_v.append(np.asarray(v))
+            outs_i.append(np.asarray(i))
+        return np.concatenate(outs_v), np.concatenate(outs_i)

@@ -1,0 +1,229 @@
+"""Pipeline orchestration [REF README.md:2 — the whole sentence]:
+
+    corpus → triplets → trained encoder(s) → embeddings → vector DB
+
+Each stage writes an artifact + completion marker into the workdir and is
+independently resumable/skippable (SURVEY.md §3.1, §5.3). Control stays in one
+host process; device work happens inside each stage. A `--fail-after` hook
+injects crashes so integration tests exercise resume (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from cloudvectordb_tpu.data.corpus import load_passages
+from cloudvectordb_tpu.data.tokenize import TextTokenizer
+from cloudvectordb_tpu.data.triplets import Triplets, mine_triplets, triplet_batches
+from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+from cloudvectordb_tpu.index import build_index, load_index
+from cloudvectordb_tpu.models.embed import encode_corpus, text_encoder
+from cloudvectordb_tpu.models.encoder import Encoder
+from cloudvectordb_tpu.train.trainer import Trainer
+from cloudvectordb_tpu.utils.checkpoint import restore_checkpoint
+from cloudvectordb_tpu.utils.config import PipelineConfig
+from cloudvectordb_tpu.utils.metrics import MetricsWriter, StageTimer, get_logger
+
+log = get_logger("cvdb.pipeline")
+
+
+class FailInjection(RuntimeError):
+    """Raised by the --fail-after test hook (SURVEY.md §5.3)."""
+
+
+class Pipeline:
+    def __init__(self, cfg: PipelineConfig, fail_after: str | None = None):
+        self.cfg = cfg
+        self.workdir = Path(cfg.workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        # first run stamps the config; resumes must not clobber it (it is the
+        # source of truth for artifact locations like ckpt_dir)
+        if not (self.workdir / "pipeline_config.json").exists():
+            cfg.save(self.workdir / "pipeline_config.json")
+        self.metrics = MetricsWriter(self.workdir / "metrics.jsonl")
+        self.fail_after = fail_after
+        self._passages = None
+        self._doc_ids = None
+        self._tokenizer = None
+
+    # -- stage plumbing ----------------------------------------------------
+    def _done_marker(self, stage: str) -> Path:
+        return self.workdir / f".done_{stage}"
+
+    def is_done(self, stage: str) -> bool:
+        return self._done_marker(stage).exists()
+
+    def _mark_done(self, stage: str) -> None:
+        self._done_marker(stage).write_text("ok")
+        if self.fail_after == stage:
+            raise FailInjection(f"injected failure after stage {stage!r}")
+
+    # -- shared data -------------------------------------------------------
+    @property
+    def passages(self):
+        if self._passages is None:
+            cache = self.workdir / "passages.jsonl"
+            if cache.exists():
+                recs = [json.loads(l) for l in cache.read_text().splitlines()]
+                self._passages = [r["text"] for r in recs]
+                self._doc_ids = [r["doc_id"] for r in recs]
+            else:
+                self._passages, self._doc_ids = load_passages(self.cfg.data)
+                with cache.open("w") as fh:
+                    for t, d in zip(self._passages, self._doc_ids):
+                        fh.write(json.dumps({"text": t, "doc_id": d}) + "\n")
+        return self._passages
+
+    @property
+    def doc_ids(self):
+        _ = self.passages
+        return self._doc_ids
+
+    @property
+    def tokenizer(self) -> TextTokenizer:
+        if self._tokenizer is None:
+            tok_path = self.workdir / "tokenizer.json"
+            max_len = self.cfg.train.encoder.max_len
+            if tok_path.exists():
+                self._tokenizer = TextTokenizer.load(tok_path, max_len)
+            else:
+                self._tokenizer = TextTokenizer.train(
+                    iter(self.passages),
+                    vocab_size=self.cfg.train.encoder.vocab_size,
+                    max_len=max_len,
+                )
+                self._tokenizer.save(tok_path)
+        return self._tokenizer
+
+    def _train_cfg(self):
+        """cfg.train with encoder vocab clamped to the actual tokenizer —
+        the single definition used by training AND checkpoint restore."""
+        tcfg = self.cfg.train
+        tcfg.encoder.vocab_size = max(self.tokenizer.vocab_size, 8)
+        return tcfg
+
+    def _load_params(self):
+        trainer = Trainer(self._train_cfg())
+        state = trainer.init_state()
+        restored, step, _ = restore_checkpoint(self.cfg.train.ckpt_dir, state)
+        if restored is None:
+            raise RuntimeError("no trained encoder checkpoint found")
+        return Encoder(self.cfg.train.encoder), jax.device_get(restored).params
+
+    # -- stages --------------------------------------------------------------
+    def stage_mine(self) -> Triplets:
+        out = self.workdir / "triplets.jsonl"
+        if self.is_done("mine"):
+            return Triplets.load(out)
+        with StageTimer(self.metrics, "mine"):
+            cfg = self.cfg.mining
+            encode_fn = index = None
+            if cfg.strategy == "hard":
+                # hard mining needs a current encoder + index over the corpus
+                model, params = self._load_params()
+                encode_fn = text_encoder(
+                    model, params, self.tokenizer, batch_size=self.cfg.encode_batch
+                )
+                emb = encode_corpus(
+                    model, params, self.tokenizer, self.passages,
+                    batch_size=self.cfg.encode_batch,
+                )
+                from cloudvectordb_tpu.index import FlatIndex
+
+                index = FlatIndex.build(emb, metric=self.cfg.index.metric)
+            trip = mine_triplets(
+                self.passages, self.doc_ids, cfg, encode_fn=encode_fn, index=index
+            )
+            trip.save(out)
+            self.metrics.log("mined", count=len(trip))
+        self._mark_done("mine")
+        return trip
+
+    def stage_train(self):
+        if self.is_done("train"):
+            return
+        with StageTimer(self.metrics, "train"):
+            trip = Triplets.load(self.workdir / "triplets.jsonl")
+            tcfg = self._train_cfg()
+            trainer = Trainer(tcfg, metrics=self.metrics)
+            batches = triplet_batches(
+                trip, self.tokenizer, tcfg.batch_size, tcfg.encoder.max_len,
+                seed=tcfg.seed,
+            )
+            trainer.fit(batches)
+        self._mark_done("train")
+
+    def stage_encode(self) -> np.ndarray:
+        out = self.workdir / "embeddings.npy"
+        if self.is_done("encode"):
+            return np.load(out)
+        with StageTimer(self.metrics, "encode"):
+            model, params = self._load_params()
+            emb = encode_corpus(
+                model, params, self.tokenizer, self.passages,
+                batch_size=self.cfg.encode_batch,
+            )
+            np.save(out, emb)
+            self.metrics.log("encoded", count=emb.shape[0], dim=emb.shape[1])
+        self._mark_done("encode")
+        return emb
+
+    def stage_build(self):
+        out = self.workdir / "index"
+        if self.is_done("build"):
+            return load_index(out)
+        with StageTimer(self.metrics, "build"):
+            emb = np.load(self.workdir / "embeddings.npy")
+            icfg = self.cfg.index
+            icfg.dim = emb.shape[1]
+            index = build_index(emb, icfg)
+            index.save(out, extra_meta={"config_hash": icfg.config_hash()})
+            self.metrics.log("built", kind=icfg.kind, ntotal=index.ntotal)
+        self._mark_done("build")
+        return load_index(out)
+
+    def stage_eval(self) -> dict:
+        if self.is_done("eval") and (self.workdir / "eval.json").exists():
+            return json.loads((self.workdir / "eval.json").read_text())
+        with StageTimer(self.metrics, "eval"):
+            emb = np.load(self.workdir / "embeddings.npy")
+            index = load_index(self.workdir / "index")
+            nq = min(self.cfg.eval_queries, emb.shape[0])
+            rng = np.random.default_rng(0)
+            qsel = rng.choice(emb.shape[0], nq, replace=False)
+            q = emb[qsel] + 0.01 * rng.normal(size=(nq, emb.shape[1])).astype(np.float32)
+            if self.cfg.index.metric == "ip":
+                q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            k = self.cfg.eval_k
+            _, gt = brute_force_topk(emb, q, k, metric=self.cfg.index.metric)
+            kw = {} if self.cfg.index.kind == "flat" else {"nprobe": self.cfg.index.nprobe}
+            _, found = index.search(q, k, **kw)
+            r = recall_at_k(found, gt)
+            result = {"recall_at_k": r, "k": k, "nq": nq, "kind": self.cfg.index.kind}
+            self.metrics.log("eval", **result)
+            (self.workdir / "eval.json").write_text(json.dumps(result, indent=2))
+            log.info("eval: recall@%d = %.4f", k, r)
+        self._mark_done("eval")
+        return result
+
+    def run(self) -> dict:
+        stages = {
+            "mine": self.stage_mine, "train": self.stage_train,
+            "encode": self.stage_encode, "build": self.stage_build,
+            "eval": self.stage_eval,
+        }
+        result = {}
+        for name in self.cfg.stages:
+            log.info("stage: %s%s", name, " (done, skipping)" if self.is_done(name) else "")
+            out = stages[name]()
+            if name == "eval":
+                result = out
+        return result
+
+
+def run_pipeline(cfg: PipelineConfig, fail_after: str | None = None) -> dict:
+    return Pipeline(cfg, fail_after=fail_after).run()

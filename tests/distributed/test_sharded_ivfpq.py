@@ -1,0 +1,48 @@
+"""Sharded IVF-PQ on the simulated 8-device mesh: recall parity with the
+single-device index (same quantizers, same nprobe semantics per shard)."""
+
+import numpy as np
+
+from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+from cloudvectordb_tpu.index import IVFPQIndex
+from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
+from cloudvectordb_tpu.parallel.mesh import make_mesh
+
+
+def test_sharded_ivfpq_recall_parity():
+    db = clustered_vectors(4000, 32, n_clusters=24, seed=60)
+    q = queries_from(db, 16, seed=61)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    mesh = make_mesh(axis_name="shard")
+    kw = dict(nbits=6, metric="ip", kmeans_iters=6, pq_train_iters=6, seed=3)
+    sharded = ShardedIVFPQIndex.build(db, nlist=16, m=8, mesh=mesh, **kw)
+    assert sharded.ntotal == 4000
+    _, i_sh = sharded.search(q, 10, nprobe=16)
+    r_sh = recall_at_k(i_sh, gt)
+    single = IVFPQIndex.build(db, nlist=16, m=8, **kw)
+    _, i_si = single.search(q, 10, nprobe=16)
+    r_si = recall_at_k(i_si, gt)
+    # same quantizer family; sharded may differ slightly (per-shard k-means
+    # sample) but must stay within noise of the single-device recall
+    assert r_sh >= r_si - 0.05, (r_sh, r_si)
+    assert r_sh >= 0.55
+
+
+def test_sharded_ivfpq_incremental_add():
+    db = clustered_vectors(2400, 16, seed=62)
+    q = queries_from(db, 8, seed=63)
+    mesh = make_mesh(axis_name="shard")
+    idx = ShardedIVFPQIndex.build(
+        db[:1600], nlist=8, m=4, mesh=mesh, nbits=6, metric="ip",
+        kmeans_iters=5, pq_train_iters=5,
+    )
+    idx.add(db[1600:])
+    assert idx.ntotal == 2400
+    _, ids = idx.search(q, 10, nprobe=8)
+    assert ids.max() < 2400 and ids.min() >= 0
+    # late-added rows must be findable: query near an added vector
+    q_late = db[2000:2008]
+    _, ids_late = idx.search(q_late, 1, nprobe=8)
+    _, gt_late = brute_force_topk(db, q_late, 1, metric="ip")
+    assert recall_at_k(ids_late, gt_late) >= 0.5
