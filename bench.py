@@ -47,9 +47,20 @@ def main() -> None:
         return db.astype(jnp.bfloat16), q.astype(jnp.bfloat16)
 
     db, queries = jax.block_until_ready(make_data(jax.random.PRNGKey(0)))
+    # int8 store: the serving configuration (2× MXU rate, 2× less HBM than
+    # bf16). Clip-scale at 4×rms — using the full ±127 range on the bulk of
+    # the distribution instead of stretching to outliers buys ~1.5 bits.
+    dbf = db.astype(jnp.float32)
+    rms = jnp.sqrt(jnp.mean(dbf * dbf))
+    db_scale = float(jnp.minimum(jnp.max(jnp.abs(dbf)), 4.0 * rms) / 127.0)
+    db_i8 = jnp.clip(jnp.round(dbf / db_scale), -127, 127).astype(jnp.int8)
 
     if on_tpu:
-        search = lambda qb: flat_topk_pallas(db, qb, K, metric="ip")  # noqa: E731
+        from cloudvectordb_tpu.ops.pallas_topk import flat_topk_pallas_int8
+
+        search = lambda qb: flat_topk_pallas_int8(  # noqa: E731
+            db_i8, db_scale, qb.astype(jnp.float32), K
+        )
     else:
         search = lambda qb: tiled_topk(db, qb, K)  # noqa: E731
 
@@ -61,23 +72,40 @@ def main() -> None:
         jax.device_get(found), jax.device_get(gt)
     )
 
-    def run_all():
-        outs = [search(queries[s : s + BATCH]) for s in range(0, NQ, BATCH)]
-        jax.block_until_ready(outs)
+    # Timing under the axon tunnel: block_until_ready does NOT block, so the
+    # only true fence is a device_get of a value depending on all timed work.
+    # Dispatch every batch, reduce all results into one scalar, fetch it once,
+    # and subtract the separately-measured fetch RTT.
+    def run_all(iters: int, base: float) -> float:
+        """Dispatch iters passes over all batches; ONE fetch fences it all.
+        Per-iteration noise defeats relay-level result caching."""
+        acc = jnp.float32(0)
+        for it in range(iters):
+            noise = jnp.asarray(base + 1e-4 * it, queries.dtype)
+            for s in range(0, NQ, BATCH):
+                v, _ = search(queries[s : s + BATCH] + noise)
+                acc = acc + jnp.sum(v)
+        return float(acc)  # the fence
 
-    run_all()  # compile + warm
-    run_all()
-    iters = 3
+    run_all(1, 0.0)  # compile + warm + materialize db remotely
+    trivial = jax.jit(lambda x: jnp.sum(x))
+    small = jnp.ones((8, 128))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run_all()
-    dt = time.perf_counter() - t0
+    n_rtt = 5
+    for i in range(n_rtt):
+        float(trivial(small + i))
+    rtt = (time.perf_counter() - t0) / n_rtt
+
+    iters = 4
+    t0 = time.perf_counter()
+    run_all(iters, 0.01)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-6)  # one fetch → one RTT
     qps = NQ * iters / dt
 
     print(
         json.dumps(
             {
-                "metric": f"flat_search_qps_{n}x{D}_k{K}_recall{recall:.3f}",
+                "metric": f"int8_flat_search_qps_{n}x{D}_k{K}_recall{recall:.3f}",
                 "value": round(qps, 1),
                 "unit": "qps/chip",
                 "vs_baseline": round(qps / TARGET_QPS_PER_CHIP, 3),

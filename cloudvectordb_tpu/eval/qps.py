@@ -1,4 +1,12 @@
-"""Query-throughput measurement with block_until_ready fences (SURVEY.md §5.1)."""
+"""Query-throughput measurement (SURVEY.md §5.1).
+
+Fencing: on a directly-attached TPU, ``jax.block_until_ready`` is a correct
+fence. Behind a remote-execution relay (the axon dev tunnel),
+block_until_ready returns immediately — the only true fence is a device_get
+of a scalar that depends on all timed work. ``qps_bench`` therefore reduces
+every batch's scores into one accumulator and fetches it once per iteration,
+subtracting the separately-measured fetch RTT.
+"""
 
 from __future__ import annotations
 
@@ -6,6 +14,18 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+
+def measure_fetch_rtt(iters: int = 5) -> float:
+    """Fixed cost of one device_get round trip."""
+    f = jax.jit(lambda x: jnp.sum(x))
+    small = jnp.ones((8, 128))
+    float(f(small))  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(f(small + i))
+    return (time.perf_counter() - t0) / iters
 
 
 def qps_bench(
@@ -13,30 +33,39 @@ def qps_bench(
     queries,
     *,
     batch: int | None = None,
-    warmup: int = 2,
-    iters: int = 5,
+    warmup: int = 1,
+    iters: int = 3,
+    score_index: int = 0,
 ) -> dict:
-    """Measure steady-state queries/second of a (possibly jitted) search fn.
+    """Measure steady-state queries/second of a device-level search fn.
 
-    ``search_fn(queries_batch)`` must return device arrays; we fence with
-    ``jax.block_until_ready`` so compile time and dispatch pipelining don't
-    flatter the number.
+    ``search_fn(queries_batch)`` must return device arrays (a (scores, ids)
+    tuple by default; ``score_index`` selects the fenced output).
     """
+    queries = jnp.asarray(queries)
     nq = queries.shape[0]
     if batch is None:
         batch = nq
 
-    def run_once():
-        outs = []
+    def run_once(noise: float) -> float:
+        acc = jnp.float32(0)
         for s in range(0, nq, batch):
-            outs.append(search_fn(queries[s : s + batch]))
-        jax.block_until_ready(outs)
+            out = search_fn(queries[s : s + batch] + jnp.asarray(noise, queries.dtype))
+            scores = out[score_index] if isinstance(out, (tuple, list)) else out
+            acc = acc + jnp.sum(scores.astype(jnp.float32))
+        return float(acc)  # device_get: the fence
 
-    for _ in range(warmup):
-        run_once()
+    for w in range(warmup):
+        run_once(0.0)
+    rtt = measure_fetch_rtt()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run_once()
-    dt = time.perf_counter() - t0
+    for i in range(iters):
+        run_once(1e-4 * (i + 1))  # distinct inputs defeat relay result caching
+    dt = max(time.perf_counter() - t0 - rtt * iters, 1e-9)
     qps = nq * iters / dt
-    return {"qps": qps, "latency_ms": 1000.0 * dt / (iters * max(1, nq // batch)), "batch": batch}
+    return {
+        "qps": qps,
+        "latency_ms": 1000.0 * dt / (iters * max(1, nq // batch)),
+        "batch": batch,
+        "fetch_rtt_ms": rtt * 1000.0,
+    }

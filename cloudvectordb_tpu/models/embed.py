@@ -94,8 +94,9 @@ def encode_corpus_streaming(
     """
     encode = make_encode_fn(model, params, mesh)
     if isinstance(passages, list):
+        _items = passages
         passages = (
-            passages[s : s + batch_size] for s in range(0, len(passages), batch_size)
+            _items[s : s + batch_size] for s in range(0, len(_items), batch_size)
         )
     total = 0
     pending = None  # (device_array, n_valid)

@@ -45,9 +45,17 @@ def _bucketed_topk_kernel(
 
     q = q_ref[:]  # (QT, D)
     tile = db_ref[:]  # (T, D)
-    scores = lax.dot_general(
-        q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (QT, T)
+    if q.dtype == jnp.int8:
+        # int8×int8 MXU path (2× bf16 rate). Raw int32 scores merge fine:
+        # per-query ordering is invariant to the positive dequant scale,
+        # which the caller applies to the final top-k values.
+        scores = lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        scores = lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (QT, T)
     if metric == "l2":
         # larger-is-better: 2 q·x - ||x||² (the ||q||² constant is added back
         # by the caller so returned scores are true -||q-x||²).
@@ -168,3 +176,32 @@ def flat_topk_pallas(
         )
         top_v = top_v - q_sqnorm[:, None]
     return top_v, top_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret")
+)
+def flat_topk_pallas_int8(
+    db_i8,
+    db_scale,
+    queries,
+    k: int,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    l_buckets: int = 0,
+    interpret: bool = False,
+):
+    """int8×int8 fused IP scan: 2× MXU rate and 4× less HBM than f32.
+
+    db_i8 (N, D) int8 with symmetric dequant scale ``db_scale``; queries f32
+    are quantized per-query on device. Returned scores are dequantized
+    approximate inner products; ordering fidelity ≈ 8-bit.
+    """
+    q_amax = jnp.maximum(jnp.max(jnp.abs(queries), axis=1, keepdims=True), 1e-12)
+    q_scale = q_amax / 127.0  # (Q, 1)
+    q_i8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+    top_v, top_i = flat_topk_pallas(
+        db_i8, q_i8, k, metric="ip",
+        tile_n=tile_n, tile_q=tile_q, l_buckets=l_buckets, interpret=interpret,
+    )
+    return top_v * (q_scale * db_scale), top_i

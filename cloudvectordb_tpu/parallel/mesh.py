@@ -25,6 +25,36 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis_name,))
 
 
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None) -> int:
+    """Phase-2 multi-slice scale-out over DCN (SURVEY.md §2.3 last row).
+
+    Wraps jax.distributed.initialize; after this, jax.devices() spans all
+    hosts and the same make_mesh/shard_map code runs across slices (XLA
+    routes intra-slice collectives over ICI and inter-slice over DCN).
+    Returns the global device count. No-op when already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return len(jax.devices())
+
+
+def make_2d_mesh(n_replica: int, n_shard: int) -> Mesh:
+    """('replica', 'shard') mesh for multi-slice serving: index rows sharded
+    within a slice (ICI), whole-index replicas across slices (DCN) — query
+    traffic splits across replicas, each query fans out over its slice."""
+    devs = np.array(jax.devices()[: n_replica * n_shard]).reshape(
+        n_replica, n_shard
+    )
+    return Mesh(devs, ("replica", "shard"))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis."""
     return NamedSharding(mesh, P(axis_name))
