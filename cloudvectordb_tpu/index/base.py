@@ -69,8 +69,13 @@ class Index(abc.ABC):
                 "meta": self._state_meta(),
                 **(extra_meta or {}),
             }
+            arrays = self._state_arrays()
+            manifest["arrays"] = sorted(arrays)
             (tmp / MANIFEST).write_text(json.dumps(manifest, indent=2))
-            np.savez(tmp / ARRAYS, **self._state_arrays())
+            # one .npy per array (not npz): load_arrays can memory-map GB-scale
+            # payloads for staged host→HBM upload (SURVEY.md §2.2 persistence)
+            for name, arr in arrays.items():
+                np.save(tmp / f"{name}.npy", np.asarray(arr))
             if path.exists():
                 import shutil
 
@@ -85,3 +90,17 @@ class Index(abc.ABC):
     @staticmethod
     def read_manifest(path: str | Path) -> dict:
         return json.loads((Path(path) / MANIFEST).read_text())
+
+    @staticmethod
+    def load_arrays(path: str | Path, mmap: bool = True) -> dict:
+        """Load saved arrays; mmap=True maps large payloads lazily so a
+        100M-vector index streams host→HBM without a full host copy."""
+        path = Path(path)
+        manifest = Index.read_manifest(path)
+        mode = "r" if mmap else None
+        out = {}
+        for name in manifest.get("arrays", []):
+            out[name] = np.load(path / f"{name}.npy", mmap_mode=mode)
+        if not out and (path / ARRAYS).exists():  # legacy npz fallback
+            out = dict(np.load(path / ARRAYS))
+        return out

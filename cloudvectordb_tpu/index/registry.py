@@ -6,13 +6,19 @@ from pathlib import Path
 
 import numpy as np
 
-from cloudvectordb_tpu.index.base import ARRAYS, Index
+from cloudvectordb_tpu.index.base import Index
 from cloudvectordb_tpu.index.flat import FlatIndex
+from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
 from cloudvectordb_tpu.index.ivf_flat import IVFFlatIndex
 from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex
 from cloudvectordb_tpu.utils.config import IndexConfig
 
-_KINDS = {"flat": FlatIndex, "ivf_flat": IVFFlatIndex, "ivf_pq": IVFPQIndex}
+_KINDS = {
+    "flat": FlatIndex,
+    "ivf_flat": IVFFlatIndex,
+    "ivf_pq": IVFPQIndex,
+    "band_ivf": BandIVFIndex,
+}
 
 
 def build_index(vectors, cfg: IndexConfig) -> Index:
@@ -21,6 +27,12 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
     if cfg.kind == "flat":
         return FlatIndex.build(vectors, metric=cfg.metric, dtype=cfg.dtype)
     nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
+    if cfg.kind == "band_ivf":
+        return BandIVFIndex.build(
+            vectors, nlist, train_sample=cfg.train_sample,
+            dtype=cfg.dtype if cfg.dtype != "float32" else "int8",
+            kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
+        )
     if cfg.kind == "ivf_flat":
         return IVFFlatIndex.build(
             vectors, nlist, metric=cfg.metric, train_sample=cfg.train_sample,
@@ -45,8 +57,8 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
     raise ValueError(f"unknown index kind {cfg.kind!r}")
 
 
-def load_index(path: str | Path) -> Index:
+def load_index(path: str | Path, mmap: bool = True) -> Index:
     manifest = Index.read_manifest(path)
-    arrays = dict(np.load(Path(path) / ARRAYS, allow_pickle=False))
+    arrays = Index.load_arrays(path, mmap=mmap)
     cls = _KINDS[manifest["kind"]]
     return cls._from_state(manifest, arrays)

@@ -1,0 +1,303 @@
+"""Band-pruned IVF scan — the TPU-native answer to per-query list probing.
+
+Problem (SURVEY.md §7.3 items 2-3): classic IVF search gathers each query's
+nprobe lists — random gathers and dynamic shapes, both TPU-hostile. At large
+batch the union of probed lists approaches the whole index, so *IO* can't be
+pruned — but *compute* can, if queries that probe the same lists are scored
+against the same tiles.
+
+Scheme:
+  1. (build time) Relabel coarse centroids along a 1-D locality order
+     (projection onto their top principal component): queries then probe
+     lists whose NEW ids are contiguous-ish.
+  2. (query time, XLA) coarse top-nprobe per query → per-query id band
+     [min probed, max probed]; sort queries by band center; tile queries.
+     Each query tile's band = union of its queries' bands → an arena row
+     range → a contiguous range of fixed-size arena tiles.
+  3. (kernel) grid (query_tile, band_tile); the scalar-prefetched band-start
+     table drives the DB BlockSpec index_map, so each query tile streams ONLY
+     its band. Short bands clamp to their last tile (idempotent bucketed-max
+     merge makes duplicate tiles harmless).
+
+Scoring a band is a *superset* of the probed lists, so recall ≥ classic IVF
+at equal nprobe. Compute per query ≈ band_fraction × full scan; with locality
+ordering the band is a few× nprobe/nlist, giving a 10–50× prune with zero
+gathers and fully static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def order_centroids(centroids: np.ndarray) -> np.ndarray:
+    """Permutation ordering centroids along their top principal component."""
+    c = np.asarray(centroids, np.float64)
+    c = c - c.mean(axis=0, keepdims=True)
+    # power iteration: top PC without a full SVD
+    v = np.random.default_rng(0).normal(size=c.shape[1])
+    for _ in range(50):
+        v = c.T @ (c @ v)
+        v /= np.linalg.norm(v) + 1e-30
+    proj = c @ v
+    return np.argsort(proj)
+
+
+def _band_kernel(
+    band_start_ref,  # scalar prefetch: (n_qt,) first arena tile of each band
+    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, n, l_buckets, int8
+):
+    j = pl.program_id(1)  # band-tile step
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        val_sc[:] = jnp.full_like(val_sc, NEG_INF)
+        idx_sc[:] = jnp.zeros_like(idx_sc)
+
+    q = q_ref[:]
+    tile = db_ref[:]
+    if int8:
+        scores = lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        scores = lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    tile_sz = scores.shape[1]
+    qt = pl.program_id(0)
+    at = band_start_ref[qt] + j  # actual arena tile this step loaded
+    rows_per_bucket = tile_sz // l_buckets
+    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+    base = at * tile_sz
+    g_idx = (
+        base
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    )
+    s3 = jnp.where(g_idx < n, s3, NEG_INF)
+    mx = jnp.max(s3, axis=1)
+    is_max = s3 >= mx[:, None, :]
+    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+    better = mx > val_sc[:]
+    val_sc[:] = jnp.where(better, mx, val_sc[:])
+    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+
+    @pl.when(j == n_j - 1)
+    def _emit():
+        out_v_ref[:] = val_sc[:]
+        out_i_ref[:] = idx_sc[:]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tiles_kernel(
+    tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile id per grid step
+    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, n, l_buckets, int8
+):
+    """Like _band_kernel but each query tile scans an ARBITRARY tile set
+    (no contiguity needed — 1-D id locality does not exist in high-dim
+    space, so bands degenerate; an explicit table doesn't)."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        val_sc[:] = jnp.full_like(val_sc, NEG_INF)
+        idx_sc[:] = jnp.zeros_like(idx_sc)
+
+    q = q_ref[:]
+    tile = db_ref[:]
+    if int8:
+        scores = lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        scores = lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    tile_sz = scores.shape[1]
+    qt = pl.program_id(0)
+    at = tile_table_ref[qt, j]
+    rows_per_bucket = tile_sz // l_buckets
+    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+    base = at * tile_sz
+    g_idx = (
+        base
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    )
+    s3 = jnp.where(g_idx < n, s3, NEG_INF)
+    mx = jnp.max(s3, axis=1)
+    is_max = s3 >= mx[:, None, :]
+    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+    better = mx > val_sc[:]
+    val_sc[:] = jnp.where(better, mx, val_sc[:])
+    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+
+    @pl.when(j == n_j - 1)
+    def _emit():
+        out_v_ref[:] = val_sc[:]
+        out_i_ref[:] = idx_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "int8", "interpret"),
+)
+def tiles_topk_pallas(
+    db,
+    queries_sorted,
+    tile_table,  # (n_qt, P) i32 arena-tile ids (duplicates/repeats harmless)
+    k: int,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    l_buckets: int = 0,
+    int8: bool = False,
+    interpret: bool = False,
+):
+    """Top-k over per-query-tile selected arena tiles. Same contract as
+    band_topk_pallas but driven by an explicit tile table."""
+    n, d = db.shape
+    nq = queries_sorted.shape[0]
+    assert n % tile_n == 0 and nq % tile_q == 0
+    if d % 128:
+        d_pad = _ceil_to(d, 128)
+        db = jnp.zeros((n, d_pad), db.dtype).at[:, :d].set(db)
+        queries_sorted = (
+            jnp.zeros((nq, d_pad), queries_sorted.dtype).at[:, :d].set(queries_sorted)
+        )
+        d = d_pad
+    if l_buckets == 0:
+        l_buckets = max(512, _ceil_to(8 * k, 128))
+    l_buckets = min(l_buckets, tile_n)
+    assert tile_n % l_buckets == 0
+    n_qt = nq // tile_q
+    p = tile_table.shape[1]
+    assert tile_table.shape[0] == n_qt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_qt, p),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda i, j, tt: (tt[i, j], 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_tiles_kernel, n=n, l_buckets=l_buckets, int8=int8)
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_table.astype(jnp.int32), queries_sorted, db)
+
+    top_v, pos = lax.top_k(out_v, min(k, l_buckets))
+    top_i = jnp.take_along_axis(out_i, pos, axis=1)
+    return top_v, top_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "band_tiles", "int8", "interpret"),
+)
+def band_topk_pallas(
+    db,
+    queries_sorted,
+    band_start,  # (n_qt,) i32: first arena tile of each query tile's band
+    k: int,
+    band_tiles: int,  # static max tiles per band (short bands clamp)
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    l_buckets: int = 0,
+    int8: bool = False,
+    interpret: bool = False,
+):
+    """Scores (Q, k) + arena-row ids (Q, k) for pre-sorted, pre-padded inputs.
+
+    db (N_pad, D) with N_pad % tile_n == 0; queries_sorted (Q_pad, D) with
+    Q_pad % tile_q == 0 — caller handles sorting/padding (see index layer).
+    ``band_start[qt] + band_tiles`` may exceed the arena: caller must clamp
+    band_start to n_tiles - band_tiles.
+    """
+    n, d = db.shape
+    nq = queries_sorted.shape[0]
+    assert n % tile_n == 0 and nq % tile_q == 0
+    if d % 128:  # zero-pad the feature axis (IP unchanged); D=768 is a no-op
+        d_pad = _ceil_to(d, 128)
+        db = jnp.zeros((n, d_pad), db.dtype).at[:, :d].set(db)
+        queries_sorted = (
+            jnp.zeros((nq, d_pad), queries_sorted.dtype).at[:, :d].set(queries_sorted)
+        )
+        d = d_pad
+    if l_buckets == 0:
+        l_buckets = max(512, _ceil_to(8 * k, 128))
+    l_buckets = min(l_buckets, tile_n)
+    assert tile_n % l_buckets == 0
+    n_qt = nq // tile_q
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_qt, band_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j, bs: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda i, j, bs: (bs[i] + j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, bs: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, bs: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _band_kernel, n=n, l_buckets=l_buckets, int8=int8
+    )
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(band_start, queries_sorted, db)
+
+    top_v, pos = lax.top_k(out_v, min(k, l_buckets))
+    top_i = jnp.take_along_axis(out_i, pos, axis=1)
+    return top_v, top_i

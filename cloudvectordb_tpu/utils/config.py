@@ -109,7 +109,7 @@ class TrainConfig(_ConfigBase):
 class IndexConfig(_ConfigBase):
     """Index-and-query engine config (SURVEY.md §2.2)."""
 
-    kind: str = "ivf_pq"           # flat | ivf_flat | ivf_pq
+    kind: str = "ivf_pq"           # flat | ivf_flat | ivf_pq | band_ivf
     metric: str = "ip"             # ip | l2  (ip on L2-normalized vectors ≡ cosine)
     dim: int = 384
     nlist: int = 4096              # coarse centroids (BASELINE config #2)

@@ -1,0 +1,83 @@
+"""On-chip encoder throughput: flagship MiniLM-class config, fwd-only encode
+and full train step — feeds the BASELINE "<1h build from raw text" budget.
+
+Data generated on device; fencing via device_get (axon tunnel semantics).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from cloudvectordb_tpu.models.encoder import init_encoder
+    from cloudvectordb_tpu.utils.config import EncoderConfig, TrainConfig
+    from cloudvectordb_tpu.train.trainer import Trainer
+    from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
+
+    cfg = EncoderConfig(max_len=128)  # 384-d, 6 layers, 30522 vocab
+    model, params = init_encoder(cfg, seed=0)
+    B = 512
+
+    fwd = jax.jit(lambda p, i, m: model.apply({"params": p}, i, m, True))
+
+    @jax.jit
+    def mkbatch(key):
+        ids = jax.random.randint(key, (B, cfg.max_len), 0, cfg.vocab_size)
+        return ids, jnp.ones_like(ids)
+
+    rtt = measure_fetch_rtt()
+    keys = [jax.random.PRNGKey(i) for i in range(8)]
+    batches = [mkbatch(k) for k in keys]
+    float(jnp.sum(fwd(params, *batches[0])))  # compile
+    iters = 6
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for i in range(iters):
+        acc = acc + jnp.sum(fwd(params, *batches[i % 8]))
+    float(acc)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    enc_ps = B * iters / dt
+    print(f"encode fwd (B={B}, L={cfg.max_len}): {enc_ps:,.0f} passages/s/chip", flush=True)
+    print(f"  → 1M wiki passages in {1e6/enc_ps:,.0f} s/chip; "
+          f"100M on v5e-8 in {1e8/(8*enc_ps)/60:,.1f} min", flush=True)
+
+    # full train step (anchor+pos+neg stacked = 3B fwd + bwd)
+    tcfg = TrainConfig(encoder=cfg, batch_size=128, total_steps=1)
+    trainer = Trainer(tcfg)
+    state = trainer.init_state()
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    def mk_train(i):
+        b = tcfg.batch_size
+        r = lambda: rng.integers(0, cfg.vocab_size, (b, cfg.max_len)).astype(np.int32)  # noqa: E731
+        ones = np.ones((b, cfg.max_len), np.int32)
+        return {
+            "anchor_ids": r(), "anchor_mask": ones,
+            "pos_ids": r(), "pos_mask": ones,
+            "neg_ids": r(), "neg_mask": ones,
+        }
+    step = trainer.step_fn
+    state, m = step(state, trainer.place_batch(mk_train(0)))  # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 4
+    for i in range(iters):
+        state, m = step(state, trainer.place_batch(mk_train(i + 1)))
+    float(m["loss"])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    print(
+        f"train step (B={tcfg.batch_size} triplets, L={cfg.max_len}): "
+        f"{tcfg.batch_size*iters/dt:,.0f} triplets/s/chip "
+        f"({dt/iters*1000:.0f} ms/step)", flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,20 +43,27 @@ def main():
     db, q = mk(jax.random.PRNGKey(0))
     _, gt = tiled_topk(db, q, K, tile=8192)
     gt = jax.device_get(gt)
-    print("data + ground truth ready")
+    print("data + ground truth ready", flush=True)
 
-    # ---- build (all on device) ----
+    # ---- build (all on device, chunked to fit 16 GB HBM) ----
     t0 = time.perf_counter()
     sample = db[:262_144]
     centroids, _ = train_kmeans(sample, NLIST, iters=10, tile=8192)
     assign, _ = assign_clusters(db, centroids, tile=8192)
-    resid = db - centroids[assign]
-    codebooks = train_pq(resid[:262_144], M, 8, iters=6)
-    codes = pq_encode(resid, codebooks)
+    resid0 = sample - centroids[assign[:262_144]]
+    codebooks = train_pq(resid0, M, 8, iters=6)
+    del resid0
+    CH = 250_000
+    code_chunks = []
+    for s in range(0, N, CH):
+        r = db[s : s + CH] - centroids[assign[s : s + CH]]
+        code_chunks.append(pq_encode(r, codebooks))
+    codes = jnp.concatenate(code_chunks)
+    del code_chunks
     # fence build
     float(jnp.sum(codes[:8].astype(jnp.float32))) + float(jnp.sum(centroids[0]))
     t_build = time.perf_counter() - t0
-    print(f"build (kmeans+assign+pq+encode) on device: {t_build:.1f} s for {N} vecs")
+    print(f"build (kmeans+assign+pq+encode) on device: {t_build:.1f} s for {N} vecs", flush=True)
 
     # ---- arena on host (sort by list) ----
     t0 = time.perf_counter()
@@ -69,7 +76,7 @@ def main():
     offsets = np.concatenate([[0], np.cumsum(counts)])[:-1].astype(np.int32)
     lens = counts.astype(np.int32)
     cap = int(lens.max())
-    print(f"arena sort (host): {time.perf_counter() - t0:.1f} s, cap={cap}")
+    print(f"arena sort (host): {time.perf_counter() - t0:.1f} s, cap={cap}", flush=True)
 
     arena_d = jnp.asarray(arena)
     ids_d = jnp.asarray(ids)
@@ -79,7 +86,7 @@ def main():
     cent_d = centroids
 
     rtt = measure_fetch_rtt()
-    print(f"fetch rtt {rtt*1000:.0f} ms")
+    print(f"fetch rtt {rtt*1000:.0f} ms", flush=True)
     for nprobe in (8, 16, 32):
         def run(noise):
             v, i = _ivfpq_scan_search(

@@ -1,0 +1,78 @@
+"""Band-pruned IVF: recall vs oracle, nprobe behavior, save/load (interpret)."""
+
+import numpy as np
+import pytest
+
+from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
+from cloudvectordb_tpu.ops.pallas_band import order_centroids
+
+
+@pytest.fixture(scope="module")
+def data():
+    db = clustered_vectors(4000, 64, n_clusters=32, seed=90, normalize=True)
+    q = queries_from(db, 48, seed=91, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    return db, q, gt
+
+
+def test_order_centroids_is_permutation():
+    c = clustered_vectors(64, 16, seed=92)
+    p = order_centroids(c)
+    assert sorted(p.tolist()) == list(range(64))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_band_full_probe_near_exact(data, dtype):
+    db, q, gt = data
+    idx = BandIVFIndex.build(
+        db, nlist=16, dtype=dtype, kmeans_iters=6, tile_n=512, tile_q=16
+    )
+    _, found = idx.search(q, 10, nprobe=16, interpret=True)
+    r = recall_at_k(found, gt)
+    # full probe → full scan; loss only from bucketed merge (+int8 quant)
+    floor = 0.9 if dtype == "float32" else 0.85
+    assert r >= floor, r
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_tiles_strategy_recall(data, dtype):
+    db, q, gt = data
+    idx = BandIVFIndex.build(
+        db, nlist=32, dtype=dtype, kmeans_iters=6, tile_n=256, tile_q=16
+    )
+    # all tiles selected → equals full scan (merge/quant-limited)
+    _, found = idx.search(q, 10, interpret=True, strategy="tiles",
+                          p_tiles=idx._payload.shape[0] // idx.tile_n)
+    r_full = recall_at_k(found, gt)
+    floor = 0.9 if dtype == "float32" else 0.85
+    assert r_full >= floor, r_full
+    # pruned tile set still recalls well on clustered data
+    _, found_p = idx.search(q, 10, nprobe=8, interpret=True, strategy="tiles")
+    r_p = recall_at_k(found_p, gt)
+    assert r_p >= r_full - 0.15, (r_p, r_full)
+
+
+def test_band_partial_probe_prunes_but_recalls(data):
+    db, q, gt = data
+    idx = BandIVFIndex.build(
+        db, nlist=32, dtype="float32", kmeans_iters=6, tile_n=256, tile_q=16
+    )
+    _, found = idx.search(q, 10, nprobe=8, interpret=True)
+    r8 = recall_at_k(found, gt)
+    assert r8 >= 0.7, r8
+
+
+def test_band_save_load(tmp_path, data):
+    db, q, _ = data
+    idx = BandIVFIndex.build(db, nlist=16, dtype="int8", kmeans_iters=5,
+                             tile_n=512, tile_q=16)
+    v1, i1 = idx.search(q, 5, nprobe=16, interpret=True)
+    idx.save(tmp_path / "band")
+    from cloudvectordb_tpu.index import load_index
+
+    idx2 = load_index(tmp_path / "band")
+    v2, i2 = idx2.search(q, 5, nprobe=16, interpret=True)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
