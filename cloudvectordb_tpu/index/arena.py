@@ -38,12 +38,16 @@ class ListArena:
         return int(self.list_lens.max()) if self.size else 0
 
     def rebuild(self, payload: np.ndarray, ids: np.ndarray, assignments: np.ndarray):
-        """Replace contents with rows sorted by list assignment (stable)."""
-        order = np.argsort(assignments, kind="stable")
-        self.payload = np.ascontiguousarray(payload[order])
-        self.ids = np.ascontiguousarray(ids[order])
-        counts = np.bincount(assignments, minlength=self.nlist)
-        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        """Replace contents with rows sorted by list assignment (stable).
+
+        Uses the native parallel counting sort (utils/native.py) — at 100M+
+        rows this is the host-side build bottleneck."""
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
+        order, offsets = arena_sort(np.asarray(assignments), self.nlist)
+        self.payload = gather_rows(np.asarray(payload), order)
+        self.ids = np.asarray(ids)[order]
+        self.offsets = offsets
 
     def merge(self, payload: np.ndarray, ids: np.ndarray, assignments: np.ndarray):
         """Merge new rows in (single re-sort of the union)."""

@@ -55,7 +55,7 @@ def main():
     st = idx._device_state()
     qj = jnp.asarray(q)  # resident on device: exclude tunnel upload from QPS
     print(f"n_tiles={n_tiles}", flush=True)
-    for p_tiles in (16, 32, 64, 128, n_tiles):
+    for p_tiles in (16, 32, 64):
         def run(noise):
             v, g = _tiles_plan_search(
                 qj + noise, st["centroids"], st["payload"], st["ids"],

@@ -87,7 +87,7 @@ def main():
 
     rtt = measure_fetch_rtt()
     print(f"fetch rtt {rtt*1000:.0f} ms", flush=True)
-    for nprobe in (8, 16, 32):
+    for nprobe in (16,):
         def run(noise):
             v, i = _ivfpq_scan_search(
                 q + noise, cent_d, arena_d, ids_d, off_d, lens_d, cb_d,
