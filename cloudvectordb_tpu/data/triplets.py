@@ -120,6 +120,65 @@ def mine_triplets(
     return Triplets(anchors, positives, negatives)
 
 
+def load_pairs(path, query_field: str = "query", positive_field: str = "positive"):
+    """JSONL (query, positive) pairs — the MS-MARCO-style supervision format
+    (BASELINE config #3). Returns (queries, positives) lists."""
+    import json
+
+    qs, ps = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            qs.append(rec[query_field])
+            ps.append(rec[positive_field])
+    return qs, ps
+
+
+def mine_triplets_from_pairs(
+    queries: list[str],
+    positives: list[str],
+    cfg: MiningConfig,
+    encode_fn: Callable[[list[str]], np.ndarray] | None = None,
+    index=None,
+) -> Triplets:
+    """Supervised mining from (query, positive) pairs: anchors are queries,
+    negatives are random other positives ('inbatch') or retrieval near-misses
+    from an index over the positives pool ('hard')."""
+    assert len(queries) == len(positives)
+    rng = np.random.default_rng(cfg.seed)
+    n = len(queries)
+    count = min(cfg.num_triplets, n) if cfg.num_triplets else n
+    picks = rng.choice(n, size=count, replace=count > n)
+    anchors, pos_out, neg_out = [], [], []
+    hard_neg = None
+    if cfg.strategy == "hard":
+        if encode_fn is None or index is None:
+            raise ValueError("hard mining needs encode_fn and a built index")
+        hard_neg = np.zeros(count, np.int64)
+        bs = 512
+        for s in range(0, count, bs):
+            batch_idx = picks[s : s + bs]
+            qv = encode_fn([queries[i] for i in batch_idx])
+            _, ids = index.search(qv, cfg.hard_topk)
+            for r, qi in enumerate(batch_idx):
+                cand = [int(c) for c in ids[r][cfg.hard_skip :] if int(c) != qi]
+                hard_neg[s + r] = rng.choice(cand) if cand else rng.integers(0, n)
+    for t, i in enumerate(picks):
+        if hard_neg is not None:
+            j = int(hard_neg[t])
+        else:
+            j = int(rng.integers(0, n))
+            while j == i and n > 1:
+                j = int(rng.integers(0, n))
+        anchors.append(queries[i])
+        pos_out.append(positives[i])
+        neg_out.append(positives[j])
+    return Triplets(anchors, pos_out, neg_out)
+
+
 def triplet_batches(
     triplets: Triplets,
     tokenizer,

@@ -212,13 +212,15 @@ class BandIVFIndex(Index):
             )
         return self._dev
 
-    def search(self, queries, k: int, nprobe: int = 32, interpret: bool = False,
+    def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                strategy: str = "tiles", p_tiles: int = 0):
         """strategy='tiles' (default): device-planned query-clustered tile
         probing — one dispatch, compute ∝ p_tiles/n_tiles of a full scan.
         strategy='band': contiguous-band variant (kept for comparison; 1-D id
         locality is weak in high dimensions, so bands prune poorly)."""
         assert self._n, "empty index"
+        if interpret is None:  # Mosaic only exists on TPU; interpret elsewhere
+            interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
         if strategy == "tiles":
             return self._search_tiles(queries, k, nprobe, p_tiles, interpret)

@@ -14,5 +14,13 @@ matmuls (MXU) into VMEM-resident bf16 tiles and scored with a plain matmul
 against the query block, amortizing decode cost over the query batch.
 """
 
+import functools
+
 from cloudvectordb_tpu.ops.topk import tiled_topk, merge_topk  # noqa: F401
 from cloudvectordb_tpu.ops.assign import assign_clusters  # noqa: F401
+from cloudvectordb_tpu.ops.adc import adc_scan  # noqa: F401
+
+# SURVEY.md §1.2 L0 public interface names
+topk_ip = functools.partial(tiled_topk, metric="ip")
+topk_l2 = functools.partial(tiled_topk, metric="l2")
+assign_centroids = assign_clusters
