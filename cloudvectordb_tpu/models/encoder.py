@@ -86,8 +86,11 @@ class Encoder(nn.Module):
         x = nn.LayerNorm(dtype=dtype, name="emb_ln")(tok + pos)
         x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
         mask = attention_mask.astype(bool)
+        # remat: recompute layer activations in the backward pass — frees HBM
+        # for bigger contrastive batches (in-batch negatives scale with B)
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) if c.remat else EncoderLayer
         for layer in range(c.num_layers):
-            x = EncoderLayer(c, dtype, name=f"layer_{layer}")(x, mask, deterministic)
+            x = layer_cls(c, dtype, name=f"layer_{layer}")(x, mask, deterministic)
         if c.pooling == "cls":
             pooled = x[:, 0, :]
         else:  # masked mean pooling

@@ -100,9 +100,14 @@ class Pipeline:
         return self._tokenizer
 
     def _train_cfg(self):
-        """cfg.train with encoder vocab clamped to the actual tokenizer —
-        the single definition used by training AND checkpoint restore."""
+        """cfg.train with the preset resolved and encoder vocab clamped to
+        the actual tokenizer — the single definition used by training AND
+        checkpoint restore."""
         tcfg = self.cfg.train
+        if tcfg.encoder_preset:
+            from cloudvectordb_tpu.models.presets import get_preset
+
+            tcfg.encoder = get_preset(tcfg.encoder_preset)
         tcfg.encoder.vocab_size = max(self.tokenizer.vocab_size, 8)
         return tcfg
 

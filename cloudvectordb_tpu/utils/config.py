@@ -81,6 +81,7 @@ class EncoderConfig(_ConfigBase):
     normalize: bool = True         # L2-normalize sentence embeddings
     dtype: str = "bfloat16"        # activation dtype on TPU (params stay f32)
     out_dim: int = 0               # 0 → hidden_dim; else linear projection head
+    remat: bool = False            # rematerialize layers (trade FLOPs for HBM)
 
 
 @dataclass
@@ -88,6 +89,7 @@ class TrainConfig(_ConfigBase):
     """Contrastive training (SURVEY.md §2.1 Trainer)."""
 
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    encoder_preset: str = ""       # named preset (models/presets.py) overrides encoder
     loss: str = "infonce"          # infonce | triplet
     temperature: float = 0.05     # InfoNCE temperature
     margin: float = 0.5            # triplet margin
