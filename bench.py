@@ -39,10 +39,10 @@ def main() -> None:
         centers = jax.random.normal(kc, (256, D), jnp.float32)
         centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
         assign = jax.random.randint(ka, (n,), 0, 256)
-        db = centers[assign] + 0.15 * jax.random.normal(kn, (n, D), jnp.float32)
+        db = centers[assign] +  (0.3 / (D ** 0.5)) * jax.random.normal(kn, (n, D), jnp.float32)
         db /= jnp.linalg.norm(db, axis=1, keepdims=True)
         qsel = jax.random.randint(kq, (NQ,), 0, n)
-        q = db[qsel] + 0.05 * jax.random.normal(kqn, (NQ, D), jnp.float32)
+        q = db[qsel] + (0.1 / (D ** 0.5)) * jax.random.normal(kqn, (NQ, D), jnp.float32)
         q /= jnp.linalg.norm(q, axis=1, keepdims=True)
         return db.astype(jnp.bfloat16), q.astype(jnp.bfloat16)
 

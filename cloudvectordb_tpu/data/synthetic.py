@@ -19,19 +19,21 @@ def clustered_vectors(
     n_clusters: int = 64,
     seed: int = 0,
     dtype=np.float32,
-    cluster_std: float = 0.15,
+    cluster_std: float = 0.6,
     normalize: bool = False,
 ) -> np.ndarray:
     """N vectors drawn from a mixture of Gaussians — realistic IVF workload.
 
-    Cluster structure matters: uniform random vectors make IVF recall trivially
-    high (every list looks alike), hiding bugs in nprobe routing.
+    ``cluster_std`` is the noise NORM relative to the unit-norm centers
+    (dimension-independent): the per-dim std is cluster_std/√dim. A raw
+    per-dim std of 0.15 at 768-d would give noise of norm ~4 — essentially
+    uniform on the sphere, where IVF recall is inherently meaningless.
     """
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_clusters, dim)).astype(np.float64)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=n)
-    x = centers[assign] + cluster_std * rng.normal(size=(n, dim))
+    x = centers[assign] + (cluster_std / np.sqrt(dim)) * rng.normal(size=(n, dim))
     x = x.astype(dtype)
     if normalize:
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -39,12 +41,14 @@ def clustered_vectors(
 
 
 def queries_from(
-    base: np.ndarray, nq: int, seed: int = 1, noise: float = 0.05, normalize: bool = False
+    base: np.ndarray, nq: int, seed: int = 1, noise: float = 0.25, normalize: bool = False
 ) -> np.ndarray:
-    """Queries near existing DB vectors — exercises recall where it's nontrivial."""
+    """Queries near existing DB vectors — exercises recall where it's
+    nontrivial. ``noise`` is the perturbation norm (dimension-independent)."""
     rng = np.random.default_rng(seed)
+    d = base.shape[1]
     idx = rng.integers(0, base.shape[0], size=nq)
-    q = base[idx] + noise * rng.normal(size=(nq, base.shape[1])).astype(base.dtype)
+    q = base[idx] + (noise / np.sqrt(d)) * rng.normal(size=(nq, d)).astype(base.dtype)
     q = q.astype(base.dtype)
     if normalize:
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)

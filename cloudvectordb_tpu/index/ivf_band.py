@@ -42,9 +42,13 @@ def _tiles_plan_search(
     """
     b = q.shape[0]
     n_qt = b // tile_q
-    coarse = jax.lax.dot_general(
+    dots = jax.lax.dot_general(
         q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (B, nlist)
+    # rank centroids by L2 (the assignment metric): IP ranking mis-probes
+    # when centroid norms vary. ||q-c||² ∝ -2q·c + ||c||² for unit queries.
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+    coarse = dots - 0.5 * c_sq[None, :]
     # group similar queries: sort by best coarse centroid id so query tiles
     # share probe sets (tile-level selection approximates the union well)
     top1 = jnp.argmax(coarse, axis=1)
@@ -252,10 +256,10 @@ class BandIVFIndex(Index):
         nprobe = min(nprobe, self.nlist)
         st = self._device_state()
 
-        # coarse probe (tiny) — on device, fetched to plan bands on host
+        # coarse probe (tiny) — L2 ranking matches the assignment metric
         _, probed = tiled_topk(
             jnp.asarray(self.centroids), jnp.asarray(queries), nprobe,
-            metric="ip", tile=min(8192, self.nlist),
+            metric="l2", tile=min(8192, self.nlist),
         )
         probed = np.asarray(probed)
         lo = probed.min(axis=1)

@@ -34,10 +34,11 @@ def _ivf_scan_search(q, centroids, vecs, ids, offsets, lens, n_valid, *, k, npro
     Returns (scores (B, k) f32, ids (B, k) i32).
     """
     bq = q.shape[0]
-    # coarse probe: IP probes by IP, L2 by L2 (matching the build assignment
-    # metric for L2; identical for normalized vectors).
+    # coarse probe always ranks by L2 — the metric that ASSIGNED vectors to
+    # lists. IP-ranked probing mis-probes when centroid norms vary (the exact
+    # scores of scanned candidates still use the index metric below).
     _, probe_lists = tiled_topk(
-        centroids, q, nprobe, metric=metric, tile=min(8192, centroids.shape[0])
+        centroids, q, nprobe, metric="l2", tile=min(8192, centroids.shape[0])
     )  # (B, nprobe)
     starts = offsets[probe_lists]  # (B, nprobe)
     ll = lens[probe_lists]

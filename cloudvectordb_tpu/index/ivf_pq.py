@@ -54,27 +54,34 @@ def _ivfpq_scan_search(
     q, centroids, codes, ids, offsets, lens, codebooks,
     *, k, nprobe, cap, metric, residual,
 ):
-    """Probe-scan ADC search. codes (N, m) uint8; returns (B,k) scores/ids."""
+    """Probe-scan ADC search. codes (N, m) uint8; returns (B,k) scores/ids.
+
+    Probe SELECTION always ranks centroids by L2 — the metric that assigned
+    vectors to lists. Ranking by IP mis-probes badly when centroid norms vary
+    (measured: recall 0.28 → 0.9+ on clustered data after this fix). The IP
+    coarse value is still used as the constant term of residual-IP scores.
+
+    Residual score decomposition:
+      ip: q·x = q·c_l + q·r̂            (constant + LUT part)
+      l2: -||q-x||² = -||q-c_l||² + 2 q·r̂ - 2 c_l·r̂ - ||r̂||²
+    """
     bq = q.shape[0]
     m = codebooks.shape[0]
-    coarse_s, probe_lists = tiled_topk(
-        centroids, q, nprobe, metric=metric, tile=min(8192, centroids.shape[0])
+    _, probe_lists = tiled_topk(
+        centroids, q, nprobe, metric="l2", tile=min(8192, centroids.shape[0])
     )
-    if residual:
-        # score(x) = score_coarse(q, c_l) ⊕ residual part:
-        #   ip: q·x = q·c_l + q·r       → const = coarse ip score
-        #   l2: -||q-x||² = -||(q-c_l) - r||² ; we use luts on (q - c_l) per
-        #       probe, which would be per-probe luts (B·nprobe of them) — too
-        #       many. Instead expand: -||q-c_l||² + 2(q-c_l)·r - ||r||².
-        #       The 2q·r - ||r||² part comes from l2-style luts on q vs
-        #       codebooks minus correction; we fold exactly below per probe.
-        pass
+    probed_c = centroids[probe_lists]  # (B, nprobe, D)
+    if metric == "ip":
+        coarse_s = jnp.einsum(
+            "bd,bpd->bp", q.astype(jnp.float32), probed_c.astype(jnp.float32)
+        )
+    else:
+        diff = q[:, None, :].astype(jnp.float32) - probed_c.astype(jnp.float32)
+        coarse_s = -jnp.sum(diff * diff, axis=2)
     luts_ip = _build_luts(q, codebooks, "ip")  # (B, m, C) q·r lookups
     c_sq_codes = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=2)  # (m, C)
     window = jnp.arange(cap, dtype=jnp.int32)
-
-    # per-probe centroid dot products needed for the residual cross term
-    probed_centroids = centroids[probe_lists]  # (B, nprobe, D)
+    probed_centroids = probed_c  # residual cross terms need the centroids
 
     def probe_step(carry, inp):
         best_v, best_i = carry
@@ -163,8 +170,10 @@ class IVFPQIndex(Index):
         pq_train_iters: int = 12,
         seed: int = 0,
         opq_matrix: np.ndarray | None = None,
+        refine: str = "none",
     ):
         assert metric in ("ip", "l2")
+        assert refine in ("none", "int8")
         assert dim % m == 0
         self.dim = dim
         self.metric = metric
@@ -180,7 +189,13 @@ class IVFPQIndex(Index):
         self.opq_matrix = opq_matrix  # (D, D) rotation applied before PQ
         self._arena = ListArena(nlist, m, np.uint8)
         self._pending = PendingBuffer(m, np.uint8)
-        self._pending_raw: list[np.ndarray] = []  # raw pending vectors for exact flat-scan merge path? kept empty; codes suffice
+        # refinement: compact exact-ish representation for re-ranking the
+        # ADC top-R — PQ recall@10 is reconstruction-limited; a second-stage
+        # int8 rescore recovers it (BASELINE configs #3/#4 memory budgets
+        # allow int8 raw; 1B-scale (#5) runs PQ-only or sharded).
+        self.refine = refine
+        self._refine_rows = np.zeros((0, dim), np.int8)
+        self._refine_scale = 1e-12
         self._next_id = 0
         self._dev = None
 
@@ -246,10 +261,30 @@ class IVFPQIndex(Index):
         assign, _ = assign_clusters(xv, jnp.asarray(self.centroids))
         enc_input = xv - jnp.asarray(self.centroids)[assign] if self.residual else xv
         codes = np.asarray(pq_encode(enc_input, jnp.asarray(self.codebooks)))
+        if self.refine == "int8":
+            self._store_refine(vectors, ids)
         self._pending.append(codes, ids, np.asarray(assign))
         if self._pending.size > max(4096, 0.1 * self._arena.size):
             self.merge_pending()
         self._dev = None
+
+    def _store_refine(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        rms = float(np.sqrt(np.mean(vectors.astype(np.float64) ** 2)))
+        amax = float(np.abs(vectors).max(initial=0.0))
+        batch_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+        if batch_scale > self._refine_scale and self._refine_rows.shape[0]:
+            self._refine_rows = np.clip(np.round(
+                self._refine_rows.astype(np.float32)
+                * (self._refine_scale / batch_scale)), -127, 127).astype(np.int8)
+        self._refine_scale = max(self._refine_scale, batch_scale)
+        hi = int(ids.max()) + 1
+        if hi > self._refine_rows.shape[0]:
+            grown = np.zeros((hi, self.dim), np.int8)
+            grown[: self._refine_rows.shape[0]] = self._refine_rows
+            self._refine_rows = grown
+        self._refine_rows[ids] = np.clip(
+            np.round(vectors / self._refine_scale), -127, 127
+        ).astype(np.int8)
 
     def merge_pending(self) -> None:
         p, i, a = self._pending.drain()
@@ -268,16 +303,23 @@ class IVFPQIndex(Index):
                 lens=jnp.asarray(ar.list_lens, jnp.int32),
                 codebooks=jnp.asarray(self.codebooks),
                 cap=max(8, ar.max_list_len),
+                refine=jnp.asarray(self._refine_rows)
+                if self.refine == "int8" else None,
             )
         return self._dev
 
-    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256):
+    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256,
+               refine_factor: int = 16):
+        """With refine enabled, the ADC stage retrieves refine_factor·k
+        candidates which are exactly re-scored from the int8 store — PQ
+        becomes the candidate generator, recall is refine-limited."""
         assert self.is_trained
         self.merge_pending()  # pending rows are PQ codes; simplest correct path
-        queries = np.asarray(queries, np.float32)
-        if self.opq_matrix is not None:
-            queries = self._rotate(queries)
+        raw_queries = np.asarray(queries, np.float32)
+        queries = self._rotate(raw_queries) if self.opq_matrix is not None else raw_queries
         nprobe = min(nprobe, self.nlist)
+        do_refine = self.refine == "int8" and self._refine_rows.shape[0]
+        kk = min(max(k * refine_factor, 32), self.ntotal) if do_refine else k
         st = self._device_state()
         outs_v, outs_i = [], []
         for s in range(0, queries.shape[0], batch):
@@ -285,9 +327,23 @@ class IVFPQIndex(Index):
             v, i = _ivfpq_scan_search(
                 qb, st["centroids"], st["codes"], st["ids"], st["offsets"],
                 st["lens"], st["codebooks"],
-                k=k, nprobe=nprobe, cap=st["cap"], metric=self.metric,
+                k=kk, nprobe=nprobe, cap=st["cap"], metric=self.metric,
                 residual=self.residual,
             )
+            if do_refine:
+                # exact re-score of the candidates (refine rows are stored
+                # UNrotated, so score against the raw queries)
+                qraw = jnp.asarray(raw_queries[s : s + batch])
+                rows = st["refine"][jnp.clip(i, 0, st["refine"].shape[0] - 1)]
+                rows = rows.astype(jnp.float32) * self._refine_scale
+                if self.metric == "ip":
+                    ex = jnp.einsum("bd,brd->br", qraw, rows)
+                else:
+                    diff = qraw[:, None, :] - rows
+                    ex = -jnp.sum(diff * diff, axis=2)
+                v2, pos = lax.top_k(ex, k)
+                i2 = jnp.take_along_axis(i, pos, axis=1)
+                v, i = v2, i2
             outs_v.append(np.asarray(v))
             outs_i.append(np.asarray(i))
         return np.concatenate(outs_v), np.concatenate(outs_i)
@@ -304,6 +360,8 @@ class IVFPQIndex(Index):
         }
         if self.opq_matrix is not None:
             out["opq_matrix"] = self.opq_matrix
+        if self.refine == "int8":
+            out["refine_rows"] = self._refine_rows
         return out
 
     def _state_meta(self):
@@ -312,6 +370,7 @@ class IVFPQIndex(Index):
             "residual": self.residual, "kmeans_iters": self.kmeans_iters,
             "pq_train_iters": self.pq_train_iters, "seed": self.seed,
             "next_id": self._next_id, "opq": self.opq_matrix is not None,
+            "refine": self.refine, "refine_scale": self._refine_scale,
         }
 
     @classmethod
@@ -320,8 +379,12 @@ class IVFPQIndex(Index):
         idx = cls(
             manifest["dim"], m["nlist"], m["m"], m["nbits"], manifest["metric"],
             m["residual"], m["kmeans_iters"], m["pq_train_iters"], m["seed"],
-            opq_matrix=arrays.get("opq_matrix"),
+            opq_matrix=np.asarray(arrays["opq_matrix"]) if "opq_matrix" in arrays else None,
+            refine=m.get("refine", "none"),
         )
+        if "refine_rows" in arrays:
+            idx._refine_rows = np.asarray(arrays["refine_rows"])
+            idx._refine_scale = m.get("refine_scale", 1e-12)
         idx.centroids = arrays["centroids"]
         idx.codebooks = arrays["codebooks"]
         idx._arena.payload = arrays["payload"]

@@ -52,7 +52,7 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
             vectors, nlist, m=cfg.m, metric=cfg.metric, nbits=cfg.nbits,
             train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
             pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
-            opq_matrix=opq_matrix,
+            opq_matrix=opq_matrix, refine=cfg.refine,
         )
     raise ValueError(f"unknown index kind {cfg.kind!r}")
 

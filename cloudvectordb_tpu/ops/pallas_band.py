@@ -40,16 +40,38 @@ NEG_INF = float("-inf")
 
 
 def order_centroids(centroids: np.ndarray) -> np.ndarray:
-    """Permutation ordering centroids along their top principal component."""
+    """Locality-preserving centroid permutation: recursive balanced 2-means.
+
+    A 1-D projection (PC1, space-filling curve) cannot localize 768-d probe
+    sets (measured: bands/unions degenerate to the whole arena). The
+    hierarchical ordering puts genuinely similar centroids at adjacent ids at
+    EVERY scale — a query's nprobe nearest lists then concentrate in a small
+    id range, so query tiles (sorted by top-1 id) share small tile unions.
+    """
     c = np.asarray(centroids, np.float64)
-    c = c - c.mean(axis=0, keepdims=True)
-    # power iteration: top PC without a full SVD
-    v = np.random.default_rng(0).normal(size=c.shape[1])
-    for _ in range(50):
-        v = c.T @ (c @ v)
-        v /= np.linalg.norm(v) + 1e-30
-    proj = c @ v
-    return np.argsort(proj)
+    rng = np.random.default_rng(0)
+
+    def rec(idx: np.ndarray) -> list[int]:
+        if len(idx) <= 2:
+            return idx.tolist()
+        sub = c[idx]
+        # 2-means direction (few Lloyd rounds), then a balanced median split
+        picks = rng.choice(len(idx), 2, replace=False)
+        c0, c1 = sub[picks[0]].copy(), sub[picks[1]].copy()
+        for _ in range(6):
+            d0 = ((sub - c0) ** 2).sum(1)
+            d1 = ((sub - c1) ** 2).sum(1)
+            m = d0 <= d1
+            if m.any():
+                c0 = sub[m].mean(0)
+            if (~m).any():
+                c1 = sub[~m].mean(0)
+        proj = sub @ (c1 - c0)
+        order = np.argsort(proj, kind="stable")
+        half = len(idx) // 2
+        return rec(idx[order[:half]]) + rec(idx[order[half:]])
+
+    return np.asarray(rec(np.arange(len(c))), dtype=np.int64)
 
 
 def _band_kernel(

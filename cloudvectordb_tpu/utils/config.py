@@ -119,6 +119,8 @@ class IndexConfig(_ConfigBase):
     m: int = 64                    # PQ sub-quantizers (BASELINE config #3)
     nbits: int = 8                 # bits per sub-code → 2**nbits codewords
     opq: bool = False              # learned rotation before PQ
+    refine: str = "int8"           # none | int8: exact re-rank of ADC top-R
+    refine_factor: int = 16       # ADC candidates per requested k
     kmeans_iters: int = 20
     pq_train_iters: int = 12
     train_sample: int = 262_144    # vectors sampled for k-means / PQ training

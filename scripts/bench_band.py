@@ -30,10 +30,10 @@ def main():
         centers = jax.random.normal(kc, (256, D), jnp.float32)
         centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
         a = jax.random.randint(ka, (N,), 0, 256)
-        db = centers[a] + 0.15 * jax.random.normal(kn, (N, D), jnp.float32)
+        db = centers[a] +  (0.3 / (D ** 0.5)) * jax.random.normal(kn, (N, D), jnp.float32)
         db /= jnp.linalg.norm(db, axis=1, keepdims=True)
         qs = jax.random.randint(kq, (B,), 0, N)
-        q = db[qs] + 0.05 * jax.random.normal(kqn, (B, D), jnp.float32)
+        q = db[qs] + (0.1 / (D ** 0.5)) * jax.random.normal(kqn, (B, D), jnp.float32)
         q /= jnp.linalg.norm(q, axis=1, keepdims=True)
         return db, q
 

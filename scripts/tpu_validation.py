@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N, D, K, B = 250_000, 768, 10, 1024
+N, D, K, B = 250_000, 768, 10, 4096  # B ≫ nlist: the tile-sharing regime
 
 
 def log(msg):
@@ -35,10 +35,10 @@ def main():
         centers = jax.random.normal(kc, (256, D), jnp.float32)
         centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
         a = jax.random.randint(ka, (N,), 0, 256)
-        db = centers[a] + 0.15 * jax.random.normal(kn, (N, D), jnp.float32)
+        db = centers[a] +  (0.3 / (D ** 0.5)) * jax.random.normal(kn, (N, D), jnp.float32)
         db /= jnp.linalg.norm(db, axis=1, keepdims=True)
         qs = jax.random.randint(kq, (B,), 0, N)
-        q = db[qs] + 0.05 * jax.random.normal(kqn, (B, D), jnp.float32)
+        q = db[qs] + (0.1 / (D ** 0.5)) * jax.random.normal(kqn, (B, D), jnp.float32)
         q /= jnp.linalg.norm(q, axis=1, keepdims=True)
         return db, q
 
@@ -54,13 +54,15 @@ def main():
     from cloudvectordb_tpu.index.ivf_band import BandIVFIndex, _tiles_plan_search
 
     t0 = time.perf_counter()
-    idx = BandIVFIndex.build(db_d, nlist=512, dtype="int8", kmeans_iters=8)
+    idx = BandIVFIndex.build(
+        db_d, nlist=512, dtype="int8", kmeans_iters=8, tile_n=1024
+    )
     log(f"[1] band build: {time.perf_counter()-t0:.0f}s")
     st = idx._device_state()
     n_tiles = int(idx._payload.shape[0]) // idx.tile_n
     q = jax.device_get(q_d)
     qj = jnp.asarray(q)
-    for p_tiles in (8, 16, 32):
+    for p_tiles in (32, 64, 96):
         def run(noise):
             v, g = _tiles_plan_search(
                 qj + noise, st["centroids"], st["payload"], st["ids"],
@@ -102,7 +104,7 @@ def main():
     cap = int(np.diff(offsets).max())
     log(f"[2] ivfpq build: {time.perf_counter()-t0:.0f}s cap={cap}")
     qb = qj[:256]
-    for nprobe in (16,):
+    for nprobe in (16, 64):
         def run2(noise):
             v, i = _ivfpq_scan_search(
                 qb + noise, centroids, arena, ids_d, off_d, lens_d, codebooks,
