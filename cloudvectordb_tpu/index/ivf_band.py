@@ -29,6 +29,56 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret", "refine_scale"
+    ),
+)
+def _pq_tiles_plan_search(
+    q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
+    *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
+):
+    """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
+
+    codes_cm (m, N_pad) arena-ordered; refine_rows (N_pad, D) int8 arena-
+    ordered (pass a (1, D) dummy + refine_scale 0 to disable refinement).
+    """
+    from cloudvectordb_tpu.ops.pallas_pq import pq_tiles_topk_pallas
+
+    b = q.shape[0]
+    n_qt = b // tile_q
+    dots = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+    coarse = dots - 0.5 * c_sq[None, :]  # L2 ranking (assignment metric)
+    top1 = jnp.argmax(coarse, axis=1)
+    order = jnp.argsort(top1)
+    q_s = q[order]
+    coarse_s = coarse[order]
+    cw = coarse_s[:, tile_window]
+    ts = jnp.max(cw, axis=-1).reshape(n_qt, tile_q, -1).max(axis=1)
+    _, tile_table = jax.lax.top_k(ts, p_tiles)
+
+    v, rows = pq_tiles_topk_pallas(
+        codes_cm, codebooks, q_s, tile_table, k_cand,
+        tile_n=tile_n, tile_q=tile_q, interpret=interpret,
+    )
+    if refine_scale > 0:
+        rows = jnp.clip(rows, 0, refine_rows.shape[0] - 1)
+        cand = refine_rows[rows].astype(jnp.float32) * refine_scale
+        ex = jnp.einsum("bd,brd->br", q_s, cand)
+        v, pos = jax.lax.top_k(ex, k)
+        rows = jnp.take_along_axis(rows, pos, axis=1)
+    else:
+        v = v[:, :k]
+        rows = rows[:, :k]
+    gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
+    inv = jnp.argsort(order)
+    return v[inv], gids[inv]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "int8", "interpret"),
 )
 def _tiles_plan_search(
@@ -322,6 +372,13 @@ class BandIVFIndex(Index):
             "offsets": self._offsets,
         }
 
+    def _state_meta_common(self):
+        return {
+            "nlist": self.nlist, "dtype": self.dtype, "scale": self._scale,
+            "n": self._n, "kmeans_iters": self.kmeans_iters, "seed": self.seed,
+            "tile_n": self.tile_n, "tile_q": self.tile_q,
+        }
+
     def _state_meta(self):
         return {
             "nlist": self.nlist, "dtype": self.dtype, "scale": self._scale,
@@ -340,5 +397,203 @@ class BandIVFIndex(Index):
         idx._offsets = np.asarray(arrays["offsets"])
         idx._scale = m["scale"]
         idx._n = m["n"]
+        idx._tile_window = idx._compute_tile_window()
+        return idx
+
+
+class BandIVFPQIndex(BandIVFIndex):
+    """Tile-pruned PQ index with int8 refinement — the 1B-scale configuration
+    (BASELINE config #5): PQ codes are the HBM-resident memory format
+    (m bytes/vec, 12× smaller than int8 raw), the tile table prunes decode
+    compute to each query tile's probed lists, and an optional int8 refine
+    store re-ranks the candidate set exactly.
+
+    Memory per chip at 1B/8 = 125M rows: codes m=64 → 8 GB ✓; refine int8
+    would need 96 GB → refine='none' at 1B (PQ-ceiling recall) or refine
+    shards on host. At ≤100M, refine='int8' fits and recovers exact-ish
+    recall.
+    """
+
+    kind = "band_ivf_pq"
+
+    def __init__(
+        self,
+        dim: int,
+        nlist: int,
+        m: int = 64,
+        nbits: int = 8,
+        refine: str = "int8",
+        pq_train_iters: int = 8,
+        kmeans_iters: int = 15,
+        seed: int = 0,
+        tile_n: int = 1024,
+        tile_q: int = 128,
+    ):
+        super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
+                         seed=seed, tile_n=tile_n, tile_q=tile_q)
+        assert dim % m == 0 and refine in ("none", "int8")
+        self.m = m
+        self.nbits = nbits
+        self.refine = refine
+        self.pq_train_iters = pq_train_iters
+        self.codebooks: np.ndarray | None = None
+        self._codes_cm = None  # (m, N_pad) uint8, arena-ordered, device
+        self._refine_rows = None  # (N_pad, dim) int8, arena-ordered
+
+    @classmethod
+    def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
+              **kw) -> "BandIVFPQIndex":
+        vectors = jnp.asarray(vectors, jnp.float32)
+        idx = cls(int(vectors.shape[1]), nlist, m=m, **kw)
+        ns = min(train_sample, vectors.shape[0])
+        sel = np.sort(np.random.default_rng(idx.seed).choice(
+            vectors.shape[0], ns, replace=False))
+        c, _ = train_kmeans(vectors[jnp.asarray(sel)], nlist,
+                            iters=idx.kmeans_iters, seed=idx.seed)
+        c = np.asarray(c)
+        idx.centroids = c[order_centroids(c)]
+        from cloudvectordb_tpu.index.pq import train_pq
+
+        idx.codebooks = np.asarray(
+            train_pq(vectors[jnp.asarray(sel)], m, idx.nbits,
+                     iters=idx.pq_train_iters, seed=idx.seed)
+        )
+        idx._populate(vectors)
+        return idx
+
+    def _populate(self, vectors) -> None:
+        from cloudvectordb_tpu.index.pq import pq_encode
+
+        vectors = jnp.asarray(vectors, jnp.float32)
+        a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
+        a_np = np.asarray(a)
+        order = np.argsort(a_np, kind="stable")
+        order_d = jnp.asarray(order)
+        x = vectors[order_d]
+        n = int(x.shape[0])
+        n_pad = -(-n // self.tile_n) * self.tile_n
+        # PQ codes, code-major, padded (non-residual: the decode kernel
+        # reconstructs without per-row centroid terms; refine restores
+        # exactness)
+        codes = pq_encode(x, jnp.asarray(self.codebooks))  # (N, m)
+        codes_cm = jnp.zeros((self.m, n_pad), jnp.uint8).at[:, :n].set(
+            jnp.transpose(codes)
+        )
+        if self.refine == "int8":
+            rms = jnp.sqrt(jnp.mean(x * x))
+            amax = jnp.max(jnp.abs(x))
+            self._scale = float(
+                jnp.maximum(jnp.minimum(amax, 4.0 * rms) / 127.0, 1e-12)
+            )
+            rr = jnp.clip(jnp.round(x / self._scale), -127, 127).astype(jnp.int8)
+            self._refine_rows = jnp.concatenate(
+                [rr, jnp.zeros((n_pad - n, self.dim), jnp.int8)]
+            ) if n_pad != n else rr
+        else:
+            self._refine_rows = jnp.zeros((1, self.dim), jnp.int8)
+            self._scale = 0.0
+        self._codes_cm = codes_cm
+        self._payload = codes_cm  # satisfies base-class bookkeeping
+        self._ids = order.astype(np.int32)
+        counts = np.bincount(a_np, minlength=self.nlist)
+        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self._n = n
+        # tile windows over the padded ROW count (codes are column-major)
+        self._n_pad_rows = n_pad
+        self._tile_window = self._compute_tile_window()
+        self._dev = None
+
+    def _compute_tile_window(self) -> np.ndarray:
+        n_rows = getattr(self, "_n_pad_rows", None)
+        if n_rows is None:
+            return super()._compute_tile_window()
+        n_tiles = n_rows // self.tile_n
+        starts = np.arange(n_tiles, dtype=np.int64) * self.tile_n
+        ends = np.minimum(starts + self.tile_n - 1, max(self._n - 1, 0))
+        fl = np.clip(np.searchsorted(self._offsets, starts, side="right") - 1,
+                     0, self.nlist - 1)
+        ll = np.clip(np.searchsorted(self._offsets, ends, side="right") - 1,
+                     0, self.nlist - 1)
+        w = int((ll - fl).max()) + 1 if n_tiles else 1
+        window = np.minimum(fl[:, None] + np.arange(w)[None, :], ll[:, None])
+        return np.clip(window, 0, self.nlist - 1).astype(np.int32)
+
+    def _device_state(self):
+        if self._dev is None:
+            self._dev = dict(
+                codes=jnp.asarray(self._codes_cm),
+                centroids=jnp.asarray(self.centroids),
+                codebooks=jnp.asarray(self.codebooks),
+                refine=jnp.asarray(self._refine_rows),
+                ids=jnp.asarray(self._ids, jnp.int32),
+                tile_window=jnp.asarray(self._tile_window),
+            )
+        return self._dev
+
+    def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
+               p_tiles: int = 0, refine_factor: int = 16, **_):
+        assert self._n, "empty index"
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        st = self._device_state()
+        n_tiles = self._n_pad_rows // self.tile_n
+        if p_tiles <= 0:
+            lists_per_tile = max(1.0, self.nlist * self.tile_n / max(self._n, 1))
+            p_tiles = int(min(n_tiles, max(8, round(4 * nprobe / lists_per_tile))))
+        q_pad = -(-nq // self.tile_q) * self.tile_q
+        qp = queries if q_pad == nq else np.concatenate(
+            [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
+        )
+        k_cand = min(max(k * refine_factor, 32), self._n) if self.refine == "int8" else k
+        v, gids = _pq_tiles_plan_search(
+            jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
+            st["refine"], st["ids"], st["tile_window"],
+            k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
+            tile_q=self.tile_q, interpret=interpret,
+            refine_scale=self._scale if self.refine == "int8" else 0.0,
+        )
+        return np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
+
+    # -- persistence ------------------------------------------------------
+    def _state_arrays(self):
+        out = {
+            "centroids": self.centroids,
+            "codebooks": self.codebooks,
+            "codes_cm": np.asarray(self._codes_cm),
+            "ids": self._ids,
+            "offsets": self._offsets,
+        }
+        if self.refine == "int8":
+            out["refine_rows"] = np.asarray(self._refine_rows)
+        return out
+
+    def _state_meta(self):
+        meta = self._state_meta_common()
+        meta.update({"m": self.m, "nbits": self.nbits, "refine": self.refine,
+                     "pq_train_iters": self.pq_train_iters,
+                     "n_pad_rows": self._n_pad_rows})
+        return meta
+
+    @classmethod
+    def _from_state(cls, manifest: dict, arrays: dict) -> "BandIVFPQIndex":
+        m = manifest["meta"]
+        idx = cls(manifest["dim"], m["nlist"], m["m"], m["nbits"], m["refine"],
+                  m["pq_train_iters"], m["kmeans_iters"], m["seed"],
+                  m["tile_n"], m["tile_q"])
+        idx.centroids = np.asarray(arrays["centroids"])
+        idx.codebooks = np.asarray(arrays["codebooks"])
+        idx._codes_cm = np.asarray(arrays["codes_cm"])
+        idx._payload = idx._codes_cm
+        idx._ids = np.asarray(arrays["ids"])
+        idx._offsets = np.asarray(arrays["offsets"])
+        idx._scale = m["scale"]
+        idx._n = m["n"]
+        idx._n_pad_rows = m["n_pad_rows"]
+        idx._refine_rows = (
+            np.asarray(arrays["refine_rows"]) if "refine_rows" in arrays
+            else np.zeros((1, manifest["dim"]), np.int8)
+        )
         idx._tile_window = idx._compute_tile_window()
         return idx

@@ -8,7 +8,7 @@ import numpy as np
 
 from cloudvectordb_tpu.index.base import Index
 from cloudvectordb_tpu.index.flat import FlatIndex
-from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
+from cloudvectordb_tpu.index.ivf_band import BandIVFIndex, BandIVFPQIndex
 from cloudvectordb_tpu.index.ivf_flat import IVFFlatIndex
 from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex
 from cloudvectordb_tpu.utils.config import IndexConfig
@@ -18,6 +18,7 @@ _KINDS = {
     "ivf_flat": IVFFlatIndex,
     "ivf_pq": IVFPQIndex,
     "band_ivf": BandIVFIndex,
+    "band_ivf_pq": BandIVFPQIndex,
 }
 
 
@@ -32,6 +33,12 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
             vectors, nlist, train_sample=cfg.train_sample,
             dtype=cfg.dtype if cfg.dtype != "float32" else "int8",
             kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
+        )
+    if cfg.kind == "band_ivf_pq":
+        return BandIVFPQIndex.build(
+            vectors, nlist, m=cfg.m, nbits=cfg.nbits, refine=cfg.refine,
+            train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
+            pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
         )
     if cfg.kind == "ivf_flat":
         return IVFFlatIndex.build(

@@ -91,6 +91,140 @@ def _ceil_to(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _pq_tiles_kernel(
+    tile_table_ref, q_ref, codes_ref, cbt_ref, out_v_ref, out_i_ref,
+    xhat_sc, val_sc, idx_sc, *, n, l_buckets, m, ncode, dsub,
+):
+    """PQ decode + score over an ARBITRARY per-query-tile tile set — the
+    1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
+    table prunes compute to the lists a query tile actually probes, and the
+    decoded bf16 tile lives only in VMEM."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        val_sc[:] = jnp.full_like(val_sc, NEG_INF)
+        idx_sc[:] = jnp.zeros_like(idx_sc)
+
+    tile_sz = codes_ref.shape[1]
+    codes = codes_ref[:]
+    code_iota = lax.broadcasted_iota(jnp.int32, (ncode, tile_sz), 0)
+    for sub in range(m):
+        oh_t = (code_iota == codes[sub, :].astype(jnp.int32)[None, :]).astype(
+            jnp.bfloat16
+        )
+        xhat_sc[sub * dsub : (sub + 1) * dsub, :] = lax.dot_general(
+            cbt_ref[:, sub * ncode : (sub + 1) * ncode], oh_t,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    scores = lax.dot_general(
+        q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qt = pl.program_id(0)
+    at = tile_table_ref[qt, j]
+    rows_per_bucket = tile_sz // l_buckets
+    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+    base = at * tile_sz
+    g_idx = (
+        base
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    )
+    s3 = jnp.where(g_idx < n, s3, NEG_INF)
+    mx = jnp.max(s3, axis=1)
+    is_max = s3 >= mx[:, None, :]
+    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+    better = mx > val_sc[:]
+    val_sc[:] = jnp.where(better, mx, val_sc[:])
+    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+
+    @pl.when(j == n_j - 1)
+    def _emit():
+        out_v_ref[:] = val_sc[:]
+        out_i_ref[:] = idx_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret"),
+)
+def pq_tiles_topk_pallas(
+    codes_cm,
+    codebooks,
+    queries_sorted,
+    tile_table,
+    k: int,
+    tile_n: int = 1024,
+    tile_q: int = 128,
+    l_buckets: int = 0,
+    interpret: bool = False,
+):
+    """Tile-table-pruned PQ search (IP on reconstructions, non-residual).
+
+    codes_cm (m, N_pad) uint8 code-major with N_pad % tile_n == 0;
+    queries_sorted (Q_pad, D) pre-sorted/padded; tile_table (n_qt, P) i32.
+    Returns (scores (Q, k) f32, arena-row idx (Q, k) i32).
+    """
+    m, n = codes_cm.shape
+    ncode, dsub = codebooks.shape[1], codebooks.shape[2]
+    d = m * dsub
+    nq = queries_sorted.shape[0]
+    assert n % tile_n == 0 and nq % tile_q == 0
+    if l_buckets == 0:
+        l_buckets = max(512, _ceil_to(8 * k, 128))
+    l_buckets = min(l_buckets, tile_n)
+    assert tile_n % l_buckets == 0
+    n_qt = nq // tile_q
+    p = tile_table.shape[1]
+
+    qp = queries_sorted.astype(jnp.bfloat16)
+    cbt = jnp.transpose(codebooks, (2, 0, 1)).reshape(dsub, m * ncode).astype(
+        jnp.bfloat16
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_qt, p),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_n), lambda i, j, tt: (0, tt[i, j]), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (dsub, m * ncode), lambda i, j, tt: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, tile_n), jnp.float32),
+            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _pq_tiles_kernel, n=n, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub
+    )
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_table.astype(jnp.int32), qp, codes_cm, cbt)
+
+    top_v, pos = lax.top_k(out_v[:nq], min(k, l_buckets))
+    top_i = jnp.take_along_axis(out_i[:nq], pos, axis=1)
+    return top_v, top_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret"),

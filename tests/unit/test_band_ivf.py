@@ -76,3 +76,37 @@ def test_band_save_load(tmp_path, data):
     v2, i2 = idx2.search(q, 5, nprobe=16, interpret=True)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+
+def test_band_pq_with_refine(data, tmp_path):
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+    from cloudvectordb_tpu.index import load_index
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, refine="int8", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16,
+    )
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    _, found = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
+    r_full = recall_at_k(found, gt)
+    assert r_full >= 0.8, r_full  # refine recovers PQ's reconstruction loss
+    _, found_p = idx.search(q, 10, p_tiles=max(4, n_tiles // 2), interpret=True)
+    assert recall_at_k(found_p, gt) >= r_full - 0.15
+    idx.save(tmp_path / "bpq")
+    idx2 = load_index(tmp_path / "bpq")
+    _, f2 = idx2.search(q, 10, p_tiles=n_tiles, interpret=True)
+    np.testing.assert_array_equal(found, f2)
+
+
+def test_band_pq_no_refine(data):
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, refine="none", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16,
+    )
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    _, found = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
+    assert recall_at_k(found, gt) >= 0.2  # PQ-ceiling-limited (m=8, nbits=6)
