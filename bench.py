@@ -34,18 +34,27 @@ def main() -> None:
     on_tpu = jax.default_backend() in ("tpu",) or "TPU" in str(jax.devices()[0])
     n = N if on_tpu else 20_000
 
+    # Low intrinsic dimension, like real embeddings: isotropic 768-d
+    # Gaussians concentrate all pairwise distances (no margins), which makes
+    # any quantized search look artificially bad. Synthesize in a 64-d
+    # latent and embed with a random orthogonal-ish map.
+    LATENT = 32
+
     @jax.jit
     def make_data(key):
-        kc, ka, kn, kq, kqn = jax.random.split(key, 5)
-        centers = jax.random.normal(kc, (256, D), jnp.float32)
+        kc, ka, kn, kq, kqn, kw = jax.random.split(key, 6)
+        w = jax.random.normal(kw, (LATENT, D), jnp.float32) / (LATENT ** 0.5)
+        centers = jax.random.normal(kc, (256, LATENT), jnp.float32)
         centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
         assign = jax.random.randint(ka, (n,), 0, 256)
-        db = centers[assign] + (0.3 / (D ** 0.5)) * jax.random.normal(
-            kn, (n, D), jnp.float32)
+        z = centers[assign] + (0.3 / (LATENT ** 0.5)) * jax.random.normal(
+            kn, (n, LATENT), jnp.float32)
+        db = z @ w
         db /= jnp.linalg.norm(db, axis=1, keepdims=True)
         qsel = jax.random.randint(kq, (B,), 0, n)
-        q = db[qsel] + (0.1 / (D ** 0.5)) * jax.random.normal(
-            kqn, (B, D), jnp.float32)
+        zq = z[qsel] + (0.15 / (LATENT ** 0.5)) * jax.random.normal(
+            kqn, (B, LATENT), jnp.float32)
+        q = zq @ w
         q /= jnp.linalg.norm(q, axis=1, keepdims=True)
         return db, q
 

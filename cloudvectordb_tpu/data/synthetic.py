@@ -21,19 +21,29 @@ def clustered_vectors(
     dtype=np.float32,
     cluster_std: float = 0.6,
     normalize: bool = False,
+    latent_dim: int | None = None,
 ) -> np.ndarray:
     """N vectors drawn from a mixture of Gaussians — realistic IVF workload.
 
     ``cluster_std`` is the noise NORM relative to the unit-norm centers
-    (dimension-independent): the per-dim std is cluster_std/√dim. A raw
-    per-dim std of 0.15 at 768-d would give noise of norm ~4 — essentially
-    uniform on the sphere, where IVF recall is inherently meaningless.
+    (dimension-independent): the per-dim std is cluster_std/√dim.
+
+    ``latent_dim``: synthesize in a low-dimensional latent and embed with a
+    random linear map. Real embedding corpora have low intrinsic dimension;
+    isotropic high-d Gaussians concentrate all pairwise distances (no
+    neighbor margins), which makes quantized-search recall artificially low.
     """
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(n_clusters, dim)).astype(np.float64)
+    d_eff = latent_dim or dim
+    centers = rng.normal(size=(n_clusters, d_eff)).astype(np.float64)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=n)
-    x = centers[assign] + (cluster_std / np.sqrt(dim)) * rng.normal(size=(n, dim))
+    x = centers[assign] + (cluster_std / np.sqrt(d_eff)) * rng.normal(
+        size=(n, d_eff)
+    )
+    if latent_dim:
+        w = rng.normal(size=(d_eff, dim)) / np.sqrt(d_eff)
+        x = x @ w
     x = x.astype(dtype)
     if normalize:
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

@@ -208,7 +208,15 @@ class Pipeline:
             kw = {} if self.cfg.index.kind == "flat" else {"nprobe": self.cfg.index.nprobe}
             _, found = index.search(q, k, **kw)
             r = recall_at_k(found, gt)
-            result = {"recall_at_k": r, "k": k, "nq": nq, "kind": self.cfg.index.kind}
+            # steady-state end-to-end QPS (numpy outputs fence device work)
+            import time as _time
+
+            index.search(q, k, **kw)  # warm
+            t0 = _time.perf_counter()
+            index.search(q, k, **kw)
+            qps = nq / max(_time.perf_counter() - t0, 1e-9)
+            result = {"recall_at_k": r, "k": k, "nq": nq, "qps": qps,
+                      "kind": self.cfg.index.kind}
             self.metrics.log("eval", **result)
             (self.workdir / "eval.json").write_text(json.dumps(result, indent=2))
             log.info("eval: recall@%d = %.4f", k, r)
