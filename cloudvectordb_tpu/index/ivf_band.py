@@ -35,6 +35,7 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
 )
 def _pq_tiles_plan_search(
     q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
+    centroid_tiles=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
@@ -61,6 +62,7 @@ def _pq_tiles_plan_search(
 
     v, rows = pq_tiles_topk_pallas(
         codes_cm, codebooks, q_s, tile_table, k_cand,
+        centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret,
     )
     if refine_scale > 0:
@@ -428,6 +430,7 @@ class BandIVFPQIndex(BandIVFIndex):
         seed: int = 0,
         tile_n: int = 1024,
         tile_q: int = 128,
+        residual: bool = True,
     ):
         super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
                          seed=seed, tile_n=tile_n, tile_q=tile_q)
@@ -435,10 +438,12 @@ class BandIVFPQIndex(BandIVFIndex):
         self.m = m
         self.nbits = nbits
         self.refine = refine
+        self.residual = residual
         self.pq_train_iters = pq_train_iters
         self.codebooks: np.ndarray | None = None
-        self._codes_cm = None  # (m, N_pad) uint8, arena-ordered, device
+        self._codes_cm = None  # (m[+1], N_pad) uint8, arena-ordered, device
         self._refine_rows = None  # (N_pad, dim) int8, arena-ordered
+        self._centroid_tiles = None  # (n_tiles, D, W) residual-mode centroids
 
     @classmethod
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
@@ -454,8 +459,12 @@ class BandIVFPQIndex(BandIVFIndex):
         idx.centroids = c[order_centroids(c)]
         from cloudvectordb_tpu.index.pq import train_pq
 
+        train_vecs = vectors[jnp.asarray(sel)]
+        if idx.residual:
+            a_s, _ = assign_clusters(train_vecs, jnp.asarray(idx.centroids))
+            train_vecs = train_vecs - jnp.asarray(idx.centroids)[a_s]
         idx.codebooks = np.asarray(
-            train_pq(vectors[jnp.asarray(sel)], m, idx.nbits,
+            train_pq(train_vecs, m, idx.nbits,
                      iters=idx.pq_train_iters, seed=idx.seed)
         )
         idx._populate(vectors)
@@ -472,13 +481,36 @@ class BandIVFPQIndex(BandIVFIndex):
         x = vectors[order_d]
         n = int(x.shape[0])
         n_pad = -(-n // self.tile_n) * self.tile_n
-        # PQ codes, code-major, padded (non-residual: the decode kernel
-        # reconstructs without per-row centroid terms; refine restores
-        # exactness)
-        codes = pq_encode(x, jnp.asarray(self.codebooks))  # (N, m)
-        codes_cm = jnp.zeros((self.m, n_pad), jnp.uint8).at[:, :n].set(
+        counts = np.bincount(a_np, minlength=self.nlist)
+        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self._n = n
+        self._n_pad_rows = n_pad
+        self._tile_window = self._compute_tile_window()
+        cdev = jnp.asarray(self.centroids)
+        a_sorted = jnp.asarray(a_np[order])
+        enc_in = x - cdev[a_sorted] if self.residual else x
+        codes = pq_encode(enc_in, jnp.asarray(self.codebooks))  # (N, m)
+        rows_cm = self.m + (1 if self.residual else 0)
+        codes_cm = jnp.zeros((rows_cm, n_pad), jnp.uint8).at[: self.m, :n].set(
             jnp.transpose(codes)
         )
+        if self.residual:
+            # per-row LOCAL list index within its tile (row m of the codes)
+            tw = self._tile_window  # (n_tiles, W)
+            row_tile = np.arange(n) // self.tile_n
+            local = a_np[order] - tw[row_tile, 0]
+            w = tw.shape[1]
+            assert local.min() >= 0 and local.max() < w, (local.min(), local.max(), w)
+            codes_cm = codes_cm.at[self.m, :n].set(
+                jnp.asarray(local.astype(np.uint8))
+            )
+            # per-tile centroid matrices (n_tiles, D, W)
+            ct = self.centroids[tw]  # (n_tiles, W, D)
+            self._centroid_tiles = jnp.asarray(
+                np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16
+            )
+        else:
+            self._centroid_tiles = None
         if self.refine == "int8":
             rms = jnp.sqrt(jnp.mean(x * x))
             amax = jnp.max(jnp.abs(x))
@@ -495,12 +527,6 @@ class BandIVFPQIndex(BandIVFIndex):
         self._codes_cm = codes_cm
         self._payload = codes_cm  # satisfies base-class bookkeeping
         self._ids = order.astype(np.int32)
-        counts = np.bincount(a_np, minlength=self.nlist)
-        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        self._n = n
-        # tile windows over the padded ROW count (codes are column-major)
-        self._n_pad_rows = n_pad
-        self._tile_window = self._compute_tile_window()
         self._dev = None
 
     def _compute_tile_window(self) -> np.ndarray:
@@ -527,6 +553,10 @@ class BandIVFPQIndex(BandIVFIndex):
                 refine=jnp.asarray(self._refine_rows),
                 ids=jnp.asarray(self._ids, jnp.int32),
                 tile_window=jnp.asarray(self._tile_window),
+                centroid_tiles=(
+                    jnp.asarray(self._centroid_tiles, jnp.bfloat16)
+                    if self._centroid_tiles is not None else None
+                ),
             )
         return self._dev
 
@@ -549,7 +579,7 @@ class BandIVFPQIndex(BandIVFIndex):
         k_cand = min(max(k * refine_factor, 32), self._n) if self.refine == "int8" else k
         v, gids = _pq_tiles_plan_search(
             jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
-            st["refine"], st["ids"], st["tile_window"],
+            st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=self.tile_q, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
@@ -573,7 +603,8 @@ class BandIVFPQIndex(BandIVFIndex):
         meta = self._state_meta_common()
         meta.update({"m": self.m, "nbits": self.nbits, "refine": self.refine,
                      "pq_train_iters": self.pq_train_iters,
-                     "n_pad_rows": self._n_pad_rows})
+                     "n_pad_rows": self._n_pad_rows,
+                     "residual": self.residual})
         return meta
 
     @classmethod
@@ -581,7 +612,7 @@ class BandIVFPQIndex(BandIVFIndex):
         m = manifest["meta"]
         idx = cls(manifest["dim"], m["nlist"], m["m"], m["nbits"], m["refine"],
                   m["pq_train_iters"], m["kmeans_iters"], m["seed"],
-                  m["tile_n"], m["tile_q"])
+                  m["tile_n"], m["tile_q"], residual=m.get("residual", False))
         idx.centroids = np.asarray(arrays["centroids"])
         idx.codebooks = np.asarray(arrays["codebooks"])
         idx._codes_cm = np.asarray(arrays["codes_cm"])
@@ -596,4 +627,9 @@ class BandIVFPQIndex(BandIVFIndex):
             else np.zeros((1, manifest["dim"]), np.int8)
         )
         idx._tile_window = idx._compute_tile_window()
+        if idx.residual:
+            ct = idx.centroids[idx._tile_window]
+            idx._centroid_tiles = jnp.asarray(
+                np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16
+            )
         return idx

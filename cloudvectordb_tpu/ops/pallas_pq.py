@@ -92,13 +92,18 @@ def _ceil_to(x: int, mult: int) -> int:
 
 
 def _pq_tiles_kernel(
-    tile_table_ref, q_ref, codes_ref, cbt_ref, out_v_ref, out_i_ref,
-    xhat_sc, val_sc, idx_sc, *, n, l_buckets, m, ncode, dsub,
+    tile_table_ref, q_ref, codes_ref, cbt_ref, ct_ref, out_v_ref, out_i_ref,
+    xhat_sc, val_sc, idx_sc, *, n, l_buckets, m, ncode, dsub, w_lists,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
     table prunes compute to the lists a query tile actually probes, and the
-    decoded bf16 tile lives only in VMEM."""
+    decoded bf16 tile lives only in VMEM.
+
+    Residual encoding is exact and cheap: an arena tile spans ≤ w_lists IVF
+    lists, so row m of the code block carries each row's LOCAL list index and
+    x̂ᵀ += C_tileᵀ (D, W) · OH_localᵀ (W, T) adds the centroid term with one
+    skinny matmul (~D·W MACs/row) instead of a per-row gather."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -118,6 +123,14 @@ def _pq_tiles_kernel(
             cbt_ref[:, sub * ncode : (sub + 1) * ncode], oh_t,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+    if w_lists:  # residual mode: add this tile's per-row centroid term
+        local = codes[m, :].astype(jnp.int32)  # (T,) local list idx < w_lists
+        w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, tile_sz), 0)
+        oh_l = (w_iota == local[None, :]).astype(jnp.bfloat16)  # (W, T)
+        xhat_sc[:, :] = xhat_sc[:, :] + lax.dot_general(
+            ct_ref[0], oh_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, W) @ (W, T)
     scores = lax.dot_general(
         q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -158,19 +171,24 @@ def pq_tiles_topk_pallas(
     queries_sorted,
     tile_table,
     k: int,
+    centroid_tiles=None,
     tile_n: int = 1024,
     tile_q: int = 128,
     l_buckets: int = 0,
     interpret: bool = False,
 ):
-    """Tile-table-pruned PQ search (IP on reconstructions, non-residual).
+    """Tile-table-pruned PQ search (IP on reconstructions).
 
-    codes_cm (m, N_pad) uint8 code-major with N_pad % tile_n == 0;
+    codes_cm (m[+1], N_pad) uint8 code-major with N_pad % tile_n == 0 — the
+    extra row (residual mode) is each row's LOCAL list index within its tile;
+    centroid_tiles (n_tiles, D, W) bf16 holds each tile's ≤W list centroids.
     queries_sorted (Q_pad, D) pre-sorted/padded; tile_table (n_qt, P) i32.
     Returns (scores (Q, k) f32, arena-row idx (Q, k) i32).
     """
-    m, n = codes_cm.shape
     ncode, dsub = codebooks.shape[1], codebooks.shape[2]
+    residual = centroid_tiles is not None
+    m = codes_cm.shape[0] - (1 if residual else 0)
+    n = codes_cm.shape[1]
     d = m * dsub
     nq = queries_sorted.shape[0]
     assert n % tile_n == 0 and nq % tile_q == 0
@@ -180,21 +198,32 @@ def pq_tiles_topk_pallas(
     assert tile_n % l_buckets == 0
     n_qt = nq // tile_q
     p = tile_table.shape[1]
+    w_lists = int(centroid_tiles.shape[2]) if residual else 0
 
     qp = queries_sorted.astype(jnp.bfloat16)
     cbt = jnp.transpose(codebooks, (2, 0, 1)).reshape(dsub, m * ncode).astype(
         jnp.bfloat16
     )
+    if not residual:
+        centroid_tiles = jnp.zeros((1, d, 1), jnp.bfloat16)
+    code_rows = codes_cm.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_qt, p),
         in_specs=[
             pl.BlockSpec((tile_q, d), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (m, tile_n), lambda i, j, tt: (0, tt[i, j]), memory_space=pltpu.VMEM
+                (code_rows, tile_n), lambda i, j, tt: (0, tt[i, j]),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (dsub, m * ncode), lambda i, j, tt: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, centroid_tiles.shape[1], centroid_tiles.shape[2]),
+                (lambda i, j, tt: (tt[i, j], 0, 0)) if residual
+                else (lambda i, j, tt: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
@@ -208,7 +237,8 @@ def pq_tiles_topk_pallas(
         ],
     )
     kernel = functools.partial(
-        _pq_tiles_kernel, n=n, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub
+        _pq_tiles_kernel, n=n, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
+        w_lists=w_lists,
     )
     out_v, out_i = pl.pallas_call(
         kernel,
@@ -218,7 +248,8 @@ def pq_tiles_topk_pallas(
             jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_table.astype(jnp.int32), qp, codes_cm, cbt)
+    )(tile_table.astype(jnp.int32), qp, codes_cm, cbt,
+      centroid_tiles.astype(jnp.bfloat16))
 
     top_v, pos = lax.top_k(out_v[:nq], min(k, l_buckets))
     top_i = jnp.take_along_axis(out_i[:nq], pos, axis=1)
