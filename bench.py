@@ -97,7 +97,7 @@ def main() -> None:
             return float(acc)
 
         run_many(2, 0.5)  # warm
-        reps = 8
+        reps = 64  # the kernel is ~ms-fast: work must dwarf the fetch RTT
         t0 = time.perf_counter()
         run_many(reps, 0.01)
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)

@@ -101,19 +101,25 @@ def _band_kernel(
     qt = pl.program_id(0)
     at = band_start_ref[qt] + j  # actual arena tile this step loaded
     rows_per_bucket = tile_sz // l_buckets
-    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
     base = at * tile_sz
-    g_idx = (
-        base
-        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
-        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-    )
-    s3 = jnp.where(g_idx < n, s3, NEG_INF)
-    mx = jnp.max(s3, axis=1)
-    is_max = s3 >= mx[:, None, :]
-    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
-    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+    if rows_per_bucket == 1:
+        # L == tile: pure elementwise merge, no reduction/argmax passes
+        g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mx = jnp.where(g < n, scores, NEG_INF)
+        new_idx = g
+    else:
+        s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+        g_idx = (
+            base
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        )
+        s3 = jnp.where(g_idx < n, s3, NEG_INF)
+        mx = jnp.max(s3, axis=1)
+        is_max = s3 >= mx[:, None, :]
+        r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+        new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
     better = mx > val_sc[:]
     val_sc[:] = jnp.where(better, mx, val_sc[:])
     idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
@@ -158,19 +164,25 @@ def _tiles_kernel(
     qt = pl.program_id(0)
     at = tile_table_ref[qt, j]
     rows_per_bucket = tile_sz // l_buckets
-    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
     base = at * tile_sz
-    g_idx = (
-        base
-        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
-        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-    )
-    s3 = jnp.where(g_idx < n, s3, NEG_INF)
-    mx = jnp.max(s3, axis=1)
-    is_max = s3 >= mx[:, None, :]
-    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
-    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+    if rows_per_bucket == 1:
+        # L == tile: pure elementwise merge, no reduction/argmax passes
+        g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mx = jnp.where(g < n, scores, NEG_INF)
+        new_idx = g
+    else:
+        s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+        g_idx = (
+            base
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        )
+        s3 = jnp.where(g_idx < n, s3, NEG_INF)
+        mx = jnp.max(s3, axis=1)
+        is_max = s3 >= mx[:, None, :]
+        r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+        new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
     better = mx > val_sc[:]
     val_sc[:] = jnp.where(better, mx, val_sc[:])
     idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
@@ -209,7 +221,7 @@ def tiles_topk_pallas(
         )
         d = d_pad
     if l_buckets == 0:
-        l_buckets = max(512, _ceil_to(8 * k, 128))
+        l_buckets = tile_n  # R=1: elementwise merge (fastest, biggest pool)
     l_buckets = min(l_buckets, tile_n)
     assert tile_n % l_buckets == 0
     n_qt = nq // tile_q
@@ -284,7 +296,7 @@ def band_topk_pallas(
         )
         d = d_pad
     if l_buckets == 0:
-        l_buckets = max(512, _ceil_to(8 * k, 128))
+        l_buckets = tile_n  # R=1: elementwise merge (fastest, biggest pool)
     l_buckets = min(l_buckets, tile_n)
     assert tile_n % l_buckets == 0
     n_qt = nq // tile_q

@@ -63,24 +63,31 @@ def _bucketed_topk_kernel(
 
     tile_sz = scores.shape[1]
     rows_per_bucket = tile_sz // l_buckets
-    # global row of scores[q, r*L + b] is t*T + r*L + b
-    s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
     base = t * tile_sz
-    g_idx = (
-        base
-        + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
-        + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-    )
-    s3 = jnp.where(g_idx < n, s3, NEG_INF)  # mask DB padding
-    m = jnp.max(s3, axis=1)  # (QT, L)
-    # argmax along axis 1 without relying on Mosaic argmax lowering:
-    # smallest r achieving the max.
-    is_max = s3 >= m[:, None, :]
-    r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
-    new_idx = base + r_star * l_buckets + lax.broadcasted_iota(
-        jnp.int32, m.shape, 1
-    )
+    if rows_per_bucket == 1:
+        # L == tile: bucket b IS column b — pure elementwise merge with no
+        # reduction/argmax passes (and a 2× larger candidate set)
+        g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        m = jnp.where(g < n, scores, NEG_INF)
+        new_idx = g
+    else:
+        # global row of scores[q, r*L + b] is t*T + r*L + b
+        s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+        g_idx = (
+            base
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        )
+        s3 = jnp.where(g_idx < n, s3, NEG_INF)  # mask DB padding
+        m = jnp.max(s3, axis=1)  # (QT, L)
+        # argmax along axis 1 without relying on Mosaic argmax lowering:
+        # smallest r achieving the max.
+        is_max = s3 >= m[:, None, :]
+        r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+        new_idx = base + r_star * l_buckets + lax.broadcasted_iota(
+            jnp.int32, m.shape, 1
+        )
 
     better = m > val_sc[:]
     val_sc[:] = jnp.where(better, m, val_sc[:])
@@ -119,7 +126,7 @@ def flat_topk_pallas(
     nq = queries.shape[0]
     k = min(k, n)
     if l_buckets == 0:
-        l_buckets = max(512, _ceil_to(8 * k, 128))
+        l_buckets = tile_n  # R=1: elementwise merge (fastest, biggest pool)
     l_buckets = min(l_buckets, tile_n)
     assert tile_n % l_buckets == 0, (tile_n, l_buckets)
 
