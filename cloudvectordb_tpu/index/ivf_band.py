@@ -192,6 +192,59 @@ class BandIVFIndex(Index):
         idx._populate(vectors)
         return idx
 
+    @classmethod
+    def build_streaming(
+        cls, chunks, nlist: int, train_sample: int = 262_144, **kw
+    ) -> "BandIVFIndex":
+        """Streaming encode→insert build (BASELINE config #5 path): consume
+        device-resident embedding chunks (e.g. straight from encode_corpus's
+        megabatches), quantize+assign each on device, accumulate the compact
+        int8 payload on the host, and assemble the arena once with the native
+        parallel sort — the full-precision corpus never exists in one piece.
+        """
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
+        idx = None
+        payload_chunks: list[np.ndarray] = []
+        assign_chunks: list[np.ndarray] = []
+        scale = 1e-12
+        for chunk in chunks:
+            chunk = jnp.asarray(chunk, jnp.float32)
+            if idx is None:
+                idx = cls(int(chunk.shape[1]), nlist, **kw)
+                assert idx.dtype == "int8", "streaming build is the int8 path"
+                ns = min(train_sample, chunk.shape[0])
+                c, _ = train_kmeans(chunk[:ns], nlist, iters=idx.kmeans_iters,
+                                    seed=idx.seed)
+                c = np.asarray(c)
+                idx.centroids = c[order_centroids(c)]
+                rms = float(jnp.sqrt(jnp.mean(chunk * chunk)))
+                amax = float(jnp.max(jnp.abs(chunk)))
+                scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+            a, _ = assign_clusters(chunk, jnp.asarray(idx.centroids))
+            q8 = jnp.clip(jnp.round(chunk / scale), -127, 127).astype(jnp.int8)
+            payload_chunks.append(np.asarray(q8))   # m-byte-scale host copy
+            assign_chunks.append(np.asarray(a))
+        assert idx is not None, "empty stream"
+        payload = np.concatenate(payload_chunks)
+        assigns = np.concatenate(assign_chunks)
+        n = payload.shape[0]
+        order, offsets = arena_sort(assigns, nlist)
+        sorted_payload = gather_rows(payload, order)
+        n_pad = -(-n // idx.tile_n) * idx.tile_n
+        if n_pad != n:
+            sorted_payload = np.concatenate(
+                [sorted_payload, np.zeros((n_pad - n, idx.dim), np.int8)]
+            )
+        idx._payload = sorted_payload  # host; ships to HBM lazily
+        idx._ids = order.astype(np.int32)
+        idx._offsets = offsets
+        idx._scale = scale
+        idx._n = n
+        idx._tile_window = idx._compute_tile_window()
+        idx._dev = None
+        return idx
+
     def _populate(self, vectors) -> None:
         vectors = jnp.asarray(vectors, jnp.float32)
         a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))

@@ -1,0 +1,35 @@
+"""Streaming build of the band index matches the bulk build's results."""
+
+import numpy as np
+
+from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
+
+
+def test_streaming_build_matches_bulk():
+    db = clustered_vectors(6000, 64, n_clusters=32, seed=170, normalize=True)
+    q = queries_from(db, 32, seed=171, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    kw = dict(dtype="int8", kmeans_iters=6, tile_n=256, tile_q=16, seed=4)
+
+    chunks = (db[s : s + 1500] for s in range(0, 6000, 1500))
+    stream = BandIVFIndex.build_streaming(chunks, nlist=16, **kw)
+    assert stream.ntotal == 6000
+    n_tiles = stream._payload.shape[0] // stream.tile_n
+    _, i_s = stream.search(q, 10, p_tiles=n_tiles, interpret=True)
+    r_s = recall_at_k(i_s, gt)
+
+    bulk = BandIVFIndex.build(db, nlist=16, **kw)
+    _, i_b = bulk.search(q, 10, p_tiles=n_tiles, interpret=True)
+    r_b = recall_at_k(i_b, gt)
+    # streaming trains k-means on the first chunk only → small tolerance
+    assert r_s >= r_b - 0.1, (r_s, r_b)
+    assert r_s >= 0.8, r_s
+    # ids must be valid original indices (the whole corpus reachable)
+    assert i_s.min() >= 0 and i_s.max() < 6000
+    # late chunks are findable
+    q_late = db[5500:5508]
+    _, late = stream.search(q_late, 1, p_tiles=n_tiles, interpret=True)
+    _, gt_late = brute_force_topk(db, q_late, 1, metric="ip")
+    assert recall_at_k(late, gt_late) >= 0.7
