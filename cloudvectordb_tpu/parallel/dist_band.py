@@ -1,0 +1,173 @@
+"""Sharded tile-pruned serving index — BASELINE config #4's fast path.
+
+Rows partition across the 'shard' mesh axis; the coarse quantizer is shared
+(trained once, replicated). Every device plans + scans its own int8 arena
+with the tiles kernel, then partial top-k merge rides one all_gather over ICI
+(S·B·k floats). Identical code on the simulated CPU mesh (interpret kernels)
+and a real v5e-8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cloudvectordb_tpu.index.ivf_band import BandIVFIndex, _tiles_plan_search
+from cloudvectordb_tpu.index.kmeans import train_kmeans
+from cloudvectordb_tpu.ops.pallas_band import order_centroids
+from cloudvectordb_tpu.parallel.mesh import make_mesh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret", "mesh"),
+)
+def _sharded_band_search(
+    q, centroids, payload, ids, tile_window, db_scale,
+    *, k, p_tiles, tile_n, tile_q, interpret, mesh,
+):
+    """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
+    (S, n_tiles, W) sharded on axis 0; queries/centroids replicated."""
+
+    def local(qb, c, pay, ids_l, tw):
+        v, gid = _tiles_plan_search(
+            qb, c, pay, ids_l[0], tw[0], db_scale,
+            k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
+            int8=True, interpret=interpret,
+        )
+        all_v = lax.all_gather(v, "shard", axis=0)  # (S, B, k)
+        all_i = lax.all_gather(gid, "shard", axis=0)
+        s, b, kk = all_v.shape
+        cand_v = jnp.transpose(all_v, (1, 0, 2)).reshape(b, s * kk)
+        cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * kk)
+        best_v, pos = lax.top_k(cand_v, k)
+        return best_v, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P("shard"), P("shard"), P("shard")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, centroids, payload, ids, tile_window)
+
+
+class ShardedBandIndex:
+    """Row-partitioned BandIVFIndex with a shared coarse quantizer."""
+
+    def __init__(self, mesh: Mesh | None = None, **band_kw):
+        self.mesh = mesh or make_mesh(axis_name="shard")
+        self.kw = band_kw
+        self._shards: list[BandIVFIndex] = []
+        self._dev = None
+        self._scale = 1.0
+
+    @property
+    def nshards(self) -> int:
+        return self.mesh.shape["shard"]
+
+    @property
+    def ntotal(self) -> int:
+        return sum(s.ntotal for s in self._shards)
+
+    @classmethod
+    def build(cls, vectors, nlist: int, mesh: Mesh | None = None,
+              train_sample: int = 262_144, **kw) -> "ShardedBandIndex":
+        vectors = np.asarray(vectors, np.float32)
+        idx = cls(mesh, **kw)
+        s = idx.nshards
+        dim = vectors.shape[1]
+        ns = min(train_sample, vectors.shape[0])
+        proto = BandIVFIndex(dim, nlist, **kw)
+        sel = np.random.default_rng(proto.seed).choice(
+            vectors.shape[0], ns, replace=False)
+        c, _ = train_kmeans(jnp.asarray(vectors[np.sort(sel)]), nlist,
+                            iters=proto.kmeans_iters, seed=proto.seed)
+        c = np.asarray(c)
+        centroids = c[order_centroids(c)]
+        bounds = np.linspace(0, vectors.shape[0], s + 1).astype(int)
+        for si in range(s):
+            sub = BandIVFIndex(dim, nlist, **kw)
+            sub.centroids = centroids
+            sub._populate(jnp.asarray(vectors[bounds[si] : bounds[si + 1]]))
+            # global ids = local order + partition base
+            sub._ids = (sub._ids + bounds[si]).astype(np.int32)
+            idx._shards.append(sub)
+        # one global dequant scale (max across shards keeps scores comparable)
+        idx._scale = max(sh._scale for sh in idx._shards)
+        return idx
+
+    def _device_state(self):
+        if self._dev is not None:
+            return self._dev
+        s = self.nshards
+        tile_n = self._shards[0].tile_n
+        max_pad = max(int(sh._payload.shape[0]) for sh in self._shards)
+        max_pad = -(-max_pad // tile_n) * tile_n
+        n_tiles = max_pad // tile_n
+        w = max(sh._tile_window.shape[1] for sh in self._shards)
+        dim = self._shards[0].dim
+        payload = np.zeros((s, max_pad, dim), np.int8)
+        ids = np.zeros((s, max_pad), np.int32)
+        tw = np.zeros((s, n_tiles, w), np.int32)
+        for si, sh in enumerate(self._shards):
+            # requantize under the global scale if this shard's differs
+            p = np.asarray(sh._payload)
+            if sh._scale != self._scale:
+                p = np.clip(np.round(p.astype(np.float32)
+                                     * (sh._scale / self._scale)), -127, 127
+                            ).astype(np.int8)
+            payload[si, : p.shape[0]] = p
+            ids[si, : sh._ids.shape[0]] = sh._ids
+            stw = sh._tile_window
+            # pad rows (tiles) by repeating the last window, columns by
+            # repeating each row's last list id (idempotent for max-scoring)
+            if stw.shape[0] < n_tiles:
+                stw = np.concatenate(
+                    [stw, np.repeat(stw[-1:], n_tiles - stw.shape[0], axis=0)]
+                )
+            if stw.shape[1] < w:
+                stw = np.concatenate(
+                    [stw, np.repeat(stw[:, -1:], w - stw.shape[1], axis=1)],
+                    axis=1,
+                )
+            tw[si] = stw
+        shard_sh = NamedSharding(self.mesh, P("shard"))
+        self._dev = dict(
+            centroids=jnp.asarray(self._shards[0].centroids),
+            payload=jax.device_put(
+                jnp.asarray(payload.reshape(s * max_pad, dim)), shard_sh),
+            ids=jax.device_put(jnp.asarray(ids), shard_sh),
+            tile_window=jax.device_put(jnp.asarray(tw), shard_sh),
+            n_tiles=n_tiles,
+        )
+        return self._dev
+
+    def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
+               interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        queries = np.asarray(queries, np.float32)
+        nq = queries.shape[0]
+        st = self._device_state()
+        sh0 = self._shards[0]
+        if p_tiles <= 0:
+            lists_per_tile = max(
+                1.0, sh0.nlist * sh0.tile_n / max(sh0.ntotal, 1))
+            p_tiles = int(min(st["n_tiles"],
+                              max(8, round(4 * nprobe / lists_per_tile))))
+        q_pad = -(-nq // sh0.tile_q) * sh0.tile_q
+        qp = queries if q_pad == nq else np.concatenate(
+            [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
+        v, i = _sharded_band_search(
+            jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
+            st["tile_window"], self._scale,
+            k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
+            interpret=interpret, mesh=self.mesh,
+        )
+        return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)
