@@ -20,9 +20,14 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 def _score_block(q, tile, metric: str, tile_sqnorm=None):
-    """(Q, D) x (T, D) -> (Q, T) scores, f32 accumulation on the MXU."""
+    """(Q, D) x (T, D) -> (Q, T) scores, true-f32 MXU passes.
+
+    Precision.HIGHEST matters: TPU matmuls default to bf16 inputs, which
+    reorders near-ties — this is the EXACT/ground-truth path (measured:
+    recall@10 0.9875 instead of 1.0 without it)."""
     dots = lax.dot_general(
-        q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     if metric == "ip":
         return dots
