@@ -173,7 +173,23 @@ class Pipeline:
                 batch_size=self.cfg.encode_batch,
             )
             np.save(out, emb)
-            self.metrics.log("encoded", count=emb.shape[0], dim=emb.shape[1])
+            # degeneracy check: an undertrained/collapsed encoder maps
+            # everything to one point; downstream recall then measures
+            # tie-ordering, not retrieval. Surface the cause loudly.
+            ns = min(512, emb.shape[0])
+            sample = emb[np.random.default_rng(0).choice(emb.shape[0], ns, replace=False)]
+            sims = sample[: ns // 2] @ sample[ns // 2 :].T
+            mean_sim = float(np.mean(sims))
+            if mean_sim > 0.98:
+                log.warning(
+                    "embeddings are near-degenerate (mean pairwise cosine %.4f): "
+                    "the encoder is undertrained or collapsed — increase "
+                    "train.total_steps / lower train.lr before trusting recall",
+                    mean_sim,
+                )
+            self.metrics.log(
+                "encoded", count=emb.shape[0], dim=emb.shape[1], mean_sim=mean_sim
+            )
         self._mark_done("encode")
         return emb
 

@@ -43,7 +43,7 @@ def test_streaming_into_ivfpq_incremental():
     corpus, tok, model, params = _setup()
     emb = encode_corpus(model, params, tok, corpus, batch_size=64)
     idx = IVFPQIndex(dim=32, nlist=8, m=8, nbits=6, metric="ip",
-                     kmeans_iters=5, pq_train_iters=5)
+                     kmeans_iters=5, pq_train_iters=5, refine="int8")
     idx.train(emb[:200])  # quantizers from the first megabatch's sample
     encode_corpus_streaming(
         model, params, tok, corpus, consume=lambda e: idx.add(np.asarray(e)),
