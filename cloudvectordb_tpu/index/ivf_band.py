@@ -484,10 +484,12 @@ class BandIVFPQIndex(BandIVFIndex):
         tile_n: int = 1024,
         tile_q: int = 128,
         residual: bool = True,
+        opq_matrix: np.ndarray | None = None,
     ):
         super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
                          seed=seed, tile_n=tile_n, tile_q=tile_q)
         assert dim % m == 0 and refine in ("none", "int8")
+        self.opq_matrix = opq_matrix  # x' = x @ Rᵀ before coarse+PQ
         self.m = m
         self.nbits = nbits
         self.refine = refine
@@ -500,12 +502,22 @@ class BandIVFPQIndex(BandIVFIndex):
 
     @classmethod
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
-              **kw) -> "BandIVFPQIndex":
+              opq: bool = False, **kw) -> "BandIVFPQIndex":
         vectors = jnp.asarray(vectors, jnp.float32)
         idx = cls(int(vectors.shape[1]), nlist, m=m, **kw)
         ns = min(train_sample, vectors.shape[0])
         sel = np.sort(np.random.default_rng(idx.seed).choice(
             vectors.shape[0], ns, replace=False))
+        if opq and idx.opq_matrix is None:
+            from cloudvectordb_tpu.index.opq import train_opq
+
+            r, _ = train_opq(
+                np.asarray(vectors[jnp.asarray(sel[: min(ns, 65536)])]),
+                m, idx.nbits, outer_iters=4, pq_iters=5, seed=idx.seed,
+            )
+            idx.opq_matrix = r
+        if idx.opq_matrix is not None:
+            vectors = vectors @ jnp.asarray(idx.opq_matrix).T
         c, _ = train_kmeans(vectors[jnp.asarray(sel)], nlist,
                             iters=idx.kmeans_iters, seed=idx.seed)
         c = np.asarray(c)
@@ -619,6 +631,8 @@ class BandIVFPQIndex(BandIVFIndex):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
+        if self.opq_matrix is not None:
+            queries = queries @ self.opq_matrix.T
         nq = queries.shape[0]
         st = self._device_state()
         n_tiles = self._n_pad_rows // self.tile_n
@@ -650,6 +664,8 @@ class BandIVFPQIndex(BandIVFIndex):
         }
         if self.refine == "int8":
             out["refine_rows"] = np.asarray(self._refine_rows)
+        if self.opq_matrix is not None:
+            out["opq_matrix"] = np.asarray(self.opq_matrix)
         return out
 
     def _state_meta(self):
@@ -679,6 +695,8 @@ class BandIVFPQIndex(BandIVFIndex):
             np.asarray(arrays["refine_rows"]) if "refine_rows" in arrays
             else np.zeros((1, manifest["dim"]), np.int8)
         )
+        if "opq_matrix" in arrays:
+            idx.opq_matrix = np.asarray(arrays["opq_matrix"])
         idx._tile_window = idx._compute_tile_window()
         if idx.residual:
             ct = idx.centroids[idx._tile_window]

@@ -37,7 +37,8 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
     if cfg.kind == "band_ivf_pq":
         return BandIVFPQIndex.build(
             vectors, nlist, m=cfg.m, nbits=cfg.nbits, refine=cfg.refine,
-            train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
+            opq=cfg.opq, train_sample=cfg.train_sample,
+            kmeans_iters=cfg.kmeans_iters,
             pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
         )
     if cfg.kind == "ivf_flat":

@@ -110,3 +110,25 @@ def test_band_pq_no_refine(data):
     n_tiles = idx._n_pad_rows // idx.tile_n
     _, found = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
     assert recall_at_k(found, gt) >= 0.2  # PQ-ceiling-limited (m=8, nbits=6)
+
+
+def test_band_pq_opq(data, tmp_path):
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+    from cloudvectordb_tpu.index import load_index
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, refine="int8", opq=True, kmeans_iters=5,
+        pq_train_iters=5, tile_n=256, tile_q=16,
+    )
+    assert idx.opq_matrix is not None
+    np.testing.assert_allclose(idx.opq_matrix @ idx.opq_matrix.T,
+                               np.eye(db.shape[1]), atol=1e-3)
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    _, found = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
+    r = recall_at_k(found, gt)
+    assert r >= 0.8, r
+    idx.save(tmp_path / "opq")
+    idx2 = load_index(tmp_path / "opq")
+    _, f2 = idx2.search(q, 10, p_tiles=n_tiles, interpret=True)
+    np.testing.assert_array_equal(found, f2)
