@@ -28,20 +28,39 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "cap", "metric", "residual", "mesh")
+    jax.jit,
+    static_argnames=(
+        "k", "k_cand", "nprobe", "cap", "metric", "residual", "mesh",
+        "refine_scale",
+    ),
 )
 def _sharded_ivfpq_search(
-    q, centroids, codebooks, codes, ids, offsets, lens,
-    *, k, nprobe, cap, metric, residual, mesh,
+    q, centroids, codebooks, codes, ids, offsets, lens, refine_rows,
+    *, k, k_cand, nprobe, cap, metric, residual, mesh, refine_scale: float,
 ):
-    """codes (S·maxn, m) row-sharded; offsets/lens/ids sharded on axis 0."""
+    """codes (S·maxn, m) row-sharded; offsets/lens/ids/refine_rows sharded on
+    axis 0. Refinement rescoring runs SHARD-LOCALLY (each shard holds the
+    int8 rows for its partition) before the tiny all_gather merge."""
 
-    def local(qb, c, cb, codes_l, ids_l, off_l, lens_l):
+    def local(qb, c, cb, codes_l, ids_l, off_l, lens_l, rr):
         v, i = _ivfpq_scan_search(
             qb, c, codes_l, jnp.arange(codes_l.shape[0], dtype=jnp.int32),
             off_l[0], lens_l[0], cb,
-            k=k, nprobe=nprobe, cap=cap, metric=metric, residual=residual,
+            k=k_cand, nprobe=nprobe, cap=cap, metric=metric, residual=residual,
         )
+        if refine_scale > 0:
+            rows_l = jnp.clip(i, 0, rr.shape[0] - 1)
+            cand = rr[rows_l].astype(jnp.float32) * refine_scale
+            if metric == "ip":
+                ex = jnp.einsum("bd,brd->br", qb, cand)
+            else:
+                diff = qb[:, None, :] - cand
+                ex = -jnp.sum(diff * diff, axis=2)
+            v, pos = lax.top_k(ex, k)
+            i = jnp.take_along_axis(i, pos, axis=1)
+        else:
+            v = v[:, :k]
+            i = i[:, :k]
         # map local rows → global ids through this shard's id table
         gid = jnp.take_along_axis(ids_l[0][None, :].repeat(i.shape[0], 0), i, axis=1)
         all_v = lax.all_gather(v, "shard", axis=0)  # (S, B, k)
@@ -55,21 +74,28 @@ def _sharded_ivfpq_search(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("shard"), P("shard"), P("shard"), P("shard")),
+        in_specs=(
+            P(), P(), P(), P("shard"), P("shard"), P("shard"), P("shard"),
+            P("shard"),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(q, centroids, codebooks, codes, ids, offsets, lens)
+    )(q, centroids, codebooks, codes, ids, offsets, lens, refine_rows)
 
 
 class ShardedIVFPQIndex:
     """Row-partitioned IVF-PQ with replicated quantizers."""
 
-    def __init__(self, mesh: Mesh | None = None, **ivfpq_kw):
+    def __init__(self, mesh: Mesh | None = None, refine: str = "none", **ivfpq_kw):
         self.mesh = mesh or make_mesh(axis_name="shard")
-        self.kw = ivfpq_kw
+        ivfpq_kw.pop("refine", None)  # refinement lives in the wrapper: rows
+        self.kw = ivfpq_kw            # stay shard-local and arena-ordered
+        self.refine = refine
         self.metric = ivfpq_kw.get("metric", "ip")
         self.residual = ivfpq_kw.get("residual", True)
         self._shards: list[IVFPQIndex] = []
+        self._refine_shards: list[np.ndarray] = []
+        self._refine_scale = 0.0
         self._dev = None
         self._next_id = 0
 
@@ -99,6 +125,10 @@ class ShardedIVFPQIndex:
         proto.train(vectors[sel])
         # contiguous row partition; each shard reuses the shared quantizers
         # and stores GLOBAL ids directly in its arena.
+        if idx.refine == "int8":
+            rms = float(np.sqrt(np.mean(vectors.astype(np.float64) ** 2)))
+            amax = float(np.abs(vectors).max())
+            idx._refine_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
         bounds = np.linspace(0, vectors.shape[0], s + 1).astype(int)
         for si in range(s):
             sub = IVFPQIndex(dim, nlist, m=m, **kw)
@@ -110,6 +140,13 @@ class ShardedIVFPQIndex:
             )
             sub.merge_pending()
             idx._shards.append(sub)
+            if idx.refine == "int8":
+                # arena-ordered int8 rows for shard-local rescoring
+                rows = vectors[sub._arena.ids]
+                idx._refine_shards.append(
+                    np.clip(np.round(rows / idx._refine_scale), -127, 127
+                            ).astype(np.int8)
+                )
         idx._next_id = int(vectors.shape[0])
         idx._dev = None
         return idx
@@ -117,6 +154,12 @@ class ShardedIVFPQIndex:
     def add(self, vectors) -> None:
         """Append to the smallest shard (keeps shards balanced); global ids."""
         assert self._shards, "build() first"
+        if self.refine == "int8":
+            raise NotImplementedError(
+                "incremental add with refinement needs the shard's raw rows "
+                "re-staged; rebuild, or use refine='none' for high-churn "
+                "workloads (round-2 item)"
+            )
         vectors = np.asarray(vectors, np.float32)
         si = int(np.argmin([s.ntotal for s in self._shards]))
         n = vectors.shape[0]
@@ -146,6 +189,12 @@ class ShardedIVFPQIndex:
             offsets[si] = ar.offsets[:-1]
             lens[si] = ar.list_lens
             cap = max(cap, ar.max_list_len)
+        refine = np.zeros((s, max_n if self.refine == "int8" else 1,
+                           self._shards[0].dim if self.refine == "int8" else 1),
+                          np.int8)
+        if self.refine == "int8":
+            for si, rr in enumerate(self._refine_shards):
+                refine[si, : rr.shape[0]] = rr
         shard_sh = NamedSharding(self.mesh, P("shard"))
         self._dev = dict(
             centroids=jnp.asarray(self._shards[0].centroids),
@@ -156,22 +205,31 @@ class ShardedIVFPQIndex:
             ids=jax.device_put(jnp.asarray(ids), shard_sh),
             offsets=jax.device_put(jnp.asarray(offsets), shard_sh),
             lens=jax.device_put(jnp.asarray(lens), shard_sh),
+            refine=jax.device_put(
+                jnp.asarray(refine.reshape(s * refine.shape[1], refine.shape[2])),
+                shard_sh,
+            ),
             cap=cap,
         )
         return self._dev
 
-    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256):
+    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256,
+               refine_factor: int = 16):
         queries = np.asarray(queries, np.float32)
         st = self._device_state()
         nprobe = min(nprobe, self.kw["nlist"])
+        do_refine = self.refine == "int8" and self._refine_shards
+        per_shard = max(sh.ntotal for sh in self._shards)
+        k_cand = min(max(k * refine_factor, 32), per_shard) if do_refine else k
         outs_v, outs_i = [], []
         for s0 in range(0, queries.shape[0], batch):
             qb = jnp.asarray(queries[s0 : s0 + batch])
             v, i = _sharded_ivfpq_search(
                 qb, st["centroids"], st["codebooks"], st["codes"], st["ids"],
-                st["offsets"], st["lens"],
-                k=k, nprobe=nprobe, cap=st["cap"], metric=self.metric,
-                residual=self.residual, mesh=self.mesh,
+                st["offsets"], st["lens"], st["refine"],
+                k=k, k_cand=k_cand, nprobe=nprobe, cap=st["cap"],
+                metric=self.metric, residual=self.residual, mesh=self.mesh,
+                refine_scale=self._refine_scale if do_refine else 0.0,
             )
             outs_v.append(np.asarray(v))
             outs_i.append(np.asarray(i))

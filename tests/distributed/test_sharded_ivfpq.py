@@ -46,3 +46,19 @@ def test_sharded_ivfpq_incremental_add():
     _, ids_late = idx.search(q_late, 1, nprobe=8)
     _, gt_late = brute_force_topk(db, q_late, 1, metric="ip")
     assert recall_at_k(ids_late, gt_late) >= 0.5
+
+
+def test_sharded_ivfpq_refine_improves_recall():
+    db = clustered_vectors(4000, 32, n_clusters=24, seed=64, normalize=True)
+    q = queries_from(db, 16, seed=65, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    mesh = make_mesh(axis_name="shard")
+    kw = dict(nbits=6, metric="ip", kmeans_iters=6, pq_train_iters=6, seed=3)
+    plain = ShardedIVFPQIndex.build(db, nlist=16, m=8, mesh=mesh, **kw)
+    refined = ShardedIVFPQIndex.build(db, nlist=16, m=8, mesh=mesh,
+                                      refine="int8", **kw)
+    _, i_p = plain.search(q, 10, nprobe=16)
+    _, i_r = refined.search(q, 10, nprobe=16)
+    r_p = recall_at_k(i_p, gt)
+    r_r = recall_at_k(i_r, gt)
+    assert r_r >= max(r_p, 0.85), (r_p, r_r)
