@@ -535,6 +535,108 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._populate(vectors)
         return idx
 
+    @classmethod
+    def build_streaming(
+        cls, chunks, nlist: int, m: int = 64, train_sample: int = 262_144,
+        opq: bool = False, **kw,
+    ) -> "BandIVFPQIndex":
+        """Config #5 verbatim: OPQ+IVF-PQ with a streaming encode→insert
+        build. Quantizers (coarse, OPQ rotation, PQ codebooks) train on the
+        first chunk; every chunk is rotated/assigned/encoded on device and
+        only its m-byte codes (+ optional int8 refine rows) reach the host.
+        The arena assembles once with the native parallel sort.
+        """
+        from cloudvectordb_tpu.index.pq import pq_encode, train_pq
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
+        idx = None
+        code_chunks: list[np.ndarray] = []
+        refine_chunks: list[np.ndarray] = []
+        assign_chunks: list[np.ndarray] = []
+        scale = 1e-12
+        for chunk in chunks:
+            chunk = jnp.asarray(chunk, jnp.float32)
+            if idx is None:
+                idx = cls(int(chunk.shape[1]), nlist, m=m, **kw)
+                if opq:
+                    from cloudvectordb_tpu.index.opq import train_opq
+
+                    ns = min(train_sample, chunk.shape[0], 65536)
+                    r, _ = train_opq(np.asarray(chunk[:ns]), m, idx.nbits,
+                                     outer_iters=4, pq_iters=5, seed=idx.seed)
+                    idx.opq_matrix = r
+                rot = (jnp.asarray(idx.opq_matrix).T
+                       if idx.opq_matrix is not None else None)
+                tr = chunk @ rot if rot is not None else chunk
+                ns = min(train_sample, tr.shape[0])
+                c, _ = train_kmeans(tr[:ns], nlist, iters=idx.kmeans_iters,
+                                    seed=idx.seed)
+                c = np.asarray(c)
+                idx.centroids = c[order_centroids(c)]
+                cdev = jnp.asarray(idx.centroids)
+                train_vecs = tr[:ns]
+                if idx.residual:
+                    a_s, _ = assign_clusters(train_vecs, cdev)
+                    train_vecs = train_vecs - cdev[a_s]
+                idx.codebooks = np.asarray(
+                    train_pq(train_vecs, m, idx.nbits,
+                             iters=idx.pq_train_iters, seed=idx.seed))
+                if idx.refine == "int8":
+                    rms = float(jnp.sqrt(jnp.mean(tr * tr)))
+                    amax = float(jnp.max(jnp.abs(tr)))
+                    scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+            else:
+                rot = (jnp.asarray(idx.opq_matrix).T
+                       if idx.opq_matrix is not None else None)
+                tr = chunk @ rot if rot is not None else chunk
+                cdev = jnp.asarray(idx.centroids)
+            a, _ = assign_clusters(tr, cdev)
+            enc_in = tr - cdev[a] if idx.residual else tr
+            codes = pq_encode(enc_in, jnp.asarray(idx.codebooks))
+            code_chunks.append(np.asarray(codes))
+            assign_chunks.append(np.asarray(a))
+            if idx.refine == "int8":
+                refine_chunks.append(np.asarray(
+                    jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)))
+        assert idx is not None, "empty stream"
+        codes_all = np.concatenate(code_chunks)
+        assigns = np.concatenate(assign_chunks)
+        n = codes_all.shape[0]
+        order, offsets = arena_sort(assigns, nlist)
+        idx._offsets = offsets
+        idx._n = n
+        n_pad = -(-n // idx.tile_n) * idx.tile_n
+        idx._n_pad_rows = n_pad
+        idx._tile_window = idx._compute_tile_window()
+        sorted_codes = gather_rows(codes_all, order)
+        rows_cm = m + (1 if idx.residual else 0)
+        codes_cm = np.zeros((rows_cm, n_pad), np.uint8)
+        codes_cm[:m, :n] = sorted_codes.T
+        if idx.residual:
+            tw = idx._tile_window
+            row_tile = np.arange(n) // idx.tile_n
+            local = assigns[order] - tw[row_tile, 0]
+            codes_cm[m, :n] = local.astype(np.uint8)
+            ct = idx.centroids[tw]
+            idx._centroid_tiles = jnp.asarray(
+                np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16)
+        else:
+            idx._centroid_tiles = None
+        idx._codes_cm = codes_cm
+        idx._payload = codes_cm
+        idx._ids = order.astype(np.int32)
+        if idx.refine == "int8":
+            rr = gather_rows(np.concatenate(refine_chunks), order)
+            if n_pad != n:
+                rr = np.concatenate([rr, np.zeros((n_pad - n, idx.dim), np.int8)])
+            idx._refine_rows = rr
+            idx._scale = scale
+        else:
+            idx._refine_rows = np.zeros((1, idx.dim), np.int8)
+            idx._scale = 0.0
+        idx._dev = None
+        return idx
+
     def _populate(self, vectors) -> None:
         from cloudvectordb_tpu.index.pq import pq_encode
 

@@ -33,3 +33,23 @@ def test_streaming_build_matches_bulk():
     _, late = stream.search(q_late, 1, p_tiles=n_tiles, interpret=True)
     _, gt_late = brute_force_topk(db, q_late, 1, metric="ip")
     assert recall_at_k(late, gt_late) >= 0.7
+
+
+def test_streaming_band_pq_opq():
+    """Config #5 verbatim at test scale: OPQ+IVF-PQ, streaming build, refine."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db = clustered_vectors(6000, 32, n_clusters=24, seed=175, normalize=True)
+    q = queries_from(db, 32, seed=176, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    chunks = (db[s : s + 2000] for s in range(0, 6000, 2000))
+    idx = BandIVFPQIndex.build_streaming(
+        chunks, nlist=16, m=8, nbits=6, opq=True, refine="int8",
+        kmeans_iters=6, pq_train_iters=5, tile_n=256, tile_q=16,
+    )
+    assert idx.ntotal == 6000 and idx.opq_matrix is not None
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    _, found = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
+    r = recall_at_k(found, gt)
+    assert r >= 0.75, r
+    assert found.min() >= 0 and found.max() < 6000
