@@ -35,16 +35,18 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
 )
 def _pq_tiles_plan_search(
     q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
-    centroid_tiles=None,
+    centroid_tiles=None, n_valid=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
 
     codes_cm (m, N_pad) arena-ordered; refine_rows (N_pad, D) int8 arena-
     ordered (pass a (1, D) dummy + refine_scale 0 to disable refinement).
+    n_valid (traced scalar): TRUE row count — pad rows masked in-kernel.
     """
     from cloudvectordb_tpu.ops.pallas_pq import pq_tiles_topk_pallas
 
+    NEG_INF = float("-inf")
     b = q.shape[0]
     n_qt = b // tile_q
     dots = jax.lax.dot_general(
@@ -63,12 +65,16 @@ def _pq_tiles_plan_search(
     v, rows = pq_tiles_topk_pallas(
         codes_cm, codebooks, q_s, tile_table, k_cand,
         centroid_tiles=centroid_tiles,
-        tile_n=tile_n, tile_q=tile_q, interpret=interpret,
+        tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
     )
     if refine_scale > 0:
+        # probed lists can hold < k_cand real rows: unfilled merge slots sit
+        # at (NEG_INF, row 0) and must not be exactly rescored into results.
+        valid = v > NEG_INF
         rows = jnp.clip(rows, 0, refine_rows.shape[0] - 1)
         cand = refine_rows[rows].astype(jnp.float32) * refine_scale
         ex = jnp.einsum("bd,brd->br", q_s, cand)
+        ex = jnp.where(valid, ex, NEG_INF)
         v, pos = jax.lax.top_k(ex, k)
         rows = jnp.take_along_axis(rows, pos, axis=1)
     else:
@@ -84,7 +90,7 @@ def _pq_tiles_plan_search(
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "int8", "interpret"),
 )
 def _tiles_plan_search(
-    q, centroids, payload, ids, tile_window, db_scale,
+    q, centroids, payload, ids, tile_window, db_scale, n_valid=None,
     *, k, p_tiles, tile_n, tile_q, int8, interpret,
 ):
     """One-dispatch search: device-side planning + tile-table kernel + unsort.
@@ -123,7 +129,7 @@ def _tiles_plan_search(
 
     v, rows = tiles_topk_pallas(
         payload, q_dev, tile_table, k, tile_n=tile_n, tile_q=tile_q,
-        int8=int8, interpret=interpret,
+        int8=int8, interpret=interpret, n_valid=n_valid,
     )
     v = v * (q_scale * db_scale)
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
@@ -350,7 +356,7 @@ class BandIVFIndex(Index):
         )
         v, gids = _tiles_plan_search(
             jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
-            st["tile_window"], self._scale,
+            st["tile_window"], self._scale, jnp.asarray(self._n, jnp.int32),
             k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
             int8=(self.dtype == "int8"), interpret=interpret,
         )
@@ -406,6 +412,7 @@ class BandIVFIndex(Index):
             st["payload"], q_dev, jnp.asarray(band_start), k,
             band_tiles=band_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
             int8=(self.dtype == "int8"), interpret=interpret,
+            n_valid=jnp.asarray(self._n, jnp.int32),
         )
         v = np.asarray(v) * (q_scale * self._scale)
         gids = np.asarray(st["ids"][jnp.clip(rows, 0, self._n - 1)])
@@ -749,6 +756,7 @@ class BandIVFPQIndex(BandIVFIndex):
         v, gids = _pq_tiles_plan_search(
             jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
+            jnp.asarray(self._n, jnp.int32),
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=self.tile_q, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,

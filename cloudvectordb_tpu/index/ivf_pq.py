@@ -332,7 +332,11 @@ class IVFPQIndex(Index):
             )
             if do_refine:
                 # exact re-score of the candidates (refine rows are stored
-                # UNrotated, so score against the raw queries)
+                # UNrotated, so score against the raw queries). Unfilled ADC
+                # slots sit at (NEG_INF, id 0) when probed lists hold fewer
+                # than k_cand rows — mask them or id 0 gets rescored exactly
+                # and displaces real results.
+                valid = v > NEG_INF
                 qraw = jnp.asarray(raw_queries[s : s + batch])
                 rows = st["refine"][jnp.clip(i, 0, st["refine"].shape[0] - 1)]
                 rows = rows.astype(jnp.float32) * self._refine_scale
@@ -341,6 +345,7 @@ class IVFPQIndex(Index):
                 else:
                     diff = qraw[:, None, :] - rows
                     ex = -jnp.sum(diff * diff, axis=2)
+                ex = jnp.where(valid, ex, NEG_INF)
                 v2, pos = lax.top_k(ex, k)
                 i2 = jnp.take_along_axis(i, pos, axis=1)
                 v, i = v2, i2

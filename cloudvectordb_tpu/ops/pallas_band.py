@@ -76,10 +76,12 @@ def order_centroids(centroids: np.ndarray) -> np.ndarray:
 
 def _band_kernel(
     band_start_ref,  # scalar prefetch: (n_qt,) first arena tile of each band
-    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, n, l_buckets, int8
+    nv_ref,  # scalar prefetch: (1,) TRUE row count — pad rows masked out
+    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, l_buckets, int8
 ):
     j = pl.program_id(1)  # band-tile step
     n_j = pl.num_programs(1)
+    n = nv_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -136,13 +138,15 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _tiles_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile id per grid step
-    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, n, l_buckets, int8
+    nv_ref,  # scalar prefetch: (1,) TRUE row count — pad rows masked out
+    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, l_buckets, int8
 ):
     """Like _band_kernel but each query tile scans an ARBITRARY tile set
     (no contiguity needed — 1-D id locality does not exist in high-dim
     space, so bands degenerate; an explicit table doesn't)."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
+    n = nv_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -207,9 +211,17 @@ def tiles_topk_pallas(
     l_buckets: int = 0,
     int8: bool = False,
     interpret: bool = False,
+    n_valid=None,  # true row count (traced scalar ok); pad rows masked out
 ):
     """Top-k over per-query-tile selected arena tiles. Same contract as
-    band_topk_pallas but driven by an explicit tile table."""
+    band_topk_pallas but driven by an explicit tile table.
+
+    ``n_valid`` is the number of REAL rows in ``db`` (rows ≥ n_valid are
+    zero padding to a tile_n multiple and must never become candidates:
+    int8 pads score 0, which can outrank real negatives). Defaults to the
+    padded size for callers that pre-mask; index-layer callers always pass
+    the true count. Traced, so add()-driven count changes don't recompile.
+    """
     n, d = db.shape
     nq = queries_sorted.shape[0]
     assert n % tile_n == 0 and nq % tile_q == 0
@@ -227,26 +239,29 @@ def tiles_topk_pallas(
     n_qt = nq // tile_q
     p = tile_table.shape[1]
     assert tile_table.shape[0] == n_qt
+    nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
+        jnp.asarray(n_valid, jnp.int32).reshape(1)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_qt, p),
         in_specs=[
-            pl.BlockSpec((tile_q, d), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile_n, d), lambda i, j, tt: (tt[i, j], 0), memory_space=pltpu.VMEM
+                (tile_n, d), lambda i, j, tt, nv: (tt[i, j], 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_q, l_buckets), jnp.float32),
             pltpu.VMEM((tile_q, l_buckets), jnp.int32),
         ],
     )
-    kernel = functools.partial(_tiles_kernel, n=n, l_buckets=l_buckets, int8=int8)
+    kernel = functools.partial(_tiles_kernel, l_buckets=l_buckets, int8=int8)
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -255,7 +270,7 @@ def tiles_topk_pallas(
             jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_table.astype(jnp.int32), queries_sorted, db)
+    )(tile_table.astype(jnp.int32), nv, queries_sorted, db)
 
     top_v, pos = lax.top_k(out_v, min(k, l_buckets))
     top_i = jnp.take_along_axis(out_i, pos, axis=1)
@@ -277,13 +292,14 @@ def band_topk_pallas(
     l_buckets: int = 0,
     int8: bool = False,
     interpret: bool = False,
+    n_valid=None,  # true row count (traced scalar ok); pad rows masked out
 ):
     """Scores (Q, k) + arena-row ids (Q, k) for pre-sorted, pre-padded inputs.
 
     db (N_pad, D) with N_pad % tile_n == 0; queries_sorted (Q_pad, D) with
     Q_pad % tile_q == 0 — caller handles sorting/padding (see index layer).
     ``band_start[qt] + band_tiles`` may exceed the arena: caller must clamp
-    band_start to n_tiles - band_tiles.
+    band_start to n_tiles - band_tiles. ``n_valid``: see tiles_topk_pallas.
     """
     n, d = db.shape
     nq = queries_sorted.shape[0]
@@ -300,19 +316,22 @@ def band_topk_pallas(
     l_buckets = min(l_buckets, tile_n)
     assert tile_n % l_buckets == 0
     n_qt = nq // tile_q
+    nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
+        jnp.asarray(n_valid, jnp.int32).reshape(1)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_qt, band_tiles),
         in_specs=[
-            pl.BlockSpec((tile_q, d), lambda i, j, bs: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda i, j, bs, nv: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile_n, d), lambda i, j, bs: (bs[i] + j, 0), memory_space=pltpu.VMEM
+                (tile_n, d), lambda i, j, bs, nv: (bs[i] + j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, bs: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, bs: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, bs, nv: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, bs, nv: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_q, l_buckets), jnp.float32),
@@ -320,7 +339,7 @@ def band_topk_pallas(
         ],
     )
     kernel = functools.partial(
-        _band_kernel, n=n, l_buckets=l_buckets, int8=int8
+        _band_kernel, l_buckets=l_buckets, int8=int8
     )
     out_v, out_i = pl.pallas_call(
         kernel,
@@ -330,7 +349,7 @@ def band_topk_pallas(
             jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
-    )(band_start, queries_sorted, db)
+    )(band_start, nv, queries_sorted, db)
 
     top_v, pos = lax.top_k(out_v, min(k, l_buckets))
     top_i = jnp.take_along_axis(out_i, pos, axis=1)

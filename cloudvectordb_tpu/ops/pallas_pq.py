@@ -92,8 +92,8 @@ def _ceil_to(x: int, mult: int) -> int:
 
 
 def _pq_tiles_kernel(
-    tile_table_ref, q_ref, codes_ref, cbt_ref, ct_ref, out_v_ref, out_i_ref,
-    xhat_sc, val_sc, idx_sc, *, n, l_buckets, m, ncode, dsub, w_lists,
+    tile_table_ref, nv_ref, q_ref, codes_ref, cbt_ref, ct_ref, out_v_ref,
+    out_i_ref, xhat_sc, val_sc, idx_sc, *, l_buckets, m, ncode, dsub, w_lists,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -103,9 +103,15 @@ def _pq_tiles_kernel(
     Residual encoding is exact and cheap: an arena tile spans ≤ w_lists IVF
     lists, so row m of the code block carries each row's LOCAL list index and
     x̂ᵀ += C_tileᵀ (D, W) · OH_localᵀ (W, T) adds the centroid term with one
-    skinny matmul (~D·W MACs/row) instead of a per-row gather."""
+    skinny matmul (~D·W MACs/row) instead of a per-row gather.
+
+    nv_ref (1,) scalar prefetch: the TRUE row count — pad rows past it are
+    masked out (pad codes decode to the code-0 reconstruction + the tile's
+    first centroid, a plausible vector that would otherwise become a
+    phantom candidate)."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
+    n = nv_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -182,6 +188,7 @@ def pq_tiles_topk_pallas(
     tile_q: int = 128,
     l_buckets: int = 0,
     interpret: bool = False,
+    n_valid=None,  # true row count (traced scalar ok); pad rows masked out
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -189,6 +196,8 @@ def pq_tiles_topk_pallas(
     extra row (residual mode) is each row's LOCAL list index within its tile;
     centroid_tiles (n_tiles, D, W) bf16 holds each tile's ≤W list centroids.
     queries_sorted (Q_pad, D) pre-sorted/padded; tile_table (n_qt, P) i32.
+    ``n_valid``: number of REAL rows (pad rows must never become candidates —
+    they decode to plausible vectors); defaults to the padded size.
     Returns (scores (Q, k) f32, arena-row idx (Q, k) i32).
     """
     ncode, dsub = codebooks.shape[1], codebooks.shape[2]
@@ -213,28 +222,31 @@ def pq_tiles_topk_pallas(
     if not residual:
         centroid_tiles = jnp.zeros((1, d, 1), jnp.bfloat16)
     code_rows = codes_cm.shape[0]
+    nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
+        jnp.asarray(n_valid, jnp.int32).reshape(1)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_qt, p),
         in_specs=[
-            pl.BlockSpec((tile_q, d), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (code_rows, tile_n), lambda i, j, tt: (0, tt[i, j]),
+                (code_rows, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (dsub, m * ncode), lambda i, j, tt: (0, 0), memory_space=pltpu.VMEM
+                (dsub, m * ncode), lambda i, j, tt, nv: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, centroid_tiles.shape[1], centroid_tiles.shape[2]),
-                (lambda i, j, tt: (tt[i, j], 0, 0)) if residual
-                else (lambda i, j, tt: (0, 0, 0)),
+                (lambda i, j, tt, nv: (tt[i, j], 0, 0)) if residual
+                else (lambda i, j, tt, nv: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, tile_n), jnp.float32),
@@ -243,7 +255,7 @@ def pq_tiles_topk_pallas(
         ],
     )
     kernel = functools.partial(
-        _pq_tiles_kernel, n=n, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
+        _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
         w_lists=w_lists,
     )
     out_v, out_i = pl.pallas_call(
@@ -254,7 +266,7 @@ def pq_tiles_topk_pallas(
             jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_table.astype(jnp.int32), qp, codes_cm, cbt,
+    )(tile_table.astype(jnp.int32), nv, qp, codes_cm, cbt,
       centroid_tiles.astype(jnp.bfloat16))
 
     top_v, pos = lax.top_k(out_v[:nq], min(k, l_buckets))

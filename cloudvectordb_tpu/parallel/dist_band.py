@@ -28,15 +28,18 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret", "mesh"),
 )
 def _sharded_band_search(
-    q, centroids, payload, ids, tile_window, db_scale,
+    q, centroids, payload, ids, tile_window, n_valid, db_scale,
     *, k, p_tiles, tile_n, tile_q, interpret, mesh,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
-    (S, n_tiles, W) sharded on axis 0; queries/centroids replicated."""
+    (S, n_tiles, W), n_valid (S,) true per-shard row counts — all sharded on
+    axis 0; queries/centroids replicated. Without the per-shard count the
+    kernel's pad mask would use the (shared) padded size and zero-pad rows
+    of short shards would surface as phantom global-id-0 candidates."""
 
-    def local(qb, c, pay, ids_l, tw):
+    def local(qb, c, pay, ids_l, tw, nv):
         v, gid = _tiles_plan_search(
-            qb, c, pay, ids_l[0], tw[0], db_scale,
+            qb, c, pay, ids_l[0], tw[0], db_scale, nv[0],
             k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
             int8=True, interpret=interpret,
         )
@@ -51,10 +54,10 @@ def _sharded_band_search(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P("shard"), P("shard"), P("shard")),
+        in_specs=(P(), P(), P("shard"), P("shard"), P("shard"), P("shard")),
         out_specs=(P(), P()),
         check_vma=False,
-    )(q, centroids, payload, ids, tile_window)
+    )(q, centroids, payload, ids, tile_window, n_valid)
 
 
 class ShardedBandIndex:
@@ -138,12 +141,14 @@ class ShardedBandIndex:
                 )
             tw[si] = stw
         shard_sh = NamedSharding(self.mesh, P("shard"))
+        n_valid = np.asarray([sh._n for sh in self._shards], np.int32)
         self._dev = dict(
             centroids=jnp.asarray(self._shards[0].centroids),
             payload=jax.device_put(
                 jnp.asarray(payload.reshape(s * max_pad, dim)), shard_sh),
             ids=jax.device_put(jnp.asarray(ids), shard_sh),
             tile_window=jax.device_put(jnp.asarray(tw), shard_sh),
+            n_valid=jax.device_put(jnp.asarray(n_valid), shard_sh),
             n_tiles=n_tiles,
         )
         return self._dev
@@ -166,7 +171,7 @@ class ShardedBandIndex:
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
         v, i = _sharded_band_search(
             jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
-            st["tile_window"], self._scale,
+            st["tile_window"], st["n_valid"], self._scale,
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
             interpret=interpret, mesh=self.mesh,
         )

@@ -49,6 +49,9 @@ def _sharded_ivfpq_search(
             k=k_cand, nprobe=nprobe, cap=cap, metric=metric, residual=residual,
         )
         if refine_scale > 0:
+            # unfilled ADC slots are (NEG_INF, row 0): mask before the exact
+            # rescore or shard-local row 0 is resurrected into results
+            valid = v > float("-inf")
             rows_l = jnp.clip(i, 0, rr.shape[0] - 1)
             cand = rr[rows_l].astype(jnp.float32) * refine_scale
             if metric == "ip":
@@ -56,6 +59,7 @@ def _sharded_ivfpq_search(
             else:
                 diff = qb[:, None, :] - cand
                 ex = -jnp.sum(diff * diff, axis=2)
+            ex = jnp.where(valid, ex, float("-inf"))
             v, pos = lax.top_k(ex, k)
             i = jnp.take_along_axis(i, pos, axis=1)
         else:
