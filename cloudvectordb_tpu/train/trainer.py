@@ -140,13 +140,22 @@ class Trainer:
     ) -> TrainState:
         cfg = self.cfg
         state = state or self.init_state()
+        batches = iter(batches)
         start_step = 0
         if resume:
-            restored, step, _ = restore_checkpoint(cfg.ckpt_dir, state)
+            restored, step, meta = restore_checkpoint(cfg.ckpt_dir, state)
             if restored is not None:
                 state = jax.device_put(restored, replicated(self.mesh))
                 start_step = step
-                log.info("resumed from step %d", step)
+                # exact resume: the data stream restarts from its beginning on
+                # every fit() call (deterministic batch order), so skip the
+                # batches the checkpointed run already consumed — otherwise
+                # seen data replays against a later optimizer step.
+                cursor = int(meta.get("data_cursor", step))
+                for _ in range(cursor):
+                    if next(batches, None) is None:
+                        break
+                log.info("resumed from step %d (data cursor %d)", step, cursor)
         t0 = time.perf_counter()
         seen = 0
         for i, batch in enumerate(batches):

@@ -77,5 +77,14 @@ def restore_checkpoint(ckpt_dir: str | Path, like_tree, step: int | None = None)
     assert len(leaves) == len(data.files), (
         f"checkpoint has {len(data.files)} leaves, model expects {len(leaves)}"
     )
+    # leaf count alone can't catch a structurally different pytree (weights
+    # would silently load into the wrong slots) — the stored treedef must
+    # match the restore target exactly.
+    saved_td = meta.get("treedef")
+    if saved_td is not None and saved_td != str(treedef):
+        raise ValueError(
+            f"checkpoint treedef mismatch at {d}: saved structure differs "
+            f"from the restore target (same leaf count, different tree)"
+        )
     new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
     return jax.tree.unflatten(treedef, new_leaves), step, meta

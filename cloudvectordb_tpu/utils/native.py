@@ -8,6 +8,7 @@ toolchain. pybind11 is unavailable in this environment, hence the C ABI.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -19,8 +20,7 @@ log = get_logger("cvdb.native")
 
 _REPO = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO / "native" / "arena_sort.cpp"
-_BUILD = _REPO / "native" / "build"
-_LIB = _BUILD / "libarena_sort.so"
+_BUILD = _REPO / "native" / "build"  # gitignored: binaries are never committed
 _lib = None
 _tried = False
 
@@ -31,14 +31,21 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # cache key = source-content hash: mtime is unreliable after a clone
+        # (git doesn't preserve it) and a stale/non-portable blob must never
+        # be loaded over the checked-in source.
+        src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+        lib_path = _BUILD / f"libarena_sort.{src_hash}.so"
+        if not lib_path.exists():
             _BUILD.mkdir(parents=True, exist_ok=True)
+            tmp = lib_path.with_suffix(".so.tmp")
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-                 "-pthread", str(_SRC), "-o", str(_LIB)],
+                 "-pthread", str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True,
             )
-        lib = ctypes.CDLL(str(_LIB))
+            tmp.replace(lib_path)  # atomic: concurrent loaders see whole files
+        lib = ctypes.CDLL(str(lib_path))
         lib.arena_sort.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),

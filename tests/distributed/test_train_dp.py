@@ -70,3 +70,32 @@ def test_fit_checkpoints_and_resumes(tmp_path):
     trainer2 = Trainer(cfg, mesh=mesh)
     final = trainer2.fit(_toy_batches(20), resume=True)
     assert int(jax.device_get(final.step)) == 10
+
+
+def test_resume_skips_consumed_batches(tmp_path):
+    """Exact resume: the restored run must NOT replay batches the
+    checkpointed run already consumed (data cursor semantics)."""
+    mesh = make_mesh(axis_name="data")
+    cfg = TrainConfig(
+        encoder=EncoderConfig(
+            vocab_size=64, hidden_dim=16, num_layers=1, num_heads=2, mlp_dim=32,
+            max_len=8, dropout=0.0, dtype="float32",
+        ),
+        batch_size=16, total_steps=8, ckpt_every=4, log_every=100,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    Trainer(cfg, mesh=mesh).fit(_toy_batches(4), resume=False)  # ckpt at 4
+
+    consumed = []
+
+    def tracking_stream():
+        for i, b in enumerate(_toy_batches(20)):
+            consumed.append(i)
+            yield b
+
+    trainer2 = Trainer(cfg, mesh=mesh)
+    final = trainer2.fit(tracking_stream(), resume=True)
+    assert int(jax.device_get(final.step)) == 8
+    # batches 0..3 are skipped (fast-forward), 4..7 trained on; the loop may
+    # pull one extra batch before the total_steps bound check (not trained)
+    assert consumed[:8] == [0, 1, 2, 3, 4, 5, 6, 7] and len(consumed) <= 9

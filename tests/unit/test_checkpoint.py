@@ -30,3 +30,15 @@ def test_roundtrip_and_rotation(tmp_path):
 def test_restore_empty(tmp_path):
     tree, step, meta = restore_checkpoint(tmp_path / "none", _tree(0.0))
     assert tree is None and step == -1
+
+
+def test_restore_rejects_structural_mismatch(tmp_path):
+    """Same leaf COUNT, different structure → must raise, not silently load
+    weights into the wrong slots."""
+    import pytest
+
+    d = tmp_path / "ckpt"
+    save_checkpoint(d, 1, _tree(1.0))
+    different = {"w": jnp.zeros((3, 3)), "other": {"c": jnp.zeros((2,))}}
+    with pytest.raises(ValueError, match="treedef mismatch"):
+        restore_checkpoint(d, different)
