@@ -60,6 +60,9 @@ class Index(abc.ABC):
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = Path(tempfile.mkdtemp(dir=path.parent, prefix=".idx_tmp_"))
         try:
+            # arrays first: _state_arrays may fold pending LSM inserts into
+            # the arena, which updates the counts _state_meta records
+            arrays = self._state_arrays()
             manifest = {
                 "format_version": FORMAT_VERSION,
                 "kind": self.kind,
@@ -69,7 +72,6 @@ class Index(abc.ABC):
                 "meta": self._state_meta(),
                 **(extra_meta or {}),
             }
-            arrays = self._state_arrays()
             manifest["arrays"] = sorted(arrays)
             (tmp / MANIFEST).write_text(json.dumps(manifest, indent=2))
             # one .npy per array (not npz): load_arrays can memory-map GB-scale

@@ -144,6 +144,23 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pending_scan(q, rows, scale, n_valid, *, k):
+    """Exact top-k over the (small) pending buffer: one dense matmul.
+
+    rows (P_pad, D) int8/f32 (padded to bucket compiles), n_valid real rows.
+    Scores are dequantized IP — same scale as the arena path, so the two
+    top-k sets merge comparably.
+    """
+    s = jax.lax.dot_general(
+        q, rows.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    mask = jnp.arange(rows.shape[0]) < n_valid
+    s = jnp.where(mask[None, :], s, -jnp.inf)
+    return jax.lax.top_k(s, k)
+
+
 class BandIVFIndex(Index):
     kind = "band_ivf"
 
@@ -173,10 +190,22 @@ class BandIVFIndex(Index):
         self._scale = 1.0
         self._n = 0
         self._dev = None
+        # LSM pending buffer (BASELINE config #5 "incremental index updates"):
+        # adds append here and are scanned exactly at query time; a merge
+        # re-sorts the union into the arena once pending outgrows the
+        # threshold, keeping add O(batch) amortized.
+        from cloudvectordb_tpu.index.arena import PendingBuffer
+
+        np_dt = {"int8": np.int8, "bfloat16": np.float32, "float32": np.float32}[
+            self.dtype
+        ]
+        self._pending = PendingBuffer(dim, np_dt)
+        self._pending_dev = None
+        self.merge_threshold = 0.05  # merge when pending > 5% of arena
 
     @property
     def ntotal(self) -> int:
-        return self._n
+        return self._n + self._pending.size
 
     @classmethod
     def build(
@@ -300,19 +329,127 @@ class BandIVFIndex(Index):
         return np.clip(window, 0, self.nlist - 1).astype(np.int32)
 
     def add(self, vectors) -> None:
-        """Re-populate with the union (band arenas need global re-sort; for
-        incremental serving use IVFFlat/IVFPQ's LSM path instead)."""
-        vectors = np.asarray(vectors, np.float32)
-        if self._n == 0:
+        """LSM-style incremental insert: assign + quantize the batch on
+        device under the EXISTING arena scale, append to the pending buffer
+        (scanned exactly at query time), and merge into the arena — one
+        native re-sort — once pending outgrows ``merge_threshold``·arena.
+        O(batch) amortized; new rows are searchable immediately."""
+        vectors = jnp.asarray(vectors, jnp.float32)
+        if self._n == 0 and self._pending.size == 0:
+            assert self.centroids is not None, "build() trains the quantizer"
             self._populate(vectors)
             return
-        old = self.reconstruct(np.arange(self._n))
-        self._populate(np.concatenate([old, vectors]))
+        a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
+        payload = self._quantize_rows(vectors)
+        b = int(vectors.shape[0])
+        ids = np.arange(self.ntotal, self.ntotal + b, dtype=np.int64)
+        self._pending.append(np.asarray(payload), ids, np.asarray(a))
+        self._pending_dev = None
+        if self._pending.size > max(self.merge_threshold * self._n,
+                                    4 * self.tile_n):
+            self.merge_pending()
+
+    def _quantize_rows(self, vectors):
+        """f32 device rows → arena payload dtype under the existing scale.
+        New batches whose amplitude exceeds the build-time clip simply clip
+        (int8 scale stays fixed so pending/arena scores stay comparable)."""
+        if self.dtype == "int8":
+            return jnp.clip(
+                jnp.round(vectors / self._scale), -127, 127
+            ).astype(jnp.int8)
+        return vectors.astype(jnp.float32)
+
+    def merge_pending(self) -> None:
+        """Fold pending rows into the arena: one native counting sort of the
+        union (no re-quantization — scales are already unified)."""
+        if self._pending.size == 0:
+            return
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
+        p, pids, passign = self._pending.drain()
+        self._pending_dev = None
+        if self._n:
+            old_payload = np.asarray(self._payload)[: self._n]
+            old_assign = np.repeat(
+                np.arange(self.nlist), np.diff(self._offsets)
+            )
+            payload_all = np.concatenate([old_payload, p.astype(old_payload.dtype)])
+            ids_all = np.concatenate([self._ids.astype(np.int64), pids])
+            assign_all = np.concatenate([old_assign, passign])
+        else:
+            payload_all, ids_all, assign_all = p, pids, passign
+        order, offsets = arena_sort(assign_all.astype(np.int32), self.nlist)
+        sorted_payload = gather_rows(payload_all, order)
+        n = sorted_payload.shape[0]
+        n_pad = -(-n // self.tile_n) * self.tile_n
+        if n_pad != n:
+            sorted_payload = np.concatenate([
+                sorted_payload,
+                np.zeros((n_pad - n, self.dim), sorted_payload.dtype),
+            ])
+        self._payload = sorted_payload
+        self._ids = ids_all[order].astype(np.int64)
+        self._offsets = offsets
+        self._n = n
+        self._tile_window = self._compute_tile_window()
+        self._dev = None
+
+    def _pending_device(self):
+        """Pending rows staged on device, padded to a power-of-2 row count so
+        repeated adds reuse compiled pending-scan executables."""
+        if self._pending_dev is None:
+            snap = self._pending.snapshot()
+            if snap is None:
+                return None
+            rows, pids = snap
+            p_pad = _next_pow2(max(rows.shape[0], 128))
+            padded = np.zeros((p_pad, self.dim), rows.dtype)
+            padded[: rows.shape[0]] = rows
+            self._pending_dev = (jnp.asarray(padded), pids, rows.shape[0])
+        return self._pending_dev
+
+    def _pending_scan_scale(self) -> float:
+        return self._scale if self.dtype == "int8" else 1.0
+
+    def _merge_pending_topk(self, v, gids, queries, k):
+        """Merge arena top-k (host np) with an exact device scan of pending."""
+        pdev = self._pending_device()
+        if pdev is None:
+            return v, gids
+        rows_dev, pids, n_pend = pdev
+        scale = self._pending_scan_scale()
+        kp = min(k, n_pend)
+        pv, pi = _pending_scan(
+            jnp.asarray(queries, jnp.float32), rows_dev, scale, n_pend, k=kp
+        )
+        pv = np.asarray(pv)
+        pgid = pids[np.asarray(pi)]
+        all_v = np.concatenate([v, pv], axis=1)
+        all_i = np.concatenate([gids, pgid], axis=1)
+        sel = np.argsort(-all_v, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(all_v, sel, 1),
+                np.take_along_axis(all_i, sel, 1))
 
     def reconstruct(self, ids) -> np.ndarray:
-        rows = np.argsort(self._ids)[np.asarray(ids)]
-        v = np.asarray(self._payload)[rows].astype(np.float32)
-        return v * self._scale if self.dtype == "int8" else v
+        """Approximate rows (dequantized payload) for the given global ids,
+        covering both arena and pending rows."""
+        ids = np.asarray(ids)
+        pos = np.full(self.ntotal, -1, np.int64)
+        pos[self._ids] = np.arange(self._n)
+        snap = self._pending.snapshot()
+        out = np.empty((ids.shape[0], self.dim), np.float32)
+        arena_mask = pos[ids] >= 0
+        if arena_mask.any():
+            out[arena_mask] = np.asarray(self._payload)[
+                pos[ids[arena_mask]]
+            ].astype(np.float32)
+        if (~arena_mask).any():
+            assert snap is not None, "id not in arena and no pending rows"
+            p_rows, p_ids = snap
+            ppos = np.full(self.ntotal, -1, np.int64)
+            ppos[p_ids] = np.arange(p_rows.shape[0])
+            out[~arena_mask] = p_rows[ppos[ids[~arena_mask]]].astype(np.float32)
+        return out * self._scale if self.dtype == "int8" else out
 
     def _device_state(self):
         if self._dev is None:
@@ -360,7 +497,8 @@ class BandIVFIndex(Index):
             k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
             int8=(self.dtype == "int8"), interpret=interpret,
         )
-        return np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
+        v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
+        return self._merge_pending_topk(v, gids, queries[:nq], k)
 
     def _search_band(self, queries, k: int, nprobe: int, interpret: bool):
         nq = queries.shape[0]
@@ -423,10 +561,11 @@ class BandIVFIndex(Index):
         out_i = np.empty((nq, v.shape[1]), np.int64)
         out_v[perm[:nq]] = v[:nq]
         out_i[perm[:nq]] = gids[:nq]
-        return out_v, out_i
+        return self._merge_pending_topk(out_v, out_i, queries, k)
 
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):
+        self.merge_pending()  # persist one contiguous arena
         return {
             "centroids": self.centroids,
             "payload": np.asarray(self._payload),
@@ -442,11 +581,7 @@ class BandIVFIndex(Index):
         }
 
     def _state_meta(self):
-        return {
-            "nlist": self.nlist, "dtype": self.dtype, "scale": self._scale,
-            "n": self._n, "kmeans_iters": self.kmeans_iters, "seed": self.seed,
-            "tile_n": self.tile_n, "tile_q": self.tile_q,
-        }
+        return self._state_meta_common()
 
     @classmethod
     def _from_state(cls, manifest: dict, arrays: dict) -> "BandIVFIndex":
@@ -506,6 +641,11 @@ class BandIVFPQIndex(BandIVFIndex):
         self._codes_cm = None  # (m[+1], N_pad) uint8, arena-ordered, device
         self._refine_rows = None  # (N_pad, dim) int8, arena-ordered
         self._centroid_tiles = None  # (n_tiles, D, W) residual-mode centroids
+        # pending adds: base PendingBuffer holds (int8 rows, ids, assigns) in
+        # ROTATED space for the exact pending scan; PQ codes ride alongside
+        # in the same chunk order for the eventual arena merge.
+        self._pending_codes: list[np.ndarray] = []
+        self._pending_scale = 0.0
 
     @classmethod
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
@@ -703,6 +843,141 @@ class BandIVFPQIndex(BandIVFIndex):
         self._ids = order.astype(np.int32)
         self._dev = None
 
+    def add(self, vectors) -> None:
+        """Incremental insert for the PQ arena: the batch is rotated (OPQ),
+        assigned, residual-PQ-encoded and int8-quantized ON DEVICE; codes +
+        int8 rows append to the pending store (scanned exactly at query
+        time) and fold into the arena via one native re-sort past the
+        threshold. Fixes the r1 crash where the inherited add() treated the
+        code matrix as raw vector rows."""
+        from cloudvectordb_tpu.index.pq import pq_encode
+
+        vectors = jnp.asarray(vectors, jnp.float32)
+        assert self.centroids is not None and self.codebooks is not None, (
+            "build() trains the quantizers before add()"
+        )
+        rot = (jnp.asarray(self.opq_matrix).T
+               if self.opq_matrix is not None else None)
+        tr = vectors @ rot if rot is not None else vectors
+        if self._n == 0 and self._pending.size == 0:
+            self._populate(tr)
+            return
+        cdev = jnp.asarray(self.centroids)
+        a, _ = assign_clusters(tr, cdev)
+        enc_in = tr - cdev[a] if self.residual else tr
+        codes = pq_encode(enc_in, jnp.asarray(self.codebooks))
+        if self._pending_scale == 0.0:
+            # refine='int8' ties pending to the arena refine scale (no
+            # requantization at merge); refine='none' picks one at first add
+            if self.refine == "int8":
+                self._pending_scale = self._scale
+            else:
+                rms = float(jnp.sqrt(jnp.mean(tr * tr)))
+                amax = float(jnp.max(jnp.abs(tr)))
+                self._pending_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+        rows8 = jnp.clip(
+            jnp.round(tr / self._pending_scale), -127, 127
+        ).astype(jnp.int8)
+        b = int(vectors.shape[0])
+        ids = np.arange(self.ntotal, self.ntotal + b, dtype=np.int64)
+        self._pending.append(np.asarray(rows8), ids, np.asarray(a))
+        self._pending_codes.append(np.asarray(codes))
+        self._pending_dev = None
+        if self._pending.size > max(self.merge_threshold * self._n,
+                                    4 * self.tile_n):
+            self.merge_pending()
+
+    def _pending_scan_scale(self) -> float:
+        return self._pending_scale
+
+    def merge_pending(self) -> None:
+        if self._pending.size == 0:
+            return
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
+        rows8, pids, passign = self._pending.drain()
+        pcodes = np.concatenate(self._pending_codes)
+        self._pending_codes = []
+        self._pending_dev = None
+        old_codes = np.asarray(self._codes_cm)[: self.m, : self._n].T
+        old_assign = np.repeat(np.arange(self.nlist), np.diff(self._offsets))
+        codes_all = np.concatenate([old_codes, pcodes.astype(np.uint8)])
+        assigns = np.concatenate([old_assign, passign]).astype(np.int32)
+        ids_all = np.concatenate([self._ids.astype(np.int64), pids])
+        if self.refine == "int8":
+            old_refine = np.asarray(self._refine_rows)[: self._n]
+            refine_all = np.concatenate([old_refine, rows8])
+        order, offsets = arena_sort(assigns, self.nlist)
+        n = codes_all.shape[0]
+        n_pad = -(-n // self.tile_n) * self.tile_n
+        self._offsets = offsets
+        self._n = n
+        self._n_pad_rows = n_pad
+        self._ids = ids_all[order]
+        self._tile_window = self._compute_tile_window()
+        sorted_codes = gather_rows(codes_all, order)
+        rows_cm = self.m + (1 if self.residual else 0)
+        codes_cm = np.zeros((rows_cm, n_pad), np.uint8)
+        codes_cm[: self.m, :n] = sorted_codes.T
+        if self.residual:
+            tw = self._tile_window
+            row_tile = np.arange(n) // self.tile_n
+            local = assigns[order] - tw[row_tile, 0]
+            codes_cm[self.m, :n] = local.astype(np.uint8)
+            ct = self.centroids[tw]
+            self._centroid_tiles = jnp.asarray(
+                np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16)
+        if self.refine == "int8":
+            rr = gather_rows(refine_all, order)
+            if n_pad != n:
+                rr = np.concatenate([rr, np.zeros((n_pad - n, self.dim), np.int8)])
+            self._refine_rows = rr
+        self._codes_cm = codes_cm
+        self._payload = codes_cm
+        self._dev = None
+
+    def reconstruct(self, ids) -> np.ndarray:
+        """Rows for the given global ids in ORIGINAL space: int8 refine rows
+        when present (near-exact), else PQ decode; pending rows from the
+        pending int8 store. Un-rotates OPQ output."""
+        ids = np.asarray(ids)
+        out = np.empty((ids.shape[0], self.dim), np.float32)
+        pos = np.full(self.ntotal, -1, np.int64)
+        pos[self._ids] = np.arange(self._n)
+        arena_mask = pos[ids] >= 0
+        if arena_mask.any():
+            rows = pos[ids[arena_mask]]
+            if self.refine == "int8":
+                out[arena_mask] = (
+                    np.asarray(self._refine_rows)[rows].astype(np.float32)
+                    * self._scale
+                )
+            else:
+                codes = np.asarray(self._codes_cm)[: self.m, rows].T  # (r, m)
+                cb = self.codebooks  # (m, C, dsub)
+                dec = np.concatenate(
+                    [cb[j][codes[:, j]] for j in range(self.m)], axis=1
+                )
+                if self.residual:
+                    assign = (
+                        np.searchsorted(self._offsets, rows, side="right") - 1
+                    )
+                    dec = dec + self.centroids[assign]
+                out[arena_mask] = dec
+        if (~arena_mask).any():
+            snap = self._pending.snapshot()
+            assert snap is not None, "id not in arena and no pending rows"
+            p_rows, p_ids = snap
+            ppos = np.full(self.ntotal, -1, np.int64)
+            ppos[p_ids] = np.arange(p_rows.shape[0])
+            out[~arena_mask] = (
+                p_rows[ppos[ids[~arena_mask]]].astype(np.float32)
+                * self._pending_scale
+            )
+        if self.opq_matrix is not None:  # rotated → original space
+            out = out @ self.opq_matrix
+        return out
+
     def _compute_tile_window(self) -> np.ndarray:
         n_rows = getattr(self, "_n_pad_rows", None)
         if n_rows is None:
@@ -761,10 +1036,13 @@ class BandIVFPQIndex(BandIVFIndex):
             tile_q=self.tile_q, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
         )
-        return np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
+        v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
+        # pending rows live in rotated space; `queries` is already rotated
+        return self._merge_pending_topk(v, gids, queries[:nq], k)
 
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):
+        self.merge_pending()
         out = {
             "centroids": self.centroids,
             "codebooks": self.codebooks,
