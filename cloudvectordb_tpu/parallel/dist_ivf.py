@@ -98,7 +98,12 @@ class ShardedIVFPQIndex:
         self.metric = ivfpq_kw.get("metric", "ip")
         self.residual = ivfpq_kw.get("residual", True)
         self._shards: list[IVFPQIndex] = []
-        self._refine_shards: list[np.ndarray] = []
+        # per-shard int8 refine rows in INSERTION order + their global ids;
+        # arena order changes on every add+merge, so rows are permuted to
+        # arena order lazily at device-staging time via an id lookup. This
+        # is what makes add() work with refinement (r1 raised here).
+        self._refine_rows_ins: list[list[np.ndarray]] = []
+        self._refine_gids_ins: list[list[np.ndarray]] = []
         self._refine_scale = 0.0
         self._dev = None
         self._next_id = 0
@@ -138,32 +143,29 @@ class ShardedIVFPQIndex:
             sub = IVFPQIndex(dim, nlist, m=m, **kw)
             sub.centroids = proto.centroids
             sub.codebooks = proto.codebooks
-            sub.add(
-                vectors[bounds[si] : bounds[si + 1]],
-                ids=np.arange(bounds[si], bounds[si + 1], dtype=np.int64),
-            )
+            gids = np.arange(bounds[si], bounds[si + 1], dtype=np.int64)
+            sub.add(vectors[bounds[si] : bounds[si + 1]], ids=gids)
             sub.merge_pending()
             idx._shards.append(sub)
+            idx._refine_rows_ins.append([])
+            idx._refine_gids_ins.append([])
             if idx.refine == "int8":
-                # arena-ordered int8 rows for shard-local rescoring
-                rows = vectors[sub._arena.ids]
-                idx._refine_shards.append(
-                    np.clip(np.round(rows / idx._refine_scale), -127, 127
+                idx._refine_rows_ins[si].append(
+                    np.clip(np.round(vectors[bounds[si] : bounds[si + 1]]
+                                     / idx._refine_scale), -127, 127
                             ).astype(np.int8)
                 )
+                idx._refine_gids_ins[si].append(gids)
         idx._next_id = int(vectors.shape[0])
         idx._dev = None
         return idx
 
     def add(self, vectors) -> None:
-        """Append to the smallest shard (keeps shards balanced); global ids."""
+        """Append to the smallest shard (keeps shards balanced); global ids.
+        Works with refinement: the batch's int8 rows join the shard's
+        insertion-order store and are re-staged in arena order on the next
+        device upload."""
         assert self._shards, "build() first"
-        if self.refine == "int8":
-            raise NotImplementedError(
-                "incremental add with refinement needs the shard's raw rows "
-                "re-staged; rebuild, or use refine='none' for high-churn "
-                "workloads (round-2 item)"
-            )
         vectors = np.asarray(vectors, np.float32)
         si = int(np.argmin([s.ntotal for s in self._shards]))
         n = vectors.shape[0]
@@ -171,7 +173,24 @@ class ShardedIVFPQIndex:
         self._next_id += n
         self._shards[si].add(vectors, ids=ids)
         self._shards[si].merge_pending()
+        if self.refine == "int8":
+            # the scale is fixed at build time; out-of-range rows clip
+            self._refine_rows_ins[si].append(
+                np.clip(np.round(vectors / self._refine_scale), -127, 127
+                        ).astype(np.int8)
+            )
+            self._refine_gids_ins[si].append(ids)
         self._dev = None
+
+    def _refine_arena_order(self, si: int) -> np.ndarray:
+        """This shard's int8 refine rows permuted into CURRENT arena order
+        (store keyed by global id; arena order changes on every merge)."""
+        rows = np.concatenate(self._refine_rows_ins[si])
+        gids = np.concatenate(self._refine_gids_ins[si])
+        arena_ids = self._shards[si]._arena.ids
+        sort_idx = np.argsort(gids, kind="stable")
+        pos = sort_idx[np.searchsorted(gids[sort_idx], arena_ids)]
+        return rows[pos]
 
     def _device_state(self):
         if self._dev is not None:
@@ -197,7 +216,8 @@ class ShardedIVFPQIndex:
                            self._shards[0].dim if self.refine == "int8" else 1),
                           np.int8)
         if self.refine == "int8":
-            for si, rr in enumerate(self._refine_shards):
+            for si in range(s):
+                rr = self._refine_arena_order(si)
                 refine[si, : rr.shape[0]] = rr
         shard_sh = NamedSharding(self.mesh, P("shard"))
         self._dev = dict(
@@ -222,7 +242,7 @@ class ShardedIVFPQIndex:
         queries = np.asarray(queries, np.float32)
         st = self._device_state()
         nprobe = min(nprobe, self.kw["nlist"])
-        do_refine = self.refine == "int8" and self._refine_shards
+        do_refine = self.refine == "int8" and any(self._refine_rows_ins)
         per_shard = max(sh.ntotal for sh in self._shards)
         k_cand = min(max(k * refine_factor, 32), per_shard) if do_refine else k
         outs_v, outs_i = [], []

@@ -62,3 +62,25 @@ def test_sharded_ivfpq_refine_improves_recall():
     r_p = recall_at_k(i_p, gt)
     r_r = recall_at_k(i_r, gt)
     assert r_r >= max(r_p, 0.85), (r_p, r_r)
+
+
+def test_sharded_ivfpq_add_with_refine():
+    """r1 raised NotImplementedError here: adds must work with the int8
+    refine stage (insertion-order row store re-staged in arena order)."""
+    db = clustered_vectors(3200, 32, n_clusters=24, seed=66, normalize=True)
+    q = queries_from(db, 16, seed=67, normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    idx = ShardedIVFPQIndex.build(
+        db[:2400], nlist=16, m=8, mesh=mesh, nbits=6, metric="ip",
+        kmeans_iters=6, pq_train_iters=6, refine="int8", seed=3,
+    )
+    for s in range(2400, 3200, 200):
+        idx.add(db[s : s + 200])
+    assert idx.ntotal == 3200
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    _, ids = idx.search(q, 10, nprobe=16)
+    assert recall_at_k(ids, gt) >= 0.85
+    # late-added rows are their own nearest neighbor under refine
+    q_late = db[3000:3016]
+    _, late = idx.search(q_late, 1, nprobe=16)
+    assert (late[:, 0] == np.arange(3000, 3016)).mean() >= 0.85
