@@ -263,22 +263,34 @@ class BandIVFIndex(Index):
         assert idx is not None, "empty stream"
         payload = np.concatenate(payload_chunks)
         assigns = np.concatenate(assign_chunks)
-        n = payload.shape[0]
-        order, offsets = arena_sort(assigns, nlist)
-        sorted_payload = gather_rows(payload, order)
-        n_pad = -(-n // idx.tile_n) * idx.tile_n
-        if n_pad != n:
-            sorted_payload = np.concatenate(
-                [sorted_payload, np.zeros((n_pad - n, idx.dim), np.int8)]
-            )
-        idx._payload = sorted_payload  # host; ships to HBM lazily
-        idx._ids = order.astype(np.int32)
-        idx._offsets = offsets
         idx._scale = scale
-        idx._n = n
-        idx._tile_window = idx._compute_tile_window()
-        idx._dev = None
+        idx._assemble_compact(
+            payload, np.arange(payload.shape[0], dtype=np.int64), assigns
+        )
         return idx
+
+    def _assemble_compact(self, payload: np.ndarray, ids: np.ndarray,
+                          assigns: np.ndarray) -> None:
+        """Set this index's arena from already-quantized rows (+ their global
+        ids and list assignments): one native counting sort + tile padding.
+        Shared by streaming builds (single and sharded) and LSM merges."""
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
+        order, offsets = arena_sort(np.asarray(assigns, np.int32), self.nlist)
+        sorted_payload = gather_rows(np.asarray(payload), order)
+        n = sorted_payload.shape[0]
+        n_pad = -(-n // self.tile_n) * self.tile_n
+        if n_pad != n:
+            sorted_payload = np.concatenate([
+                sorted_payload,
+                np.zeros((n_pad - n, self.dim), sorted_payload.dtype),
+            ])
+        self._payload = sorted_payload  # host; ships to HBM lazily
+        self._ids = np.asarray(ids, np.int64)[order]
+        self._offsets = offsets
+        self._n = n
+        self._tile_window = self._compute_tile_window()
+        self._dev = None
 
     def _populate(self, vectors) -> None:
         vectors = jnp.asarray(vectors, jnp.float32)
@@ -364,8 +376,6 @@ class BandIVFIndex(Index):
         union (no re-quantization — scales are already unified)."""
         if self._pending.size == 0:
             return
-        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
-
         p, pids, passign = self._pending.drain()
         self._pending_dev = None
         if self._n:
@@ -378,21 +388,7 @@ class BandIVFIndex(Index):
             assign_all = np.concatenate([old_assign, passign])
         else:
             payload_all, ids_all, assign_all = p, pids, passign
-        order, offsets = arena_sort(assign_all.astype(np.int32), self.nlist)
-        sorted_payload = gather_rows(payload_all, order)
-        n = sorted_payload.shape[0]
-        n_pad = -(-n // self.tile_n) * self.tile_n
-        if n_pad != n:
-            sorted_payload = np.concatenate([
-                sorted_payload,
-                np.zeros((n_pad - n, self.dim), sorted_payload.dtype),
-            ])
-        self._payload = sorted_payload
-        self._ids = ids_all[order].astype(np.int64)
-        self._offsets = offsets
-        self._n = n
-        self._tile_window = self._compute_tile_window()
-        self._dev = None
+        self._assemble_compact(payload_all, ids_all, assign_all)
 
     def _pending_device(self):
         """Pending rows staged on device, padded to a power-of-2 row count so

@@ -160,6 +160,73 @@ class ShardedIVFPQIndex:
         idx._dev = None
         return idx
 
+    @classmethod
+    def build_streaming(
+        cls, chunks, nlist: int, m: int = 64, mesh: Mesh | None = None,
+        train_sample: int = 262_144, **kw,
+    ) -> "ShardedIVFPQIndex":
+        """Config-#4 build from a chunk iterator: quantizers train on the
+        first chunk; every chunk is assigned + residual-PQ-encoded on device
+        and only its m-byte codes (+ int8 refine rows when enabled) reach the
+        host, split across shards. The f32 corpus never exists in one piece
+        — host peak is m bytes/row (+ dim bytes/row with refine)."""
+        idx = cls(mesh, nlist=nlist, m=m, **kw)
+        s = idx.nshards
+        proto = None
+        codes_acc: list[list[np.ndarray]] = [[] for _ in range(s)]
+        assigns_acc: list[list[np.ndarray]] = [[] for _ in range(s)]
+        gids_acc: list[list[np.ndarray]] = [[] for _ in range(s)]
+        idx._refine_rows_ins = [[] for _ in range(s)]
+        idx._refine_gids_ins = [[] for _ in range(s)]
+        next_id = 0
+        for chunk in chunks:
+            chunk = jnp.asarray(chunk, jnp.float32)
+            if proto is None:
+                proto = IVFPQIndex(int(chunk.shape[1]), nlist, m=m, **kw)
+                ns = min(train_sample, chunk.shape[0])
+                proto.train(np.asarray(chunk[:ns]))
+                cdev = jnp.asarray(proto.centroids)
+                cbdev = jnp.asarray(proto.codebooks)
+                if idx.refine == "int8":
+                    rms = float(jnp.sqrt(jnp.mean(chunk * chunk)))
+                    amax = float(jnp.max(jnp.abs(chunk)))
+                    idx._refine_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+            a, _ = assign_clusters(chunk, cdev)
+            enc_in = chunk - cdev[a] if idx.residual else chunk
+            codes = pq_encode(enc_in, cbdev)
+            codes_h, a_h = np.asarray(codes), np.asarray(a)
+            b = codes_h.shape[0]
+            ids_h = np.arange(next_id, next_id + b, dtype=np.int64)
+            next_id += b
+            rows8_h = (np.asarray(jnp.clip(
+                jnp.round(chunk / idx._refine_scale), -127, 127
+            ).astype(jnp.int8)) if idx.refine == "int8" else None)
+            for si, sl in enumerate(np.array_split(np.arange(b), s)):
+                if not sl.size:
+                    continue
+                codes_acc[si].append(codes_h[sl])
+                assigns_acc[si].append(a_h[sl])
+                gids_acc[si].append(ids_h[sl])
+                if rows8_h is not None:
+                    idx._refine_rows_ins[si].append(rows8_h[sl])
+                    idx._refine_gids_ins[si].append(ids_h[sl])
+        assert proto is not None, "empty stream"
+        for si in range(s):
+            assert codes_acc[si], f"shard {si} received no rows"
+            sub = IVFPQIndex(proto.dim, nlist, m=m, **kw)
+            sub.centroids = proto.centroids
+            sub.codebooks = proto.codebooks
+            sub._arena.rebuild(
+                np.concatenate(codes_acc[si]),
+                np.concatenate(gids_acc[si]),
+                np.concatenate(assigns_acc[si]),
+            )
+            sub._next_id = next_id
+            idx._shards.append(sub)
+        idx._next_id = next_id
+        idx._dev = None
+        return idx
+
     def add(self, vectors) -> None:
         """Append to the smallest shard (keeps shards balanced); global ids.
         Works with refinement: the batch's int8 rows join the shard's
