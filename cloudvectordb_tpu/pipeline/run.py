@@ -224,13 +224,17 @@ class Pipeline:
             kw = {} if self.cfg.index.kind == "flat" else {"nprobe": self.cfg.index.nprobe}
             _, found = index.search(q, k, **kw)
             r = recall_at_k(found, gt)
-            # steady-state end-to-end QPS (numpy outputs fence device work)
-            import time as _time
+            # steady-state QPS via the fenced protocol (eval/qps.py): distinct
+            # inputs per timed iteration (the relay caches identical calls)
+            # and fetch-RTT subtraction — index.search's numpy outputs are
+            # the device_get fence.
+            from cloudvectordb_tpu.eval.qps import qps_bench
 
-            index.search(q, k, **kw)  # warm
-            t0 = _time.perf_counter()
-            index.search(q, k, **kw)
-            qps = nq / max(_time.perf_counter() - t0, 1e-9)
+            bench = qps_bench(
+                lambda qb: index.search(np.asarray(qb), k, **kw), q,
+                warmup=1, iters=3,
+            )
+            qps = bench["qps"]
             result = {"recall_at_k": r, "k": k, "nq": nq, "qps": qps,
                       "kind": self.cfg.index.kind}
             self.metrics.log("eval", **result)
