@@ -269,6 +269,75 @@ class BandIVFIndex(Index):
         )
         return idx
 
+    @classmethod
+    def build_device_streaming(
+        cls, chunk_fn, n_chunks: int, nlist: int,
+        train_sample: int = 262_144, **kw,
+    ) -> "BandIVFIndex":
+        """Device-RESIDENT streaming build for corpora larger than host
+        transfer budgets allow (config #4's 12.5M×768/chip share: 9.6 GB of
+        int8 — a host round-trip through the tunnel would take ~40 min at
+        8 MB/s; here only the (N,) int32 assignments ever reach the host).
+
+        chunk_fn(i) -> (n_i, D) f32 device array must be DETERMINISTIC —
+        chunks are produced twice (pass 1: train+assign; pass 2: quantize+
+        scatter into the HBM arena at positions from the host-side native
+        counting sort). Re-reading from disk or regenerating from a fixed
+        PRNG key both qualify. Peak HBM ≈ int8 arena + one f32 chunk.
+        """
+        import jax
+
+        idx = None
+        assigns: list[np.ndarray] = []
+        sizes: list[int] = []
+        for ci in range(n_chunks):
+            chunk = chunk_fn(ci)
+            if idx is None:
+                idx = cls(int(chunk.shape[1]), nlist, **kw)
+                assert idx.dtype == "int8", "device-streaming is the int8 path"
+                ns = min(train_sample, chunk.shape[0])
+                c, _ = train_kmeans(chunk[:ns], nlist,
+                                    iters=idx.kmeans_iters, seed=idx.seed)
+                c = np.asarray(c)
+                idx.centroids = c[order_centroids(c)]
+                cdev = jnp.asarray(idx.centroids)
+                rms = float(jnp.sqrt(jnp.mean(chunk * chunk)))
+                amax = float(jnp.max(jnp.abs(chunk)))
+                idx._scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+            a, _ = assign_clusters(chunk, cdev)
+            assigns.append(np.asarray(a))
+            sizes.append(int(chunk.shape[0]))
+        assert idx is not None, "empty stream"
+        from cloudvectordb_tpu.utils.native import arena_sort
+
+        assign_all = np.concatenate(assigns)
+        n = assign_all.shape[0]
+        order, offsets = arena_sort(assign_all.astype(np.int32), nlist)
+        dest = np.empty(n, np.int64)
+        dest[order] = np.arange(n)  # source row -> arena position
+        n_pad = -(-n // idx.tile_n) * idx.tile_n
+        arena = jnp.zeros((n_pad, idx.dim), jnp.int8)
+        scale = idx._scale
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def quant_scatter(ar, rows, d):
+            q8 = jnp.clip(jnp.round(rows / scale), -127, 127).astype(jnp.int8)
+            return ar.at[d].set(q8)
+
+        base = 0
+        for ci in range(n_chunks):
+            chunk = chunk_fn(ci)
+            d = jnp.asarray(dest[base : base + sizes[ci]].astype(np.int32))
+            arena = quant_scatter(arena, chunk, d)
+            base += sizes[ci]
+        idx._payload = arena  # stays in HBM; never visits the host
+        idx._ids = order.astype(np.int64)
+        idx._offsets = offsets
+        idx._n = n
+        idx._tile_window = idx._compute_tile_window()
+        idx._dev = None
+        return idx
+
     def _assemble_compact(self, payload: np.ndarray, ids: np.ndarray,
                           assigns: np.ndarray) -> None:
         """Set this index's arena from already-quantized rows (+ their global

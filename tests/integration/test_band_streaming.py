@@ -53,3 +53,32 @@ def test_streaming_band_pq_opq():
     r = recall_at_k(found, gt)
     assert r >= 0.75, r
     assert found.min() >= 0 and found.max() < 6000
+
+
+def test_build_device_streaming_matches_build():
+    """Two-pass device-resident assembly (scatter arena) must agree with the
+    materialized build: same quantizer seed => same arena content."""
+    import jax.numpy as jnp
+    from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+    from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+    from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
+
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=95, normalize=True)
+    q = queries_from(db, 32, seed=96, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    chunks = [jnp.asarray(db[s : s + 1024]) for s in range(0, 4096, 1024)]
+    idx = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 4, nlist=16, train_sample=1024,
+        kmeans_iters=6, tile_n=256, tile_q=16,
+    )
+    assert idx.ntotal == 4096
+    p_all = idx._payload.shape[0] // idx.tile_n
+    _, found = idx.search(q, 10, interpret=True, strategy="tiles", p_tiles=p_all)
+    r = recall_at_k(found, gt)
+    assert r >= 0.85, r
+    # added rows from the LSM path still work on a device-resident arena? not
+    # required at this scale; assert ids are the original row order instead
+    rec = idx.reconstruct(np.arange(16))
+    cos = np.sum(rec * db[:16], axis=1) / (
+        np.linalg.norm(rec, axis=1) * np.linalg.norm(db[:16], axis=1))
+    assert cos.min() > 0.95
