@@ -96,3 +96,13 @@ class PendingBuffer:
         p = np.concatenate([c[0] for c in self._chunks])
         i = np.concatenate([c[1] for c in self._chunks])
         return p, i
+
+    def snapshot_full(self):
+        """Like snapshot() but also returns the list assignments (needed by
+        residual-encoded pending rows to rebuild their centroid term)."""
+        if not self._chunks:
+            return None
+        p = np.concatenate([c[0] for c in self._chunks])
+        i = np.concatenate([c[1] for c in self._chunks])
+        a = np.concatenate([c[2] for c in self._chunks])
+        return p, i, a

@@ -74,6 +74,30 @@ def order_centroids(centroids: np.ndarray) -> np.ndarray:
     return np.asarray(rec(np.arange(len(c))), dtype=np.int64)
 
 
+def _score_tile(q, tile, int8):
+    """Q·tileᵀ under the selected scoring mode.
+
+    int8=True   — int8 queries × int8 rows on the int8 MXU path (fastest).
+    int8='hybrid' — int8 STORAGE (1 byte/row/dim HBM — the real constraint)
+                  upcast to bf16 in VMEM and scored against UNquantized bf16
+                  queries: removes the query-side quantization noise at ~2×
+                  MXU cost, which tile pruning's headroom absorbs.
+    int8=False  — native bf16/f32 rows.
+    """
+    if int8 == "hybrid":
+        return lax.dot_general(
+            q, tile.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if int8:
+        return lax.dot_general(
+            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    return lax.dot_general(
+        q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _band_kernel(
     band_start_ref,  # scalar prefetch: (n_qt,) first arena tile of each band
     nv_ref,  # scalar prefetch: (1,) TRUE row count — pad rows masked out
@@ -88,16 +112,7 @@ def _band_kernel(
         val_sc[:] = jnp.full_like(val_sc, NEG_INF)
         idx_sc[:] = jnp.zeros_like(idx_sc)
 
-    q = q_ref[:]
-    tile = db_ref[:]
-    if int8:
-        scores = lax.dot_general(
-            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-    else:
-        scores = lax.dot_general(
-            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+    scores = _score_tile(q_ref[:], db_ref[:], int8)
 
     tile_sz = scores.shape[1]
     qt = pl.program_id(0)
@@ -153,16 +168,7 @@ def _tiles_kernel(
         val_sc[:] = jnp.full_like(val_sc, NEG_INF)
         idx_sc[:] = jnp.zeros_like(idx_sc)
 
-    q = q_ref[:]
-    tile = db_ref[:]
-    if int8:
-        scores = lax.dot_general(
-            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-    else:
-        scores = lax.dot_general(
-            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+    scores = _score_tile(q_ref[:], db_ref[:], int8)
 
     tile_sz = scores.shape[1]
     qt = pl.program_id(0)
@@ -350,6 +356,177 @@ def band_topk_pallas(
         ],
         interpret=interpret,
     )(band_start, nv, queries_sorted, db)
+
+    top_v, pos = lax.top_k(out_v, min(k, l_buckets))
+    top_i = jnp.take_along_axis(out_i, pos, axis=1)
+    return top_v, top_i
+
+
+def _tiles_resid_kernel(
+    tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile ids
+    nv_ref,          # scalar prefetch: (1,) TRUE row count
+    q_ref, db_ref, local_ref, ct_ref, scale_ref, out_v_ref, out_i_ref,
+    val_sc, idx_sc, *, l_buckets, w_lists,
+):
+    """Residual-int8 tiles scan: db rows hold int8 RESIDUALS (row − its list
+    centroid). Residual norms are a fraction of row norms, so the same 8
+    bits carry ~3–4× less quantization noise (measured ceiling at 1M×768:
+    0.981 vs 0.956 recall@10 for whole-row int8). The centroid term is
+    reconstructed exactly in-kernel via two skinny matmuls — an arena tile
+    spans ≤ w_lists lists, local_ref carries each row's local list index:
+
+        scores = (q·C_tile)(Q,W) · OH(W,T) + s_resid · (q · r8ᵀ)
+
+    Queries are UNquantized bf16 (the q·centroid term needs real values),
+    making this strictly more precise than the two-sided-int8 path at ~2×
+    MXU cost — absorbed by tile pruning's headroom.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    n = nv_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        val_sc[:] = jnp.full_like(val_sc, NEG_INF)
+        idx_sc[:] = jnp.zeros_like(idx_sc)
+
+    q = q_ref[:]  # (Q, D) bf16
+    r_scores = lax.dot_general(
+        q, db_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, T)
+    local = local_ref[0, :].astype(jnp.int32)  # (T,)
+    qc = lax.dot_general(
+        q, ct_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, D)·(D, W) → (Q, W), f32 accumulation
+    # one-hot expansion in f32 on the VPU (W small). Routing the f32 qc
+    # through a bf16 MXU one-hot matmul instead rounds the ~1.0-scale
+    # accumulated q·c values to bf16 (abs err ~4e-3 — larger than the
+    # residual noise this encoding removes; measured: recall 0.90 vs 0.98).
+    c_scores = jnp.zeros_like(r_scores)
+    for wi in range(w_lists):
+        c_scores = c_scores + qc[:, wi : wi + 1] * (local[None, :] == wi)
+    scores = c_scores + scale_ref[0, 0] * r_scores
+
+    tile_sz = scores.shape[1]
+    qt = pl.program_id(0)
+    at = tile_table_ref[qt, j]
+    rows_per_bucket = tile_sz // l_buckets
+    base = at * tile_sz
+    if rows_per_bucket == 1:
+        g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mx = jnp.where(g < n, scores, NEG_INF)
+        new_idx = g
+    else:
+        s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+        g_idx = (
+            base
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+            + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+        )
+        s3 = jnp.where(g_idx < n, s3, NEG_INF)
+        mx = jnp.max(s3, axis=1)
+        is_max = s3 >= mx[:, None, :]
+        r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+        new_idx = base + r_star * l_buckets + lax.broadcasted_iota(
+            jnp.int32, mx.shape, 1)
+    better = mx > val_sc[:]
+    val_sc[:] = jnp.where(better, mx, val_sc[:])
+    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+
+    @pl.when(j == n_j - 1)
+    def _emit():
+        out_v_ref[:] = val_sc[:]
+        out_i_ref[:] = idx_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret"),
+)
+def tiles_topk_resid_pallas(
+    db_resid,        # (N_pad, D) int8 residual rows
+    local_ids,       # (1, N_pad) uint8: per-row local list idx within tile
+    centroid_tiles,  # (n_tiles, D, W) bf16 per-tile list centroids
+    resid_scale,     # () f32 residual dequant scale
+    queries_sorted,  # (Q_pad, D) f32/bf16 pre-sorted queries
+    tile_table,      # (n_qt, P) i32
+    k: int,
+    tile_n: int = 2048,
+    tile_q: int = 256,
+    l_buckets: int = 0,
+    interpret: bool = False,
+    n_valid=None,
+):
+    """Top-k over residual-int8 arena tiles (see _tiles_resid_kernel)."""
+    n, d = db_resid.shape
+    nq = queries_sorted.shape[0]
+    assert n % tile_n == 0 and nq % tile_q == 0
+    if d % 128:  # zero-pad the feature axis (IP unchanged); D=768 is a no-op
+        d_pad = _ceil_to(d, 128)
+        db_resid = jnp.zeros((n, d_pad), db_resid.dtype).at[:, :d].set(db_resid)
+        queries_sorted = (
+            jnp.zeros((nq, d_pad), queries_sorted.dtype).at[:, :d].set(queries_sorted)
+        )
+        centroid_tiles = (
+            jnp.zeros((centroid_tiles.shape[0], d_pad, centroid_tiles.shape[2]),
+                      centroid_tiles.dtype).at[:, :d, :].set(centroid_tiles)
+        )
+        d = d_pad
+    if l_buckets == 0:
+        l_buckets = tile_n
+    l_buckets = min(l_buckets, tile_n)
+    assert tile_n % l_buckets == 0
+    n_qt = nq // tile_q
+    p = tile_table.shape[1]
+    w = int(centroid_tiles.shape[2])
+    nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
+        jnp.asarray(n_valid, jnp.int32).reshape(1)
+    )
+    scale_arr = jnp.asarray(resid_scale, jnp.float32).reshape(1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_qt, p),
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j, tt, nv: (tt[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, w), lambda i, j, tt, nv: (tt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, tt, nv: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w
+    )
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_table.astype(jnp.int32), nv,
+      queries_sorted.astype(jnp.bfloat16), db_resid, local_ids,
+      centroid_tiles.astype(jnp.bfloat16), scale_arr)
 
     top_v, pos = lax.top_k(out_v, min(k, l_buckets))
     top_i = jnp.take_along_axis(out_i, pos, axis=1)

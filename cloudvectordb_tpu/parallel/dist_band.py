@@ -25,11 +25,12 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret", "mesh"),
+    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret", "mesh",
+                     "int8_mode"),
 )
 def _sharded_band_search(
     q, centroids, payload, ids, tile_window, n_valid, db_scale,
-    *, k, p_tiles, tile_n, tile_q, interpret, mesh,
+    *, k, p_tiles, tile_n, tile_q, interpret, mesh, int8_mode=True,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
     (S, n_tiles, W), n_valid (S,) true per-shard row counts — all sharded on
@@ -41,7 +42,7 @@ def _sharded_band_search(
         v, gid = _tiles_plan_search(
             qb, c, pay, ids_l[0], tw[0], db_scale, nv[0],
             k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
-            int8=True, interpret=interpret,
+            int8=int8_mode, interpret=interpret,
         )
         all_v = lax.all_gather(v, "shard", axis=0)  # (S, B, k)
         all_i = lax.all_gather(gid, "shard", axis=0)
@@ -219,7 +220,7 @@ class ShardedBandIndex:
         return self._dev
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
-               interpret: bool | None = None):
+               interpret: bool | None = None, scoring: str = "hybrid"):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
@@ -239,5 +240,6 @@ class ShardedBandIndex:
             st["tile_window"], st["n_valid"], self._scale,
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
             interpret=interpret, mesh=self.mesh,
+            int8_mode=("hybrid" if scoring == "hybrid" else True),
         )
         return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)

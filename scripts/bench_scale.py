@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 D, K, B, LATENT, NCENTERS = 768, 10, 4096, 32, 256
-CHUNK = 1_000_000
+CHUNK = int(os.environ.get("BENCH_CHUNK", 500_000))
 NQ_GT = 512  # queries with exact ground truth (recall measurement)
 
 
@@ -91,56 +91,74 @@ def main():
     print(f"ground truth: {time.perf_counter() - t0:.0f} s", flush=True)
 
     # --- device-resident build ---------------------------------------------
+    residual = os.environ.get("BENCH_RESID", "1") == "1"
     t0 = time.perf_counter()
     idx = BandIVFIndex.build_device_streaming(
-        chunk_fn, n_chunks, nlist=nlist, kmeans_iters=10,
+        chunk_fn, n_chunks, nlist=nlist, kmeans_iters=10, residual=residual,
     )
     build_s = time.perf_counter() - t0
     n_tiles = int(idx._payload.shape[0]) // idx.tile_n
     print(f"build (device-streaming): {build_s:.0f} s, n_tiles={n_tiles}",
           flush=True)
 
+    from cloudvectordb_tpu.index.ivf_band import _tiles_resid_plan_search
+
     st = idx._device_state()
     rtt = measure_fetch_rtt()
     nv = jnp.asarray(idx._n, jnp.int32)
     results = []
-    for p_tiles in (int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3
-                                     else ["128", "256", "512", "768", "1024"])):
-        p_tiles = min(p_tiles, n_tiles)
+    modes = (sys.argv[4].split(",") if len(sys.argv) > 4
+             else (["resid"] if residual else ["hybrid", "int8"]))
+    p_list = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3
+                               else ["128", "256", "512", "768", "1024"])]
+    for mode in modes:
+        int8_mode = "hybrid" if mode == "hybrid" else True
+        for p_tiles in p_list:
+            p_tiles = min(p_tiles, n_tiles)
 
-        def run(noise):
-            v, g = _tiles_plan_search(
-                queries + noise, st["centroids"], st["payload"], st["ids"],
-                st["tile_window"], idx._scale, nv,
-                k=K, p_tiles=p_tiles, tile_n=idx.tile_n, tile_q=idx.tile_q,
-                int8=True, interpret=False,
-            )
-            return v, g
+            if mode == "resid":
+                def run(noise):
+                    return _tiles_resid_plan_search(
+                        queries + noise, st["centroids"], st["payload"],
+                        st["local"], st["centroid_tiles"], idx._scale,
+                        st["ids"], st["tile_window"], nv,
+                        k=K, p_tiles=p_tiles, tile_n=idx.tile_n,
+                        tile_q=idx.tile_q, interpret=False,
+                    )
+            else:
+                def run(noise):
+                    return _tiles_plan_search(
+                        queries + noise, st["centroids"], st["payload"],
+                        st["ids"], st["tile_window"], idx._scale, nv,
+                        k=K, p_tiles=p_tiles, tile_n=idx.tile_n,
+                        tile_q=idx.tile_q, int8=int8_mode, interpret=False,
+                    )
 
-        v, g = run(0.0)  # compile
-        r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
-        reps = 16
-        acc = jnp.float32(0)
-        for it in range(2):  # warm
-            vv, _ = run(0.5 + 1e-4 * it)
-            acc = acc + jnp.sum(vv)
-        float(acc)
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for it in range(reps):
-            vv, _ = run(1e-4 * (it + 1))
-            acc = acc + jnp.sum(vv)
-        float(acc)  # fence
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        qps = B * reps / dt
-        cov = p_tiles / n_tiles
-        print(f"p_tiles={p_tiles:5d} ({cov:5.1%}): recall@10={r:.4f}  "
-              f"{qps:9.0f} qps/chip ({qps/6250:.1f}x share)", flush=True)
-        results.append((p_tiles, cov, r, qps))
+            v, g = run(0.0)  # compile
+            r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
+            reps = 16
+            acc = jnp.float32(0)
+            for it in range(2):  # warm
+                vv, _ = run(0.5 + 1e-4 * it)
+                acc = acc + jnp.sum(vv)
+            float(acc)
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for it in range(reps):
+                vv, _ = run(1e-4 * (it + 1))
+                acc = acc + jnp.sum(vv)
+            float(acc)  # fence
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+            qps = B * reps / dt
+            cov = p_tiles / n_tiles
+            print(f"{mode:6s} p_tiles={p_tiles:5d} ({cov:5.1%}): "
+                  f"recall@10={r:.4f}  {qps:9.0f} qps/chip "
+                  f"({qps/6250:.1f}x share)", flush=True)
+            results.append((mode, p_tiles, cov, r, qps))
 
     print("\nsummary", flush=True)
-    for p, cov, r, qps in results:
-        print(f"  {p:5d} {cov:5.1%} {r:.4f} {qps:9.0f}", flush=True)
+    for mode, p, cov, r, qps in results:
+        print(f"  {mode:6s} {p:5d} {cov:5.1%} {r:.4f} {qps:9.0f}", flush=True)
     print(f"build_wallclock_s={build_s:.0f}", flush=True)
 
 

@@ -239,3 +239,67 @@ def test_band_add_save_load_merges(data, tmp_path):
     v2, i2 = idx2.search(q, 5, interpret=True, strategy="tiles",
                          p_tiles=idx2._payload.shape[0] // idx2.tile_n)
     np.testing.assert_array_equal(i1, i2)
+
+
+# -- residual-int8 encoding (r2: the recall-at-scale lever) ----------------
+
+def test_residual_int8_beats_row_int8(data):
+    """Residual quantization (row − centroid) has ~3-4× finer scale, so
+    full-coverage recall must dominate whole-row int8 on clustered data."""
+    db, q, gt = data
+    kw = dict(nlist=16, dtype="int8", kmeans_iters=6, tile_n=256, tile_q=16)
+    row = BandIVFIndex.build(db, **kw)
+    res = BandIVFIndex.build(db, residual=True, **kw)
+    assert res._scale < row._scale, (res._scale, row._scale)
+    p_all = row._payload.shape[0] // row.tile_n
+    _, f_row = row.search(q, 10, interpret=True, strategy="tiles", p_tiles=p_all)
+    _, f_res = res.search(q, 10, interpret=True, strategy="tiles", p_tiles=p_all)
+    r_row = recall_at_k(f_row, gt)
+    r_res = recall_at_k(f_res, gt)
+    assert r_res >= r_row - 0.01, (r_res, r_row)
+    assert r_res >= 0.9, r_res
+
+
+def test_residual_int8_add_merge_save_load(data, tmp_path):
+    from cloudvectordb_tpu.index import load_index
+
+    db, q, gt = data
+    idx = BandIVFIndex.build(db[:3000], nlist=16, dtype="int8", residual=True,
+                             kmeans_iters=5, tile_n=256, tile_q=16)
+    for s in range(3000, 4000, 500):
+        idx.add(db[s : s + 500])
+    assert idx.ntotal == db.shape[0]
+    qa = db[3500:3532]
+    _, found = idx.search(qa, 1, interpret=True, strategy="tiles",
+                          p_tiles=idx._payload.shape[0] // idx.tile_n)
+    assert (found[:, 0] == 3500 + np.arange(32)).mean() >= 0.9
+    idx.merge_pending()
+    _, f = idx.search(q, 10, interpret=True, strategy="tiles",
+                      p_tiles=idx._payload.shape[0] // idx.tile_n)
+    assert recall_at_k(f, gt) >= 0.9
+    # reconstruct returns near-exact rows (residual dequant + centroid)
+    rec = idx.reconstruct(np.arange(64))
+    cos = np.sum(rec * db[:64], axis=1) / (
+        np.linalg.norm(rec, axis=1) * np.linalg.norm(db[:64], axis=1))
+    assert cos.min() > 0.99, cos.min()
+    idx.save(tmp_path / "resid")
+    idx2 = load_index(tmp_path / "resid")
+    assert idx2._resid8 and idx2._centroid_tiles is not None
+    v1, i1 = idx.search(q, 5, interpret=True, strategy="tiles", p_tiles=4)
+    v2, i2 = idx2.search(q, 5, interpret=True, strategy="tiles", p_tiles=4)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_residual_int8_device_streaming(data):
+    import jax.numpy as jnp
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 4000, 1000)]
+    idx = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 4, nlist=16, train_sample=1000, residual=True,
+        kmeans_iters=6, tile_n=256, tile_q=16,
+    )
+    assert idx._resid8 and idx.ntotal == 4000
+    _, f = idx.search(q, 10, interpret=True, strategy="tiles",
+                      p_tiles=idx._payload.shape[0] // idx.tile_n)
+    assert recall_at_k(f, gt) >= 0.9
