@@ -992,6 +992,127 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._dev = None
         return idx
 
+    @classmethod
+    def build_device_streaming(
+        cls, chunk_fn, n_chunks: int, nlist: int, m: int = 64,
+        train_sample: int = 262_144, opq: bool = False, **kw,
+    ) -> "BandIVFPQIndex":
+        """Device-RESIDENT PQ build (config #3 at 10M×768: 7.7 GB of int8
+        refine rows + 640 MB of codes never cross the host link). chunk_fn
+        must be deterministic — two passes, like the base-class variant:
+        pass 1 trains OPQ/coarse/PQ on the first chunk and assigns all;
+        pass 2 re-produces each chunk and scatters its codes + refine rows
+        into HBM arenas at host-sorted positions.
+        """
+        from cloudvectordb_tpu.index.pq import pq_encode, train_pq
+        from cloudvectordb_tpu.utils.native import arena_sort
+
+        idx = None
+        assigns: list[np.ndarray] = []
+        sizes: list[int] = []
+        for ci in range(n_chunks):
+            chunk = chunk_fn(ci)
+            if idx is None:
+                idx = cls(int(chunk.shape[1]), nlist, m=m, **kw)
+                if opq:
+                    from cloudvectordb_tpu.index.opq import train_opq
+
+                    ns0 = min(train_sample, chunk.shape[0], 65536)
+                    r, _ = train_opq(np.asarray(chunk[:ns0]), m, idx.nbits,
+                                     outer_iters=4, pq_iters=5, seed=idx.seed)
+                    idx.opq_matrix = r
+                rot = (jnp.asarray(idx.opq_matrix).T
+                       if idx.opq_matrix is not None else None)
+                tr = chunk @ rot if rot is not None else chunk
+                ns = min(train_sample, tr.shape[0])
+                c, _ = train_kmeans(tr[:ns], nlist, iters=idx.kmeans_iters,
+                                    seed=idx.seed)
+                c = np.asarray(c)
+                idx.centroids = c[order_centroids(c)]
+                cdev = jnp.asarray(idx.centroids)
+                train_vecs = tr[:ns]
+                if idx.residual:
+                    a_s, _ = assign_clusters(train_vecs, cdev)
+                    train_vecs = train_vecs - cdev[a_s]
+                idx.codebooks = np.asarray(
+                    train_pq(train_vecs, m, idx.nbits,
+                             iters=idx.pq_train_iters, seed=idx.seed))
+                if idx.refine == "int8":
+                    rms = float(jnp.sqrt(jnp.mean(tr * tr)))
+                    amax = float(jnp.max(jnp.abs(tr)))
+                    idx._scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+            else:
+                rot = (jnp.asarray(idx.opq_matrix).T
+                       if idx.opq_matrix is not None else None)
+                tr = chunk @ rot if rot is not None else chunk
+            a, _ = assign_clusters(tr, cdev)
+            assigns.append(np.asarray(a))
+            sizes.append(int(chunk.shape[0]))
+        assert idx is not None, "empty stream"
+        assign_all = np.concatenate(assigns)
+        n = assign_all.shape[0]
+        order, offsets = arena_sort(assign_all.astype(np.int32), nlist)
+        dest = np.empty(n, np.int64)
+        dest[order] = np.arange(n)
+        n_pad = -(-n // idx.tile_n) * idx.tile_n
+        idx._offsets = offsets
+        idx._n = n
+        idx._n_pad_rows = n_pad
+        idx._ids = order.astype(np.int64)
+        idx._tile_window = idx._compute_tile_window()
+        tw = idx._tile_window
+        rows_cm = m + (1 if idx.residual else 0)
+        codes_cm = jnp.zeros((rows_cm, n_pad), jnp.uint8)
+        if idx.residual:
+            row_tile = np.arange(n) // idx.tile_n
+            local = assign_all[order] - tw[row_tile, 0]
+            loc_pad = np.zeros(n_pad, np.uint8)
+            loc_pad[:n] = local.astype(np.uint8)
+            codes_cm = codes_cm.at[m, :].set(jnp.asarray(loc_pad))
+            ct = idx.centroids[tw]
+            idx._centroid_tiles = jnp.asarray(
+                np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16)
+        else:
+            idx._centroid_tiles = None
+        do_refine = idx.refine == "int8"
+        refine = (jnp.zeros((n_pad, idx.dim), jnp.int8) if do_refine
+                  else jnp.zeros((1, idx.dim), jnp.int8))
+        cbdev = jnp.asarray(idx.codebooks)
+        rot_dev = (jnp.asarray(idx.opq_matrix).T
+                   if idx.opq_matrix is not None else None)
+        resid = idx.residual
+        scale = idx._scale if do_refine else 0.0
+        m_rows = m
+
+        import jax
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def encode_scatter(codes_ar, refine_ar, chunk, d, a, c, cb):
+            tr = chunk @ rot_dev if rot_dev is not None else chunk
+            enc_in = tr - c[a] if resid else tr
+            codes = pq_encode(enc_in, cb)  # (b, m)
+            codes_ar = codes_ar.at[:m_rows, d].set(jnp.transpose(codes))
+            if do_refine:
+                r8 = jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)
+                refine_ar = refine_ar.at[d].set(r8)
+            return codes_ar, refine_ar
+
+        base = 0
+        for ci in range(n_chunks):
+            chunk = chunk_fn(ci)
+            d = jnp.asarray(dest[base : base + sizes[ci]].astype(np.int32))
+            a_dev = jnp.asarray(assigns[ci].astype(np.int32))
+            codes_cm, refine = encode_scatter(
+                codes_cm, refine, chunk, d, a_dev, cdev, cbdev)
+            base += sizes[ci]
+        idx._codes_cm = codes_cm  # device-resident
+        idx._payload = codes_cm
+        idx._refine_rows = refine
+        if not do_refine:
+            idx._scale = 0.0
+        idx._dev = None
+        return idx
+
     def _populate(self, vectors) -> None:
         from cloudvectordb_tpu.index.pq import pq_encode
 

@@ -82,3 +82,30 @@ def test_build_device_streaming_matches_build():
     cos = np.sum(rec * db[:16], axis=1) / (
         np.linalg.norm(rec, axis=1) * np.linalg.norm(db[:16], axis=1))
     assert cos.min() > 0.95
+
+
+def test_pq_build_device_streaming_matches_build():
+    import jax.numpy as jnp
+    from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+    from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=97, normalize=True)
+    q = queries_from(db, 32, seed=98, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    chunks = [jnp.asarray(db[s : s + 1024]) for s in range(0, 4096, 1024)]
+    idx = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 4, nlist=16, m=8, train_sample=1024, opq=True,
+        nbits=6, refine="int8", kmeans_iters=5, pq_train_iters=5,
+        tile_n=256, tile_q=16,
+    )
+    assert idx.ntotal == 4096 and idx.opq_matrix is not None
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    _, found = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
+    r = recall_at_k(found, gt)
+    assert r >= 0.8, r
+    # incremental add still works on the device-resident arena
+    extra = clustered_vectors(64, 64, n_clusters=32, seed=99, normalize=True)
+    idx.add(extra)
+    _, late = idx.search(extra[:16], 1, interpret=True, p_tiles=n_tiles)
+    assert (late[:, 0] >= 4096).mean() >= 0.85
