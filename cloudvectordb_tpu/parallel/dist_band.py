@@ -30,20 +30,21 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 )
 def _sharded_band_search(
     q, centroids, payload, ids, tile_window, n_valid, db_scale,
+    local_ids=None, centroid_tiles=None,
     *, k, p_tiles, tile_n, tile_q, interpret, mesh, int8_mode=True,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
     (S, n_tiles, W), n_valid (S,) true per-shard row counts — all sharded on
     axis 0; queries/centroids replicated. Without the per-shard count the
     kernel's pad mask would use the (shared) padded size and zero-pad rows
-    of short shards would surface as phantom global-id-0 candidates."""
+    of short shards would surface as phantom global-id-0 candidates.
+    local_ids (S, 1, n_pad) + centroid_tiles (S, n_tiles, D, W) switch the
+    per-shard scan to the residual-int8 kernel."""
+    from cloudvectordb_tpu.index.ivf_band import _tiles_resid_plan_search
 
-    def local(qb, c, pay, ids_l, tw, nv):
-        v, gid = _tiles_plan_search(
-            qb, c, pay, ids_l[0], tw[0], db_scale, nv[0],
-            k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
-            int8=int8_mode, interpret=interpret,
-        )
+    residual = local_ids is not None
+
+    def merge(v, gid):
         all_v = lax.all_gather(v, "shard", axis=0)  # (S, B, k)
         all_i = lax.all_gather(gid, "shard", axis=0)
         s, b, kk = all_v.shape
@@ -51,6 +52,32 @@ def _sharded_band_search(
         cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * kk)
         best_v, pos = lax.top_k(cand_v, k)
         return best_v, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    if residual:
+        def local(qb, c, pay, ids_l, tw, nv, loc, ct):
+            v, gid = _tiles_resid_plan_search(
+                qb, c, pay, loc[0], ct[0], db_scale, ids_l[0], tw[0], nv[0],
+                k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
+                interpret=interpret,
+            )
+            return merge(v, gid)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("shard"), P("shard"), P("shard"),
+                      P("shard"), P("shard"), P("shard")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(q, centroids, payload, ids, tile_window, n_valid,
+          local_ids, centroid_tiles)
+
+    def local(qb, c, pay, ids_l, tw, nv):
+        v, gid = _tiles_plan_search(
+            qb, c, pay, ids_l[0], tw[0], db_scale, nv[0],
+            k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
+            int8=int8_mode, interpret=interpret,
+        )
+        return merge(v, gid)
 
     return shard_map(
         local,
@@ -142,10 +169,13 @@ class ShardedBandIndex:
                 c = np.asarray(c)
                 centroids = c[order_centroids(c)]
                 cdev = jnp.asarray(centroids)
+            a, _ = assign_clusters(chunk, cdev)
+            if proto._resid8:
+                chunk = chunk - cdev[a]
+            if scale == 1e-12:  # first chunk sets the (residual-aware) scale
                 rms = float(jnp.sqrt(jnp.mean(chunk * chunk)))
                 amax = float(jnp.max(jnp.abs(chunk)))
                 scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
-            a, _ = assign_clusters(chunk, cdev)
             q8 = jnp.clip(jnp.round(chunk / scale), -127, 127).astype(jnp.int8)
             q8_h, a_h = np.asarray(q8), np.asarray(a)
             b = q8_h.shape[0]
@@ -217,6 +247,19 @@ class ShardedBandIndex:
             n_valid=jax.device_put(jnp.asarray(n_valid), shard_sh),
             n_tiles=n_tiles,
         )
+        if self._shards[0]._resid8:
+            # per-row local list idx (pad rows: 0, masked by n_valid) + per-
+            # tile centroid matrices recomputed from the PADDED windows so
+            # every shard shares one (n_tiles, D, w) shape
+            local = np.zeros((s, 1, max_pad), np.uint8)
+            for si, sh in enumerate(self._shards):
+                local[si, 0, : sh._local.shape[1]] = sh._local[0]
+            cents = self._shards[0].centroids
+            ct = cents[tw]  # (S, n_tiles, w, D)
+            ct = np.ascontiguousarray(np.transpose(ct, (0, 1, 3, 2)))
+            self._dev["local"] = jax.device_put(jnp.asarray(local), shard_sh)
+            self._dev["centroid_tiles"] = jax.device_put(
+                jnp.asarray(ct, jnp.bfloat16), shard_sh)
         return self._dev
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
@@ -238,6 +281,7 @@ class ShardedBandIndex:
         v, i = _sharded_band_search(
             jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
+            st.get("local"), st.get("centroid_tiles"),
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
             interpret=interpret, mesh=self.mesh,
             int8_mode=("hybrid" if scoring == "hybrid" else True),

@@ -81,3 +81,41 @@ def test_sharded_ivfpq_parity_with_single_index():
     _, i_si = single.search(q, 10, nprobe=16)
     r_sh, r_si = recall_at_k(i_sh, gt), recall_at_k(i_si, gt)
     assert abs(r_sh - r_si) <= 0.01, (r_sh, r_si)
+
+
+def test_sharded_band_residual_mode():
+    """Residual-int8 shards: per-shard resid kernel + centroid term, global
+    id validity, and recall at least matching whole-row int8 shards."""
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=186, normalize=True)
+    q = queries_from(db, 32, seed=187, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    mesh = make_mesh(axis_name="shard")
+    kw = dict(dtype="int8", kmeans_iters=6, tile_n=128, tile_q=16, seed=5)
+    res = ShardedBandIndex.build(db, nlist=16, mesh=mesh, residual=True, **kw)
+    row = ShardedBandIndex.build(db, nlist=16, mesh=mesh, **kw)
+    st = res._device_state()
+    assert "local" in st and "centroid_tiles" in st
+    _, i_res = res.search(q, 10, p_tiles=st["n_tiles"])
+    _, i_row = row.search(q, 10, p_tiles=st["n_tiles"])
+    r_res, r_row = recall_at_k(i_res, gt), recall_at_k(i_row, gt)
+    assert r_res >= r_row - 0.01, (r_res, r_row)
+    assert int(i_res.max()) < 4096 and int(i_res.min()) >= 0
+
+
+def test_sharded_band_residual_streaming():
+    def chunks():
+        db = clustered_vectors(4096, 64, n_clusters=32, seed=188,
+                               normalize=True)
+        for s in range(0, 4096, 512):
+            yield db[s : s + 512]
+
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=188, normalize=True)
+    q = queries_from(db, 32, seed=189, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    mesh = make_mesh(axis_name="shard")
+    idx = ShardedBandIndex.build_streaming(
+        chunks(), nlist=16, mesh=mesh, dtype="int8", residual=True,
+        kmeans_iters=6, tile_n=128, tile_q=16, seed=5)
+    st = idx._device_state()
+    _, found = idx.search(q, 10, p_tiles=st["n_tiles"])
+    assert recall_at_k(found, gt) >= 0.9
