@@ -150,9 +150,10 @@ def main():
     nv = jnp.asarray(idx._n, jnp.int32)
     p_list = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2
                                else ["256", "512", "1024"])]
+    k_cand_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 160
     for p_tiles in p_list:
         p_tiles = min(p_tiles, n_tiles)
-        k_cand = 160
+        k_cand = k_cand_arg
 
         def run(noise):
             return _pq_tiles_plan_search(
