@@ -72,8 +72,21 @@ def _pq_tiles_plan_search(
         # at (NEG_INF, row 0) and must not be exactly rescored into results.
         valid = v > NEG_INF
         rows = jnp.clip(rows, 0, refine_rows.shape[0] - 1)
-        cand = refine_rows[rows].astype(jnp.float32) * refine_scale
-        ex = jnp.einsum("bd,brd->br", q_s, cand)
+
+        # rescore in query sub-batches: materializing the full gathered
+        # (B, k_cand, D) f32 candidate tensor is 12.9 GB at B=4096,
+        # k_cand=1024, D=768 — lax.map keeps the peak at one sub-batch.
+        def rescore(args):
+            qb, rb = args
+            cand = refine_rows[rb].astype(jnp.float32) * refine_scale
+            return jnp.einsum("bd,brd->br", qb, cand)
+
+        sub = max(1, min(512, b))
+        nb = b // sub if b % sub == 0 else 1
+        ex = jax.lax.map(rescore, (
+            q_s.reshape(nb, b // nb, q_s.shape[1]),
+            rows.reshape(nb, b // nb, rows.shape[1]),
+        )).reshape(rows.shape)
         ex = jnp.where(valid, ex, NEG_INF)
         v, pos = jax.lax.top_k(ex, k)
         rows = jnp.take_along_axis(rows, pos, axis=1)
