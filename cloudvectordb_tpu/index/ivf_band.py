@@ -155,12 +155,13 @@ def _tiles_plan_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret"),
+    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret",
+                     "int8_q"),
 )
 def _tiles_resid_plan_search(
     q, centroids, payload, local_ids, centroid_tiles, resid_scale, ids,
     tile_window, n_valid,
-    *, k, p_tiles, tile_n, tile_q, interpret,
+    *, k, p_tiles, tile_n, tile_q, interpret, int8_q: bool = True,
 ):
     """One-dispatch residual-int8 search: identical planning to
     _tiles_plan_search, residual kernel for scoring (int8 residual rows +
@@ -185,6 +186,7 @@ def _tiles_resid_plan_search(
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
+        int8_q=int8_q,
     )
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
     inv = jnp.argsort(order)
@@ -699,7 +701,7 @@ class BandIVFIndex(Index):
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], jnp.asarray(self._n, jnp.int32),
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
-                interpret=interpret,
+                interpret=interpret, int8_q=(scoring != "precise"),
             )
         else:
             if self.dtype == "int8":

@@ -365,22 +365,31 @@ def band_topk_pallas(
 def _tiles_resid_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile ids
     nv_ref,          # scalar prefetch: (1,) TRUE row count
-    q_ref, db_ref, local_ref, ct_ref, scale_ref, out_v_ref, out_i_ref,
-    val_sc, idx_sc, *, l_buckets, w_lists,
+    *refs, l_buckets, w_lists, int8_q,
 ):
     """Residual-int8 tiles scan: db rows hold int8 RESIDUALS (row − its list
     centroid). Residual norms are a fraction of row norms, so the same 8
     bits carry ~3–4× less quantization noise (measured ceiling at 1M×768:
     0.981 vs 0.956 recall@10 for whole-row int8). The centroid term is
-    reconstructed exactly in-kernel via two skinny matmuls — an arena tile
-    spans ≤ w_lists lists, local_ref carries each row's local list index:
+    reconstructed exactly in-kernel — an arena tile spans ≤ w_lists lists,
+    local_ref carries each row's local list index:
 
-        scores = (q·C_tile)(Q,W) · OH(W,T) + s_resid · (q · r8ᵀ)
+        scores = (q·C_tile)(Q,W) expanded by one-hot + row_scale · (q · r8ᵀ)
 
-    Queries are UNquantized bf16 (the q·centroid term needs real values),
-    making this strictly more precise than the two-sided-int8 path at ~2×
-    MXU cost — absorbed by tile pruning's headroom.
+    The CENTROID term always uses unquantized bf16 queries with f32
+    accumulation (it carries the ~1.0-scale part of the score). The
+    RESIDUAL matmul runs on the int8 MXU path when int8_q (2× the bf16
+    rate): query quantization noise lands only on the residual component,
+    attenuated by s_resid — ~4× below the db-side residual noise floor.
+    row_scale folds s_resid (and the per-row query dequant scale when
+    int8_q) so the kernel only multiplies.
     """
+    if int8_q:
+        (q_ref, q8_ref, db_ref, local_ref, ct_ref, scale_ref,
+         out_v_ref, out_i_ref, val_sc, idx_sc) = refs
+    else:
+        (q_ref, db_ref, local_ref, ct_ref, scale_ref,
+         out_v_ref, out_i_ref, val_sc, idx_sc) = refs
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     n = nv_ref[0]
@@ -391,10 +400,16 @@ def _tiles_resid_kernel(
         idx_sc[:] = jnp.zeros_like(idx_sc)
 
     q = q_ref[:]  # (Q, D) bf16
-    r_scores = lax.dot_general(
-        q, db_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Q, T)
+    if int8_q:
+        r_scores = lax.dot_general(
+            q8_ref[:], db_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        r_scores = lax.dot_general(
+            q, db_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, T)
     local = local_ref[0, :].astype(jnp.int32)  # (T,)
     qc = lax.dot_general(
         q, ct_ref[0], (((1,), (0,)), ((), ())),
@@ -407,7 +422,7 @@ def _tiles_resid_kernel(
     c_scores = jnp.zeros_like(r_scores)
     for wi in range(w_lists):
         c_scores = c_scores + qc[:, wi : wi + 1] * (local[None, :] == wi)
-    scores = c_scores + scale_ref[0, 0] * r_scores
+    scores = c_scores + scale_ref[:] * r_scores
 
     tile_sz = scores.shape[1]
     qt = pl.program_id(0)
@@ -444,7 +459,8 @@ def _tiles_resid_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret"),
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
+                     "int8_q"),
 )
 def tiles_topk_resid_pallas(
     db_resid,        # (N_pad, D) int8 residual rows
@@ -459,6 +475,7 @@ def tiles_topk_resid_pallas(
     l_buckets: int = 0,
     interpret: bool = False,
     n_valid=None,
+    int8_q: bool = True,  # residual matmul on the int8 MXU path (2× rate)
 ):
     """Top-k over residual-int8 arena tiles (see _tiles_resid_kernel)."""
     n, d = db_resid.shape
@@ -485,23 +502,34 @@ def tiles_topk_resid_pallas(
     nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
         jnp.asarray(n_valid, jnp.int32).reshape(1)
     )
-    scale_arr = jnp.asarray(resid_scale, jnp.float32).reshape(1, 1)
+    qf = queries_sorted.astype(jnp.float32)
+    if int8_q:
+        q_amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-12)
+        q8 = jnp.clip(jnp.round(qf * (127.0 / q_amax)), -127, 127).astype(jnp.int8)
+        # fold s_resid and the per-row query dequant into one row scale
+        row_scale = (q_amax / 127.0) * jnp.asarray(resid_scale, jnp.float32)
+    else:
+        row_scale = jnp.full((nq, 1), jnp.asarray(resid_scale, jnp.float32))
 
+    q_spec = pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [q_spec]
+    if int8_q:
+        in_specs.append(q_spec)  # q8 rides alongside the bf16 queries
+    in_specs += [
+        pl.BlockSpec((tile_n, d), lambda i, j, tt, nv: (tt[i, j], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, w), lambda i, j, tt, nv: (tt[i, j], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_q, 1), lambda i, j, tt, nv: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_qt, p),
-        in_specs=[
-            pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda i, j, tt, nv: (tt[i, j], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, w), lambda i, j, tt, nv: (tt[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j, tt, nv: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -514,8 +542,13 @@ def tiles_topk_resid_pallas(
         ],
     )
     kernel = functools.partial(
-        _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w
+        _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w, int8_q=int8_q
     )
+    args = [tile_table.astype(jnp.int32), nv, qf.astype(jnp.bfloat16)]
+    if int8_q:
+        args.append(q8)
+    args += [db_resid, local_ids, centroid_tiles.astype(jnp.bfloat16),
+             row_scale]
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -524,9 +557,7 @@ def tiles_topk_resid_pallas(
             jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_table.astype(jnp.int32), nv,
-      queries_sorted.astype(jnp.bfloat16), db_resid, local_ids,
-      centroid_tiles.astype(jnp.bfloat16), scale_arr)
+    )(*args)
 
     top_v, pos = lax.top_k(out_v, min(k, l_buckets))
     top_i = jnp.take_along_axis(out_i, pos, axis=1)
