@@ -33,8 +33,11 @@ def nprobe_sweep(
         r = recall_at_k(found, gt_ids)
         index.search(queries[:batch], k, nprobe=nprobe, batch=batch)  # warm
         t0 = time.perf_counter()
-        for _ in range(time_iters):
-            index.search(queries, k, nprobe=nprobe, batch=batch)
+        for it in range(time_iters):
+            # distinct inputs per iteration: the axon relay caches results
+            # of identical calls, which turns repeat timing into fiction
+            index.search(queries + 1e-4 * (it + 1), k, nprobe=nprobe,
+                         batch=batch)
         dt = time.perf_counter() - t0
         qps = queries.shape[0] * time_iters / dt
         out.append(

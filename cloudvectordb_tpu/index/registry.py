@@ -29,9 +29,10 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
         return FlatIndex.build(vectors, metric=cfg.metric, dtype=cfg.dtype)
     nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
     if cfg.kind == "band_ivf":
+        dtype = cfg.dtype if cfg.dtype != "float32" else "int8"
         return BandIVFIndex.build(
-            vectors, nlist, train_sample=cfg.train_sample,
-            dtype=cfg.dtype if cfg.dtype != "float32" else "int8",
+            vectors, nlist, train_sample=cfg.train_sample, dtype=dtype,
+            residual=(cfg.residual and dtype == "int8"),
             kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
         )
     if cfg.kind == "band_ivf_pq":

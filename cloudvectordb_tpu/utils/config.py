@@ -121,6 +121,7 @@ class IndexConfig(_ConfigBase):
     opq: bool = False              # learned rotation before PQ
     refine: str = "int8"           # none | int8: exact re-rank of ADC top-R
     refine_factor: int = 16       # ADC candidates per requested k
+    residual: bool = True          # band_ivf: residual-int8 encoding (r2)
     kmeans_iters: int = 20
     pq_train_iters: int = 12
     train_sample: int = 262_144    # vectors sampled for k-means / PQ training
