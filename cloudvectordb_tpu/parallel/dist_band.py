@@ -204,6 +204,8 @@ class ShardedBandIndex:
     def _device_state(self):
         if self._dev is not None:
             return self._dev
+        from cloudvectordb_tpu.parallel.mesh import stage_row_sharded
+
         s = self.nshards
         tile_n = self._shards[0].tile_n
         max_pad = max(int(sh._payload.shape[0]) for sh in self._shards)
@@ -211,19 +213,28 @@ class ShardedBandIndex:
         n_tiles = max_pad // tile_n
         w = max(sh._tile_window.shape[1] for sh in self._shards)
         dim = self._shards[0].dim
-        payload = np.zeros((s, max_pad, dim), np.int8)
-        ids = np.zeros((s, max_pad), np.int32)
-        tw = np.zeros((s, n_tiles, w), np.int32)
-        for si, sh in enumerate(self._shards):
-            # requantize under the global scale if this shard's differs
+
+        # per-shard pieces staged straight onto their device (one at a time:
+        # the dense (S, max_pad, dim) host concat doubled host memory at
+        # 100M-scale — r1 VERDICT weak #8)
+        def payload_piece(si):
+            sh = self._shards[si]
             p = np.asarray(sh._payload)
-            if sh._scale != self._scale:
+            if sh._scale != self._scale:  # requantize under the global scale
                 p = np.clip(np.round(p.astype(np.float32)
                                      * (sh._scale / self._scale)), -127, 127
                             ).astype(np.int8)
-            payload[si, : p.shape[0]] = p
-            ids[si, : sh._ids.shape[0]] = sh._ids
-            stw = sh._tile_window
+            out = np.zeros((max_pad, dim), np.int8)
+            out[: p.shape[0]] = p
+            return out
+
+        def ids_piece(si):
+            out = np.zeros((1, max_pad), np.int32)
+            out[0, : self._shards[si]._ids.shape[0]] = self._shards[si]._ids
+            return out
+
+        def tw_piece(si):
+            stw = self._shards[si]._tile_window
             # pad rows (tiles) by repeating the last window, columns by
             # repeating each row's last list id (idempotent for max-scoring)
             if stw.shape[0] < n_tiles:
@@ -235,31 +246,39 @@ class ShardedBandIndex:
                     [stw, np.repeat(stw[:, -1:], w - stw.shape[1], axis=1)],
                     axis=1,
                 )
-            tw[si] = stw
-        shard_sh = NamedSharding(self.mesh, P("shard"))
-        n_valid = np.asarray([sh._n for sh in self._shards], np.int32)
+            return stw[None].astype(np.int32)
+
         self._dev = dict(
             centroids=jnp.asarray(self._shards[0].centroids),
-            payload=jax.device_put(
-                jnp.asarray(payload.reshape(s * max_pad, dim)), shard_sh),
-            ids=jax.device_put(jnp.asarray(ids), shard_sh),
-            tile_window=jax.device_put(jnp.asarray(tw), shard_sh),
-            n_valid=jax.device_put(jnp.asarray(n_valid), shard_sh),
+            payload=stage_row_sharded(payload_piece, s, self.mesh),
+            ids=stage_row_sharded(ids_piece, s, self.mesh),
+            tile_window=stage_row_sharded(tw_piece, s, self.mesh),
+            n_valid=stage_row_sharded(
+                lambda si: np.asarray([self._shards[si]._n], np.int32),
+                s, self.mesh),
             n_tiles=n_tiles,
         )
         if self._shards[0]._resid8:
             # per-row local list idx (pad rows: 0, masked by n_valid) + per-
             # tile centroid matrices recomputed from the PADDED windows so
             # every shard shares one (n_tiles, D, w) shape
-            local = np.zeros((s, 1, max_pad), np.uint8)
-            for si, sh in enumerate(self._shards):
-                local[si, 0, : sh._local.shape[1]] = sh._local[0]
             cents = self._shards[0].centroids
-            ct = cents[tw]  # (S, n_tiles, w, D)
-            ct = np.ascontiguousarray(np.transpose(ct, (0, 1, 3, 2)))
-            self._dev["local"] = jax.device_put(jnp.asarray(local), shard_sh)
-            self._dev["centroid_tiles"] = jax.device_put(
-                jnp.asarray(ct, jnp.bfloat16), shard_sh)
+
+            def local_piece(si):
+                out = np.zeros((1, 1, max_pad), np.uint8)
+                sl = self._shards[si]._local
+                out[0, 0, : sl.shape[1]] = sl[0]
+                return out
+
+            def ct_piece(si):
+                ct = cents[tw_piece(si)[0]]  # (n_tiles, w, D)
+                return np.ascontiguousarray(
+                    np.transpose(ct, (0, 2, 1))
+                )[None].astype(jnp.bfloat16)
+
+            self._dev["local"] = stage_row_sharded(local_piece, s, self.mesh)
+            self._dev["centroid_tiles"] = stage_row_sharded(
+                ct_piece, s, self.mesh)
         return self._dev
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
