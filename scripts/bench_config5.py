@@ -1,0 +1,154 @@
+"""BASELINE config #5 per-chip share: 1B/8 = 125M×768 OPQ+IVF-PQ (m=64),
+PQ-only serving (refine='none' — int8 refine rows for 125M would need 96 GB),
+device-resident streaming build + incremental updates.
+
+Usage: python scripts/bench_config5.py [N_millions=125] [nlist=16384] [p_tiles]
+
+The PQ codes for 125M rows are 8.1 GB — they are built and served entirely
+in HBM (build_device_streaming). Recall is measured against exact streamed
+f32 ground truth; PQ-only recall is reconstruction-ceiling-limited by design
+(DESIGN.md §1 — the 1B config trades recall ceiling for 12× memory), so the
+numbers here demonstrate CAPACITY + build pipeline + QPS at the full
+config-#5 per-chip scale, with the known ceiling stated honestly.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+D, K, B, LATENT, NCENTERS = 768, 10, 4096, 32, 256
+CHUNK = int(os.environ.get("BENCH_CHUNK", 250_000))
+NQ_GT = 512
+
+
+def main():
+    from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
+    from cloudvectordb_tpu.eval.recall import recall_at_k
+    from cloudvectordb_tpu.index.ivf_band import (
+        BandIVFPQIndex, _pq_tiles_plan_search)
+    from cloudvectordb_tpu.ops.topk import tiled_topk
+
+    n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 125.0
+    nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    n = int(n_m * 1e6)
+    n_chunks = -(-n // CHUNK)
+    sizes = [CHUNK] * (n // CHUNK) + ([n % CHUNK] if n % CHUNK else [])
+    print(f"config#5 slice: N={n} D={D} m=64 nbits=8 OPQ refine=none "
+          f"nlist={nlist} chunks={n_chunks}", flush=True)
+
+    kw, kc = jax.random.split(jax.random.PRNGKey(1000))
+    w = jax.random.normal(kw, (LATENT, D), jnp.float32) / (LATENT ** 0.5)
+    centers = jax.random.normal(kc, (NCENTERS, LATENT), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen(key, m):
+        ka, kn = jax.random.split(key)
+        a = jax.random.randint(ka, (m,), 0, NCENTERS)
+        z = centers[a] + (0.3 / (LATENT ** 0.5)) * jax.random.normal(
+            kn, (m, LATENT), jnp.float32)
+        x = z @ w
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    def chunk_fn(i):
+        return gen(jax.random.PRNGKey(i), sizes[i])
+
+    kq, kn2 = jax.random.split(jax.random.PRNGKey(7777))
+    base = chunk_fn(0)
+    sel = jax.random.randint(kq, (B,), 0, sizes[0])
+    queries = base[sel] + (0.15 / (D ** 0.5)) * jax.random.normal(
+        kn2, (B, D), jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    q_gt = queries[:NQ_GT]
+
+    # --- exact ground truth ---------------------------------------------------
+    t0 = time.perf_counter()
+    best_v = jnp.full((NQ_GT, K), -jnp.inf)
+    best_i = jnp.zeros((NQ_GT, K), jnp.int32)
+
+    @jax.jit
+    def gt_merge(bv, bi, cv, ci, base_row):
+        av = jnp.concatenate([bv, cv], axis=1)
+        ai = jnp.concatenate([bi, ci + base_row], axis=1)
+        v, p = jax.lax.top_k(av, K)
+        return v, jnp.take_along_axis(ai, p, axis=1)
+
+    for ci in range(n_chunks):
+        cv, cidx = tiled_topk(chunk_fn(ci), q_gt, K, tile=8192)
+        best_v, best_i = gt_merge(best_v, best_i, cv, cidx, ci * CHUNK)
+    gt = jax.device_get(best_i)
+    print(f"[gt] {time.perf_counter() - t0:.0f} s", flush=True)
+
+    # --- device-resident OPQ+IVF-PQ build --------------------------------------
+    t0 = time.perf_counter()
+    idx = BandIVFPQIndex.build_device_streaming(
+        chunk_fn, n_chunks, nlist=nlist, m=64, nbits=8, opq=True,
+        refine="none", kmeans_iters=8, pq_train_iters=6,
+    )
+    build_s = time.perf_counter() - t0
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    codes_gb = idx._codes_cm.size / 1e9
+    print(f"[build] {build_s:.0f} s; codes in HBM: {codes_gb:.1f} GB; "
+          f"n_tiles={n_tiles}", flush=True)
+
+    # --- recall + fenced QPS ----------------------------------------------------
+    st = idx._device_state()
+    rtt = measure_fetch_rtt()
+    nv = jnp.asarray(idx._n, jnp.int32)
+    qrot = (queries @ jnp.asarray(idx.opq_matrix).T
+            if idx.opq_matrix is not None else queries)
+    p_list = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3
+                               else ["4096", "8192"])]
+    for p_tiles in p_list:
+        p_tiles = min(p_tiles, n_tiles)
+
+        def run(noise):
+            return _pq_tiles_plan_search(
+                qrot + noise, st["centroids"], st["codes"], st["codebooks"],
+                st["refine"], st["ids"], st["tile_window"],
+                st["centroid_tiles"], nv,
+                k=K, k_cand=K, p_tiles=p_tiles, tile_n=idx.tile_n,
+                tile_q=idx.tile_q, interpret=False, refine_scale=0.0,
+            )
+
+        v, g = run(0.0)
+        r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
+        reps = 4
+        acc = jnp.float32(0)
+        vv, _ = run(0.5)
+        acc = acc + jnp.sum(vv)
+        float(acc)
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for it in range(reps):
+            vv, _ = run(1e-4 * (it + 1))
+            acc = acc + jnp.sum(vv)
+        float(acc)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        print(f"[eval] p_tiles={p_tiles:6d} ({p_tiles/n_tiles:5.1%}): "
+              f"recall@10={r:.4f}  {B*reps/dt:8.0f} qps/chip", flush=True)
+
+    # --- incremental updates (config #5 requirement) ---------------------------
+    extra = gen(jax.random.PRNGKey(999_999), 8192)
+    t0 = time.perf_counter()
+    idx.add(extra)
+    add_s = time.perf_counter() - t0
+    qa = np.asarray(extra[:64] @ (jnp.asarray(idx.opq_matrix).T
+                                  if idx.opq_matrix is not None
+                                  else jnp.eye(D)))
+    v, found = idx.search(np.asarray(extra[:64]), 1, p_tiles=min(2048, n_tiles))
+    hit = (found[:, 0] >= n).mean()
+    print(f"[add] 8192 rows in {add_s:.1f} s (pending-scan path); "
+          f"self-retrieval of added rows: {hit:.2f}", flush=True)
+    print(f"build_wallclock_s={build_s:.0f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
