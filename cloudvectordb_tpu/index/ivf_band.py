@@ -30,13 +30,15 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret", "refine_scale"
+        "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
+        "refine_scale", "row_major",
     ),
 )
 def _pq_tiles_plan_search(
     q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
     centroid_tiles=None, n_valid=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
+    row_major: bool = False,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
 
@@ -66,6 +68,7 @@ def _pq_tiles_plan_search(
         codes_cm, codebooks, q_s, tile_table, k_cand,
         centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
+        row_major=row_major,
     )
     if refine_scale > 0:
         # probed lists can hold < k_cand real rows: unfilled merge slots sit
@@ -869,6 +872,7 @@ class BandIVFPQIndex(BandIVFIndex):
         # in the same chunk order for the eventual arena merge.
         self._pending_codes: list[np.ndarray] = []
         self._pending_scale = 0.0
+        self._codes_row_major = False  # device-resident builds store (N, m+1)
 
     @classmethod
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
@@ -1077,17 +1081,23 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._tile_window = idx._compute_tile_window()
         tw = idx._tile_window
         rows_cm = m + (1 if idx.residual else 0)
-        codes_cm = jnp.zeros((rows_cm, n_pad), jnp.uint8)
+        # ROW-major code arena (N_pad, m[+1]): HBM scatter aliases only on
+        # the row axis — an axis-1 scatter into a code-major arena copies
+        # the whole arena per chunk (observed OOM at 125M: 2×8.3 GB).
+        codes_rm = jnp.zeros((n_pad, rows_cm), jnp.uint8)
         if idx.residual:
             row_tile = np.arange(n) // idx.tile_n
-            local = assign_all[order] - tw[row_tile, 0]
+            local = (assign_all[order] - tw[row_tile, 0]).astype(np.uint8)
             loc_pad = np.zeros(n_pad, np.uint8)
-            loc_pad[:n] = local.astype(np.uint8)
-            codes_cm = codes_cm.at[m, :].set(jnp.asarray(loc_pad))
+            loc_pad[:n] = local
+            # per-SOURCE-row local idx, scattered along with each row
+            local_src = np.empty(n, np.uint8)
+            local_src = loc_pad[dest]
             ct = idx.centroids[tw]
             idx._centroid_tiles = jnp.asarray(
                 np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16)
         else:
+            local_src = None
             idx._centroid_tiles = None
         do_refine = idx.refine == "int8"
         refine = (jnp.zeros((n_pad, idx.dim), jnp.int8) if do_refine
@@ -1097,16 +1107,17 @@ class BandIVFPQIndex(BandIVFIndex):
                    if idx.opq_matrix is not None else None)
         resid = idx.residual
         scale = idx._scale if do_refine else 0.0
-        m_rows = m
 
         import jax
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def encode_scatter(codes_ar, refine_ar, chunk, d, a, c, cb):
+        def encode_scatter(codes_ar, refine_ar, chunk, d, a, loc, c, cb):
             tr = chunk @ rot_dev if rot_dev is not None else chunk
             enc_in = tr - c[a] if resid else tr
             codes = pq_encode(enc_in, cb)  # (b, m)
-            codes_ar = codes_ar.at[:m_rows, d].set(jnp.transpose(codes))
+            if resid:
+                codes = jnp.concatenate([codes, loc[:, None]], axis=1)
+            codes_ar = codes_ar.at[d].set(codes)
             if do_refine:
                 r8 = jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)
                 refine_ar = refine_ar.at[d].set(r8)
@@ -1117,11 +1128,14 @@ class BandIVFPQIndex(BandIVFIndex):
             chunk = chunk_fn(ci)
             d = jnp.asarray(dest[base : base + sizes[ci]].astype(np.int32))
             a_dev = jnp.asarray(assigns[ci].astype(np.int32))
-            codes_cm, refine = encode_scatter(
-                codes_cm, refine, chunk, d, a_dev, cdev, cbdev)
+            loc_dev = (jnp.asarray(local_src[base : base + sizes[ci]])
+                       if resid else jnp.zeros((sizes[ci],), jnp.uint8))
+            codes_rm, refine = encode_scatter(
+                codes_rm, refine, chunk, d, a_dev, loc_dev, cdev, cbdev)
             base += sizes[ci]
-        idx._codes_cm = codes_cm  # device-resident
-        idx._payload = codes_cm
+        idx._codes_cm = codes_rm  # device-resident, ROW-major
+        idx._codes_row_major = True
+        idx._payload = codes_rm
         idx._refine_rows = refine
         if not do_refine:
             idx._scale = 0.0
@@ -1243,7 +1257,10 @@ class BandIVFPQIndex(BandIVFIndex):
         pcodes = np.concatenate(self._pending_codes)
         self._pending_codes = []
         self._pending_dev = None
-        old_codes = np.asarray(self._codes_cm)[: self.m, : self._n].T
+        if self._codes_row_major:
+            old_codes = np.asarray(self._codes_cm)[: self._n, : self.m]
+        else:
+            old_codes = np.asarray(self._codes_cm)[: self.m, : self._n].T
         old_assign = np.repeat(np.arange(self.nlist), np.diff(self._offsets))
         codes_all = np.concatenate([old_codes, pcodes.astype(np.uint8)])
         assigns = np.concatenate([old_assign, passign]).astype(np.int32)
@@ -1277,6 +1294,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 rr = np.concatenate([rr, np.zeros((n_pad - n, self.dim), np.int8)])
             self._refine_rows = rr
         self._codes_cm = codes_cm
+        self._codes_row_major = False  # host merge re-assembles code-major
         self._payload = codes_cm
         self._dev = None
 
@@ -1297,7 +1315,9 @@ class BandIVFPQIndex(BandIVFIndex):
                     * self._scale
                 )
             else:
-                codes = np.asarray(self._codes_cm)[: self.m, rows].T  # (r, m)
+                cm = np.asarray(self._codes_cm)
+                codes = (cm[rows, : self.m] if self._codes_row_major
+                         else cm[: self.m, rows].T)  # (r, m)
                 cb = self.codebooks  # (m, C, dsub)
                 dec = np.concatenate(
                     [cb[j][codes[:, j]] for j in range(self.m)], axis=1
@@ -1379,6 +1399,7 @@ class BandIVFPQIndex(BandIVFIndex):
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=self.tile_q, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
+            row_major=self._codes_row_major,
         )
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
@@ -1405,7 +1426,8 @@ class BandIVFPQIndex(BandIVFIndex):
         meta.update({"m": self.m, "nbits": self.nbits, "refine": self.refine,
                      "pq_train_iters": self.pq_train_iters,
                      "n_pad_rows": self._n_pad_rows,
-                     "residual": self.residual})
+                     "residual": self.residual,
+                     "codes_row_major": self._codes_row_major})
         return meta
 
     @classmethod
@@ -1417,6 +1439,7 @@ class BandIVFPQIndex(BandIVFIndex):
         idx.centroids = np.asarray(arrays["centroids"])
         idx.codebooks = np.asarray(arrays["codebooks"])
         idx._codes_cm = np.asarray(arrays["codes_cm"])
+        idx._codes_row_major = m.get("codes_row_major", False)
         idx._payload = idx._codes_cm
         idx._ids = np.asarray(arrays["ids"])
         idx._offsets = np.asarray(arrays["offsets"])

@@ -94,6 +94,7 @@ def _ceil_to(x: int, mult: int) -> int:
 def _pq_tiles_kernel(
     tile_table_ref, nv_ref, q_ref, codes_ref, cbt_ref, ct_ref, out_v_ref,
     out_i_ref, xhat_sc, val_sc, idx_sc, *, l_buckets, m, ncode, dsub, w_lists,
+    row_major=False,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -108,7 +109,12 @@ def _pq_tiles_kernel(
     nv_ref (1,) scalar prefetch: the TRUE row count — pad rows past it are
     masked out (pad codes decode to the code-0 reconstruction + the tile's
     first centroid, a plausible vector that would otherwise become a
-    phantom candidate)."""
+    phantom candidate).
+
+    row_major: codes block is (tile_n, m[+1]) instead of (m[+1], tile_n) —
+    the layout produced by the device-resident build, whose HBM scatter
+    aliases only on the ROW axis (axis-1 scatter into a code-major arena
+    copies the whole 8 GB arena per chunk at 125M scale)."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     n = nv_ref[0]
@@ -118,11 +124,15 @@ def _pq_tiles_kernel(
         val_sc[:] = jnp.full_like(val_sc, NEG_INF)
         idx_sc[:] = jnp.zeros_like(idx_sc)
 
-    tile_sz = codes_ref.shape[1]
     codes = codes_ref[:]
+    tile_sz = codes.shape[0] if row_major else codes.shape[1]
+
+    def code_row(sub):
+        return codes[:, sub] if row_major else codes[sub, :]
+
     code_iota = lax.broadcasted_iota(jnp.int32, (ncode, tile_sz), 0)
     for sub in range(m):
-        oh_t = (code_iota == codes[sub, :].astype(jnp.int32)[None, :]).astype(
+        oh_t = (code_iota == code_row(sub).astype(jnp.int32)[None, :]).astype(
             jnp.bfloat16
         )
         xhat_sc[sub * dsub : (sub + 1) * dsub, :] = lax.dot_general(
@@ -130,7 +140,7 @@ def _pq_tiles_kernel(
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
     if w_lists:  # residual mode: add this tile's per-row centroid term
-        local = codes[m, :].astype(jnp.int32)  # (T,) local list idx < w_lists
+        local = code_row(m).astype(jnp.int32)  # (T,) local list idx < w_lists
         w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, tile_sz), 0)
         oh_l = (w_iota == local[None, :]).astype(jnp.bfloat16)  # (W, T)
         xhat_sc[:, :] = xhat_sc[:, :] + lax.dot_general(
@@ -175,7 +185,8 @@ def _pq_tiles_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret"),
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
+                     "row_major"),
 )
 def pq_tiles_topk_pallas(
     codes_cm,
@@ -189,11 +200,13 @@ def pq_tiles_topk_pallas(
     l_buckets: int = 0,
     interpret: bool = False,
     n_valid=None,  # true row count (traced scalar ok); pad rows masked out
+    row_major: bool = False,  # codes are (N_pad, m[+1]) — see kernel doc
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
     codes_cm (m[+1], N_pad) uint8 code-major with N_pad % tile_n == 0 — the
     extra row (residual mode) is each row's LOCAL list index within its tile;
+    row_major=True flips to (N_pad, m[+1]) (the device-resident-build layout).
     centroid_tiles (n_tiles, D, W) bf16 holds each tile's ≤W list centroids.
     queries_sorted (Q_pad, D) pre-sorted/padded; tile_table (n_qt, P) i32.
     ``n_valid``: number of REAL rows (pad rows must never become candidates —
@@ -202,8 +215,12 @@ def pq_tiles_topk_pallas(
     """
     ncode, dsub = codebooks.shape[1], codebooks.shape[2]
     residual = centroid_tiles is not None
-    m = codes_cm.shape[0] - (1 if residual else 0)
-    n = codes_cm.shape[1]
+    if row_major:
+        m = codes_cm.shape[1] - (1 if residual else 0)
+        n = codes_cm.shape[0]
+    else:
+        m = codes_cm.shape[0] - (1 if residual else 0)
+        n = codes_cm.shape[1]
     d = m * dsub
     nq = queries_sorted.shape[0]
     assert n % tile_n == 0 and nq % tile_q == 0
@@ -221,19 +238,23 @@ def pq_tiles_topk_pallas(
     )
     if not residual:
         centroid_tiles = jnp.zeros((1, d, 1), jnp.bfloat16)
-    code_rows = codes_cm.shape[0]
+    code_rows = m + (1 if residual else 0)
     nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
         jnp.asarray(n_valid, jnp.int32).reshape(1)
+    )
+    codes_spec = (
+        pl.BlockSpec((tile_n, code_rows), lambda i, j, tt, nv: (tt[i, j], 0),
+                     memory_space=pltpu.VMEM)
+        if row_major else
+        pl.BlockSpec((code_rows, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
+                     memory_space=pltpu.VMEM)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_qt, p),
         in_specs=[
             pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (code_rows, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
-                memory_space=pltpu.VMEM,
-            ),
+            codes_spec,
             pl.BlockSpec(
                 (dsub, m * ncode), lambda i, j, tt, nv: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -256,7 +277,7 @@ def pq_tiles_topk_pallas(
     )
     kernel = functools.partial(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
-        w_lists=w_lists,
+        w_lists=w_lists, row_major=row_major,
     )
     out_v, out_i = pl.pallas_call(
         kernel,

@@ -109,3 +109,9 @@ def test_pq_build_device_streaming_matches_build():
     idx.add(extra)
     _, late = idx.search(extra[:16], 1, interpret=True, p_tiles=n_tiles)
     assert (late[:, 0] >= 4096).mean() >= 0.85
+    # forced merge converts the row-major device arena back to code-major
+    assert idx._codes_row_major
+    idx.merge_pending()
+    assert not idx._codes_row_major and idx.ntotal == 4096 + 64
+    _, f3 = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
+    assert recall_at_k(f3, gt) >= r - 0.05
