@@ -33,6 +33,22 @@ def infonce_loss(anchor, positive, negative=None, temperature: float = 0.05):
     return jnp.mean(loss), acc
 
 
+def uniformity_loss(x, t: float = 2.0):
+    """Wang–Isola uniformity: log E[exp(−t·‖xi−xj‖²)] over in-batch pairs.
+
+    Collapse diagnostic-turned-penalty: a collapsed batch (all embeddings
+    equal) scores 0, a uniform-on-sphere batch ≈ −2t. Added with a small
+    weight it keeps tiny from-scratch encoders from the degenerate optimum
+    the pipeline's encode stage warns about (mean pairwise cosine ≈ 1).
+    """
+    sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    b = x.shape[0]
+    mask = ~jnp.eye(b, dtype=bool)
+    return jax.scipy.special.logsumexp(
+        jnp.where(mask, -t * sq, -jnp.inf)
+    ) - jnp.log(b * (b - 1))
+
+
 def loss_fn_for(name: str):
     if name == "infonce":
         return infonce_loss

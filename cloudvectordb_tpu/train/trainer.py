@@ -90,6 +90,10 @@ class Trainer:
             a, p, n = emb[:b], emb[b : 2 * b], emb[2 * b :]
             if cfg.loss == "infonce":
                 loss, acc = infonce_loss(a, p, n, temperature=cfg.temperature)
+                if cfg.uniformity_weight > 0.0:
+                    from cloudvectordb_tpu.train.losses import uniformity_loss
+
+                    loss = loss + cfg.uniformity_weight * uniformity_loss(a)
             else:
                 loss = triplet_margin_loss(a, p, n, margin=cfg.margin)
                 acc = jnp.mean(

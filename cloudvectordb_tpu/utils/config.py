@@ -91,7 +91,9 @@ class TrainConfig(_ConfigBase):
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     encoder_preset: str = ""       # named preset (models/presets.py) overrides encoder
     loss: str = "infonce"          # infonce | triplet
-    temperature: float = 0.05     # InfoNCE temperature
+    temperature: float = 0.1      # InfoNCE temperature (0.05 collapses
+                                  # tiny from-scratch encoders — measured)
+    uniformity_weight: float = 0.0  # optional Wang–Isola anti-collapse term
     margin: float = 0.5            # triplet margin
     batch_size: int = 256          # global batch (sharded over 'data' mesh axis)
     lr: float = 2e-5

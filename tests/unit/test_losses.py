@@ -36,3 +36,18 @@ def test_triplet_margin_zero_when_separated():
     assert float(triplet_margin_loss(a, p, n, margin=0.5)) == 0.0
     # violating triplet: positive far, negative at anchor
     assert float(triplet_margin_loss(a, n, p, margin=0.5)) > 0.0
+
+
+def test_uniformity_loss_orders_collapse_vs_spread():
+    """Collapsed batch → ~0 (max penalty); spread batch → strongly negative."""
+    import jax.numpy as jnp
+    from cloudvectordb_tpu.train.losses import uniformity_loss
+
+    collapsed = jnp.ones((16, 8)) / (8 ** 0.5)
+    rng = np.random.default_rng(0)
+    spread = rng.normal(size=(16, 8)).astype(np.float32)
+    spread /= np.linalg.norm(spread, axis=1, keepdims=True)
+    u_col = float(uniformity_loss(collapsed))
+    u_spr = float(uniformity_loss(jnp.asarray(spread)))
+    assert abs(u_col) < 1e-5
+    assert u_spr < -1.0, u_spr
