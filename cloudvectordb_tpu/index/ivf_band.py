@@ -36,7 +36,7 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
 )
 def _pq_tiles_plan_search(
     q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
-    centroid_tiles=None, n_valid=None,
+    centroid_tiles=None, n_valid=None, local_rm=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
     row_major: bool = False,
 ):
@@ -68,7 +68,7 @@ def _pq_tiles_plan_search(
         codes_cm, codebooks, q_s, tile_table, k_cand,
         centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
-        row_major=row_major,
+        row_major=row_major, local_ids=local_rm,
     )
     if refine_scale > 0:
         # probed lists can hold < k_cand real rows: unfilled merge slots sit
@@ -1080,24 +1080,23 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._ids = order.astype(np.int64)
         idx._tile_window = idx._compute_tile_window()
         tw = idx._tile_window
-        rows_cm = m + (1 if idx.residual else 0)
-        # ROW-major code arena (N_pad, m[+1]): HBM scatter aliases only on
-        # the row axis — an axis-1 scatter into a code-major arena copies
-        # the whole arena per chunk (observed OOM at 125M: 2×8.3 GB).
-        codes_rm = jnp.zeros((n_pad, rows_cm), jnp.uint8)
+        # ROW-major code arena (N_pad, m): HBM scatter aliases only on the
+        # row axis — an axis-1 scatter into a code-major arena copies the
+        # whole arena per chunk (observed OOM at 125M: 2×8.3 GB). The
+        # residual local byte lives in a SEPARATE (1, N_pad) array: a
+        # 65-lane minor dim crashes the TPU compiler at ≥8e9 elements.
+        codes_rm = jnp.zeros((n_pad, m), jnp.uint8)
         if idx.residual:
             row_tile = np.arange(n) // idx.tile_n
             local = (assign_all[order] - tw[row_tile, 0]).astype(np.uint8)
             loc_pad = np.zeros(n_pad, np.uint8)
             loc_pad[:n] = local
-            # per-SOURCE-row local idx, scattered along with each row
-            local_src = np.empty(n, np.uint8)
-            local_src = loc_pad[dest]
+            idx._local_rm = jnp.asarray(loc_pad[None])  # (1, N_pad)
             ct = idx.centroids[tw]
             idx._centroid_tiles = jnp.asarray(
                 np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16)
         else:
-            local_src = None
+            idx._local_rm = None
             idx._centroid_tiles = None
         do_refine = idx.refine == "int8"
         refine = (jnp.zeros((n_pad, idx.dim), jnp.int8) if do_refine
@@ -1111,12 +1110,10 @@ class BandIVFPQIndex(BandIVFIndex):
         import jax
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def encode_scatter(codes_ar, refine_ar, chunk, d, a, loc, c, cb):
+        def encode_scatter(codes_ar, refine_ar, chunk, d, a, c, cb):
             tr = chunk @ rot_dev if rot_dev is not None else chunk
             enc_in = tr - c[a] if resid else tr
             codes = pq_encode(enc_in, cb)  # (b, m)
-            if resid:
-                codes = jnp.concatenate([codes, loc[:, None]], axis=1)
             codes_ar = codes_ar.at[d].set(codes)
             if do_refine:
                 r8 = jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)
@@ -1128,10 +1125,8 @@ class BandIVFPQIndex(BandIVFIndex):
             chunk = chunk_fn(ci)
             d = jnp.asarray(dest[base : base + sizes[ci]].astype(np.int32))
             a_dev = jnp.asarray(assigns[ci].astype(np.int32))
-            loc_dev = (jnp.asarray(local_src[base : base + sizes[ci]])
-                       if resid else jnp.zeros((sizes[ci],), jnp.uint8))
             codes_rm, refine = encode_scatter(
-                codes_rm, refine, chunk, d, a_dev, loc_dev, cdev, cbdev)
+                codes_rm, refine, chunk, d, a_dev, cdev, cbdev)
             base += sizes[ci]
         idx._codes_cm = codes_rm  # device-resident, ROW-major
         idx._codes_row_major = True
@@ -1295,6 +1290,7 @@ class BandIVFPQIndex(BandIVFIndex):
             self._refine_rows = rr
         self._codes_cm = codes_cm
         self._codes_row_major = False  # host merge re-assembles code-major
+        self._local_rm = None
         self._payload = codes_cm
         self._dev = None
 
@@ -1370,6 +1366,9 @@ class BandIVFPQIndex(BandIVFIndex):
                     jnp.asarray(self._centroid_tiles, jnp.bfloat16)
                     if self._centroid_tiles is not None else None
                 ),
+                local_rm=(jnp.asarray(self._local_rm)
+                          if getattr(self, "_local_rm", None) is not None
+                          else None),
             )
         return self._dev
 
@@ -1395,7 +1394,7 @@ class BandIVFPQIndex(BandIVFIndex):
         v, gids = _pq_tiles_plan_search(
             jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
-            jnp.asarray(self._n, jnp.int32),
+            jnp.asarray(self._n, jnp.int32), st.get("local_rm"),
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=self.tile_q, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
@@ -1458,4 +1457,12 @@ class BandIVFPQIndex(BandIVFIndex):
             idx._centroid_tiles = jnp.asarray(
                 np.ascontiguousarray(np.transpose(ct, (0, 2, 1))), jnp.bfloat16
             )
+            if idx._codes_row_major:  # local byte derives from offsets
+                assigns_sorted = np.repeat(np.arange(idx.nlist),
+                                           np.diff(idx._offsets))
+                row_tile = np.arange(idx._n) // idx.tile_n
+                local = (assigns_sorted - idx._tile_window[row_tile, 0])
+                loc_pad = np.zeros(idx._n_pad_rows, np.uint8)
+                loc_pad[: idx._n] = local.astype(np.uint8)
+                idx._local_rm = loc_pad[None]
         return idx

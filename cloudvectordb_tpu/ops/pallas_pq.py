@@ -92,8 +92,7 @@ def _ceil_to(x: int, mult: int) -> int:
 
 
 def _pq_tiles_kernel(
-    tile_table_ref, nv_ref, q_ref, codes_ref, cbt_ref, ct_ref, out_v_ref,
-    out_i_ref, xhat_sc, val_sc, idx_sc, *, l_buckets, m, ncode, dsub, w_lists,
+    tile_table_ref, nv_ref, *refs, l_buckets, m, ncode, dsub, w_lists,
     row_major=False,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
@@ -111,10 +110,19 @@ def _pq_tiles_kernel(
     first centroid, a plausible vector that would otherwise become a
     phantom candidate).
 
-    row_major: codes block is (tile_n, m[+1]) instead of (m[+1], tile_n) —
+    row_major: codes block is (tile_n, m) instead of (m[+1], tile_n) —
     the layout produced by the device-resident build, whose HBM scatter
     aliases only on the ROW axis (axis-1 scatter into a code-major arena
-    copies the whole 8 GB arena per chunk at 125M scale)."""
+    copies the whole 8 GB arena per chunk at 125M scale). The residual
+    local-list byte then rides a SEPARATE (1, N_pad) input: a 65-lane
+    minor dim crashes the TPU compiler at ≥8e9 elements (65 vs 64 lanes,
+    measured), and 64 keeps the arena exactly m bytes/row."""
+    if row_major and w_lists:
+        (q_ref, codes_ref, local_ref, cbt_ref, ct_ref,
+         out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc) = refs
+    else:
+        (q_ref, codes_ref, cbt_ref, ct_ref,
+         out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc) = refs
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     n = nv_ref[0]
@@ -140,7 +148,9 @@ def _pq_tiles_kernel(
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
     if w_lists:  # residual mode: add this tile's per-row centroid term
-        local = code_row(m).astype(jnp.int32)  # (T,) local list idx < w_lists
+        local = (local_ref[0, :] if row_major else code_row(m)).astype(
+            jnp.int32
+        )  # (T,) local list idx < w_lists
         w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, tile_sz), 0)
         oh_l = (w_iota == local[None, :]).astype(jnp.bfloat16)  # (W, T)
         xhat_sc[:, :] = xhat_sc[:, :] + lax.dot_general(
@@ -200,7 +210,8 @@ def pq_tiles_topk_pallas(
     l_buckets: int = 0,
     interpret: bool = False,
     n_valid=None,  # true row count (traced scalar ok); pad rows masked out
-    row_major: bool = False,  # codes are (N_pad, m[+1]) — see kernel doc
+    row_major: bool = False,  # codes are (N_pad, m) — see kernel doc
+    local_ids=None,  # (1, N_pad) uint8, required when row_major + residual
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -216,8 +227,9 @@ def pq_tiles_topk_pallas(
     ncode, dsub = codebooks.shape[1], codebooks.shape[2]
     residual = centroid_tiles is not None
     if row_major:
-        m = codes_cm.shape[1] - (1 if residual else 0)
+        m = codes_cm.shape[1]  # the local byte is a separate input
         n = codes_cm.shape[0]
+        assert not residual or local_ids is not None
     else:
         m = codes_cm.shape[0] - (1 if residual else 0)
         n = codes_cm.shape[1]
@@ -243,18 +255,26 @@ def pq_tiles_topk_pallas(
         jnp.asarray(n_valid, jnp.int32).reshape(1)
     )
     codes_spec = (
-        pl.BlockSpec((tile_n, code_rows), lambda i, j, tt, nv: (tt[i, j], 0),
+        pl.BlockSpec((tile_n, m), lambda i, j, tt, nv: (tt[i, j], 0),
                      memory_space=pltpu.VMEM)
         if row_major else
         pl.BlockSpec((code_rows, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
                      memory_space=pltpu.VMEM)
     )
+    in_specs_head = [
+        pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0),
+                     memory_space=pltpu.VMEM),
+        codes_spec,
+    ]
+    if row_major and residual:
+        in_specs_head.append(
+            pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
+                         memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_qt, p),
         in_specs=[
-            pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
-            codes_spec,
+            *in_specs_head,
             pl.BlockSpec(
                 (dsub, m * ncode), lambda i, j, tt, nv: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -279,6 +299,10 @@ def pq_tiles_topk_pallas(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
         w_lists=w_lists, row_major=row_major,
     )
+    args = [tile_table.astype(jnp.int32), nv, qp, codes_cm]
+    if row_major and residual:
+        args.append(local_ids)
+    args += [cbt, centroid_tiles.astype(jnp.bfloat16)]
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -287,8 +311,7 @@ def pq_tiles_topk_pallas(
             jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_table.astype(jnp.int32), nv, qp, codes_cm, cbt,
-      centroid_tiles.astype(jnp.bfloat16))
+    )(*args)
 
     top_v, pos = lax.top_k(out_v[:nq], min(k, l_buckets))
     top_i = jnp.take_along_axis(out_i[:nq], pos, axis=1)
