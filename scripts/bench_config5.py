@@ -113,9 +113,10 @@ def main():
             return _pq_tiles_plan_search(
                 qrot + noise, st["centroids"], st["codes"], st["codebooks"],
                 st["refine"], st["ids"], st["tile_window"],
-                st["centroid_tiles"], nv,
+                st["centroid_tiles"], nv, st.get("local_rm"),
                 k=K, k_cand=K, p_tiles=p_tiles, tile_n=idx.tile_n,
                 tile_q=idx.tile_q, interpret=False, refine_scale=0.0,
+                row_major=idx._codes_row_major,
             )
 
         v, g = run(0.0)

@@ -115,3 +115,27 @@ def test_pq_build_device_streaming_matches_build():
     assert not idx._codes_row_major and idx.ntotal == 4096 + 64
     _, f3 = idx.search(q, 10, p_tiles=n_tiles, interpret=True)
     assert recall_at_k(f3, gt) >= r - 0.05
+
+
+def test_pq_row_major_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+    from cloudvectordb_tpu.index import load_index
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db = clustered_vectors(2048, 64, n_clusters=16, seed=101, normalize=True)
+    q = queries_from(db, 16, seed=102, normalize=True)
+    chunks = [jnp.asarray(db[s : s + 512]) for s in range(0, 2048, 512)]
+    idx = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 4, nlist=8, m=8, train_sample=512,
+        nbits=6, refine="int8", kmeans_iters=5, pq_train_iters=5,
+        tile_n=256, tile_q=16,
+    )
+    assert idx._codes_row_major
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    v1, i1 = idx.search(q, 5, p_tiles=n_tiles, interpret=True)
+    idx.save(tmp_path / "rm")
+    idx2 = load_index(tmp_path / "rm")
+    assert idx2._codes_row_major and idx2._local_rm is not None
+    v2, i2 = idx2.search(q, 5, p_tiles=n_tiles, interpret=True)
+    np.testing.assert_array_equal(i1, i2)
