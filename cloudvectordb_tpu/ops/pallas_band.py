@@ -412,9 +412,9 @@ def _tiles_resid_kernel(
         )  # (Q, T)
     local = local_ref[0, :].astype(jnp.int32)  # (T,)
     qc = lax.dot_general(
-        q, ct_ref[0], (((1,), (0,)), ((), ())),
+        q, ct_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Q, D)·(D, W) → (Q, W), f32 accumulation
+    )  # (Q, D)·(W, D)ᵀ → (Q, W), f32 accumulation
     # one-hot expansion in f32 on the VPU (W small). Routing the f32 qc
     # through a bf16 MXU one-hot matmul instead rounds the ~1.0-scale
     # accumulated q·c values to bf16 (abs err ~4e-3 — larger than the
@@ -465,7 +465,8 @@ def _tiles_resid_kernel(
 def tiles_topk_resid_pallas(
     db_resid,        # (N_pad, D) int8 residual rows
     local_ids,       # (1, N_pad) uint8: per-row local list idx within tile
-    centroid_tiles,  # (n_tiles, D, W) bf16 per-tile list centroids
+    centroid_tiles,  # (n_tiles, W, D) bf16 per-tile list centroids (D minor:
+                     # a W-minor layout pads W→128 lanes in HBM, 21× blowup)
     resid_scale,     # () f32 residual dequant scale
     queries_sorted,  # (Q_pad, D) f32/bf16 pre-sorted queries
     tile_table,      # (n_qt, P) i32
@@ -488,8 +489,8 @@ def tiles_topk_resid_pallas(
             jnp.zeros((nq, d_pad), queries_sorted.dtype).at[:, :d].set(queries_sorted)
         )
         centroid_tiles = (
-            jnp.zeros((centroid_tiles.shape[0], d_pad, centroid_tiles.shape[2]),
-                      centroid_tiles.dtype).at[:, :d, :].set(centroid_tiles)
+            jnp.zeros((centroid_tiles.shape[0], centroid_tiles.shape[1], d_pad),
+                      centroid_tiles.dtype).at[:, :, :d].set(centroid_tiles)
         )
         d = d_pad
     if l_buckets == 0:
@@ -498,7 +499,7 @@ def tiles_topk_resid_pallas(
     assert tile_n % l_buckets == 0
     n_qt = nq // tile_q
     p = tile_table.shape[1]
-    w = int(centroid_tiles.shape[2])
+    w = int(centroid_tiles.shape[1])
     nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
         jnp.asarray(n_valid, jnp.int32).reshape(1)
     )
@@ -521,7 +522,7 @@ def tiles_topk_resid_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, d, w), lambda i, j, tt, nv: (tt[i, j], 0, 0),
+        pl.BlockSpec((1, w, d), lambda i, j, tt, nv: (tt[i, j], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_q, 1), lambda i, j, tt, nv: (i, 0),
                      memory_space=pltpu.VMEM),

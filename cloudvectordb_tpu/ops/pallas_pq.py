@@ -154,9 +154,9 @@ def _pq_tiles_kernel(
         w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, tile_sz), 0)
         oh_l = (w_iota == local[None, :]).astype(jnp.bfloat16)  # (W, T)
         xhat_sc[:, :] = xhat_sc[:, :] + lax.dot_general(
-            ct_ref[0], oh_l, (((1,), (0,)), ((), ())),
+            ct_ref[0], oh_l, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (D, W) @ (W, T)
+        )  # ct (W, D) contracted on W with OH (W, T) → (D, T)
     scores = lax.dot_general(
         q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -218,7 +218,8 @@ def pq_tiles_topk_pallas(
     codes_cm (m[+1], N_pad) uint8 code-major with N_pad % tile_n == 0 — the
     extra row (residual mode) is each row's LOCAL list index within its tile;
     row_major=True flips to (N_pad, m[+1]) (the device-resident-build layout).
-    centroid_tiles (n_tiles, D, W) bf16 holds each tile's ≤W list centroids.
+    centroid_tiles (n_tiles, W, D) bf16 holds each tile's ≤W list centroids
+    (D minor: a W-minor layout pads W→128 lanes in HBM, 21× blowup).
     queries_sorted (Q_pad, D) pre-sorted/padded; tile_table (n_qt, P) i32.
     ``n_valid``: number of REAL rows (pad rows must never become candidates —
     they decode to plausible vectors); defaults to the padded size.
@@ -242,14 +243,14 @@ def pq_tiles_topk_pallas(
     assert tile_n % l_buckets == 0
     n_qt = nq // tile_q
     p = tile_table.shape[1]
-    w_lists = int(centroid_tiles.shape[2]) if residual else 0
+    w_lists = int(centroid_tiles.shape[1]) if residual else 0
 
     qp = queries_sorted.astype(jnp.bfloat16)
     cbt = jnp.transpose(codebooks, (2, 0, 1)).reshape(dsub, m * ncode).astype(
         jnp.bfloat16
     )
     if not residual:
-        centroid_tiles = jnp.zeros((1, d, 1), jnp.bfloat16)
+        centroid_tiles = jnp.zeros((1, 1, d), jnp.bfloat16)
     code_rows = m + (1 if residual else 0)
     nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
         jnp.asarray(n_valid, jnp.int32).reshape(1)
@@ -283,7 +284,7 @@ def pq_tiles_topk_pallas(
                 (lambda i, j, tt, nv: (tt[i, j], 0, 0)) if residual
                 else (lambda i, j, tt, nv: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
-            ),
+            ),  # (1, W, D)
         ],
         out_specs=[
             pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),

@@ -38,7 +38,7 @@ def _sharded_band_search(
     axis 0; queries/centroids replicated. Without the per-shard count the
     kernel's pad mask would use the (shared) padded size and zero-pad rows
     of short shards would surface as phantom global-id-0 candidates.
-    local_ids (S, 1, n_pad) + centroid_tiles (S, n_tiles, D, W) switch the
+    local_ids (S, 1, n_pad) + centroid_tiles (S, n_tiles, W, D) switch the
     per-shard scan to the residual-int8 kernel."""
     from cloudvectordb_tpu.index.ivf_band import _tiles_resid_plan_search
 
@@ -271,10 +271,8 @@ class ShardedBandIndex:
                 return out
 
             def ct_piece(si):
-                ct = cents[tw_piece(si)[0]]  # (n_tiles, w, D)
-                return np.ascontiguousarray(
-                    np.transpose(ct, (0, 2, 1))
-                )[None].astype(jnp.bfloat16)
+                ct = cents[tw_piece(si)[0]]  # (n_tiles, w, D) — D minor
+                return np.ascontiguousarray(ct)[None].astype(jnp.bfloat16)
 
             self._dev["local"] = stage_row_sharded(local_piece, s, self.mesh)
             self._dev["centroid_tiles"] = stage_row_sharded(
