@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from cloudvectordb_tpu.index.kmeans import train_kmeans
 from cloudvectordb_tpu.ops.assign import assign_clusters
@@ -37,6 +38,147 @@ def train_pq(x, m: int, nbits: int = 8, iters: int = 12, seed: int = 0):
 
     seeds = seed + jnp.arange(m)
     return jax.vmap(one)(subs, seeds)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "nbits", "iters", "tile")
+)
+def train_pq_aniso(
+    x,
+    xdir,
+    m: int,
+    nbits: int = 8,
+    iters: int = 8,
+    eta: float = 4.0,
+    seed: int = 0,
+    tile: int = 4096,
+):
+    """Anisotropic (score-aware) PQ codebooks (m, 2**nbits, D/m).
+
+    For inner-product search, reconstruction error PARALLEL to the datapoint
+    direction changes scores; orthogonal error mostly cancels (public
+    technique: Guo et al., "Accelerating Large-Scale Inference with
+    Anisotropic Vector Quantization", 2020 — derived independently here).
+    Per-point loss in each subspace: ``||e||^2 + (eta-1)(u.e)^2`` with
+    ``e = sub - codeword`` and ``u`` the unit sub-vector of `xdir` (pass the
+    ORIGINAL vectors when `x` holds coarse residuals — the score direction is
+    the full datapoint, not the residual). eta=1 reduces exactly to Lloyd.
+
+    Assignment is the MXU-tiled expansion
+    ``base + (eta-1)(p_i - u_i.c_k)^2`` (two matmuls per tile); the codeword
+    update solves the per-cluster normal equations
+    ``(n_k I + (eta-1) U_k^T U_k) c = sum x + (eta-1) U_k^T p_k`` — segment
+    sums feed batched (dsub, dsub) solves, all inside one ``fori_loop``.
+    Sub-spaces run under ``lax.map`` (sequential) to bound the N x dsub^2
+    outer-product buffer.
+    """
+    ncode = 2 ** nbits
+    n, d = x.shape
+    subs = _split(x, m)  # (m, N, dsub)
+    us = _split(xdir, m)
+    us = us / jnp.maximum(jnp.linalg.norm(us, axis=2, keepdims=True), 1e-9)
+    ds = d // m
+    etam1 = jnp.float32(eta - 1.0)
+    eye = jnp.eye(ds, dtype=jnp.float32)
+    n_pad = (-n) % tile
+    seeds = seed + jnp.arange(m)
+
+    def one(args):
+        sub, u, s = args
+        sub = sub.astype(jnp.float32)
+        u = u.astype(jnp.float32)
+        p = jnp.sum(u * sub, axis=1)  # (N,) score-direction components
+        x_sq = jnp.sum(sub * sub, axis=1)
+        pad = lambda v: (
+            jnp.concatenate([v, jnp.zeros((n_pad, *v.shape[1:]), v.dtype)])
+            if n_pad else v
+        )
+        sub_t = pad(sub).reshape(-1, tile, ds)
+        u_t = pad(u).reshape(-1, tile, ds)
+        p_t = pad(p).reshape(-1, tile)
+        xsq_t = pad(x_sq).reshape(-1, tile)
+
+        def assign(cb):
+            cb_sq = jnp.sum(cb * cb, axis=1)
+
+            def blk(blk_args):
+                st, ut, pt, xt = blk_args
+                base = xt[:, None] - 2.0 * st @ cb.T + cb_sq[None, :]
+                dlt = pt[:, None] - ut @ cb.T
+                return jnp.argmin(base + etam1 * dlt * dlt, axis=1).astype(
+                    jnp.int32
+                )
+
+            return lax.map(blk, (sub_t, u_t, p_t, xsq_t)).reshape(-1)[:n]
+
+        cb0, _ = train_kmeans(sub, ncode, iters=2, seed=s, tile=tile)
+        uu = (u[:, :, None] * u[:, None, :]).reshape(n, ds * ds)
+        rhs_rows = sub + etam1 * p[:, None] * u
+
+        def body(i, cb):
+            a = assign(cb)
+            nk = jax.ops.segment_sum(
+                jnp.ones((n,), jnp.float32), a, num_segments=ncode
+            )
+            A = (
+                etam1
+                * jax.ops.segment_sum(uu, a, num_segments=ncode).reshape(
+                    ncode, ds, ds
+                )
+                + (nk[:, None, None] + 1e-6) * eye[None]
+            )
+            b = jax.ops.segment_sum(rhs_rows, a, num_segments=ncode)
+            cb_new = jnp.linalg.solve(A, b[..., None])[..., 0]
+            return jnp.where((nk > 0.0)[:, None], cb_new, cb)
+
+        return lax.fori_loop(0, iters, body, cb0)
+
+    return lax.map(one, (subs, us, seeds))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pq_encode_aniso(x, xdir, codebooks, eta: float, tile: int = 8192):
+    """Encode under the anisotropic metric the codebooks were trained with.
+
+    Plain nearest-codeword encoding is metric-mismatched for anisotropic
+    codebooks (it trades parallel error back for orthogonal error); matching
+    the training assignment rule preserves the score-aware tradeoff.
+    """
+    m, ncode, ds = codebooks.shape
+    n = x.shape[0]
+    subs = _split(x, m)
+    us = _split(xdir, m)
+    us = us / jnp.maximum(jnp.linalg.norm(us, axis=2, keepdims=True), 1e-9)
+    etam1 = jnp.float32(eta - 1.0)
+    n_pad = (-n) % tile
+
+    def one(sub, u, cb):
+        sub = sub.astype(jnp.float32)
+        u = u.astype(jnp.float32)
+        p = jnp.sum(u * sub, axis=1)
+        x_sq = jnp.sum(sub * sub, axis=1)
+        pad = lambda v: (
+            jnp.concatenate([v, jnp.zeros((n_pad, *v.shape[1:]), v.dtype)])
+            if n_pad else v
+        )
+        sub_t = pad(sub).reshape(-1, tile, ds)
+        u_t = pad(u).reshape(-1, tile, ds)
+        p_t = pad(p).reshape(-1, tile)
+        xsq_t = pad(x_sq).reshape(-1, tile)
+        cb_sq = jnp.sum(cb * cb, axis=1)
+
+        def blk(blk_args):
+            st, ut, pt, xt = blk_args
+            base = xt[:, None] - 2.0 * st @ cb.T + cb_sq[None, :]
+            dlt = pt[:, None] - ut @ cb.T
+            return jnp.argmin(base + etam1 * dlt * dlt, axis=1).astype(
+                jnp.int32
+            )
+
+        return lax.map(blk, (sub_t, u_t, p_t, xsq_t)).reshape(-1)[:n]
+
+    codes = jax.vmap(one)(subs, us, codebooks)  # (m, N)
+    return jnp.transpose(codes).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=())

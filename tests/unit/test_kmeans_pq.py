@@ -82,3 +82,44 @@ def test_opq_beats_plain_pq():
     mse_opq = opq_reconstruction_mse(x, r, cb)
     mse_pq = pq_reconstruction_mse(jnp.asarray(x), train_pq(jnp.asarray(x), 8, 4, iters=6))
     assert mse_opq <= mse_pq * 1.05  # at worst on par, usually better
+
+
+def test_aniso_pq_eta1_is_lloyd():
+    """eta=1 collapses the anisotropic loss to plain L2: assignment is the
+    L2 argmin and the normal equations reduce to the cluster mean, so the
+    trained quantizer's MSE must match plain PQ's closely."""
+    from cloudvectordb_tpu.index.pq import pq_encode_aniso, train_pq_aniso
+
+    x = clustered_vectors(4096, 32, seed=30)
+    xj = jnp.asarray(x)
+    cb_p = train_pq(xj, m=8, nbits=4, iters=8)
+    cb_a = train_pq_aniso(xj, xj, m=8, nbits=4, iters=8, eta=1.0)
+    mse_p = pq_reconstruction_mse(xj, cb_p)
+    codes = pq_encode_aniso(xj, xj, cb_a, eta=1.0)
+    xr = np.asarray(pq_decode(codes, cb_a))
+    mse_a = ((x - xr) ** 2).sum(1).mean()
+    assert mse_a <= mse_p * 1.1, (mse_a, mse_p)
+
+
+def test_aniso_pq_trades_parallel_for_orthogonal_error():
+    """The defining property: eta>1 must cut the score-direction (parallel)
+    reconstruction error vs plain PQ, paying with a (bounded) increase in
+    total MSE. Parallel error is what perturbs IP scores."""
+    from cloudvectordb_tpu.index.pq import pq_encode_aniso, train_pq_aniso
+
+    x = clustered_vectors(8192, 32, n_clusters=16, seed=31, normalize=True)
+    xj = jnp.asarray(x)
+
+    def par_err(cb, codes):
+        xr = np.asarray(pq_decode(codes, cb))
+        e = x - xr
+        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return float(((e * u).sum(1) ** 2).mean()), float((e ** 2).sum(1).mean())
+
+    cb_p = train_pq(xj, m=8, nbits=4, iters=8)
+    par_p, mse_p = par_err(cb_p, pq_encode(xj, cb_p))
+    cb_a = train_pq_aniso(xj, xj, m=8, nbits=4, iters=8, eta=6.0)
+    par_a, mse_a = par_err(
+        cb_a, pq_encode_aniso(xj, xj, cb_a, eta=6.0))
+    assert par_a < par_p * 0.8, (par_a, par_p)  # big parallel-error cut
+    assert mse_a < mse_p * 3.0, (mse_a, mse_p)  # bounded total-MSE cost
