@@ -121,7 +121,6 @@ def main() -> None:
             chunk_fn, n_chunks, nlist=NLIST, kmeans_iters=10, residual=True,
         )
         st = idx._device_state()
-        nv = jnp.asarray(idx._n, jnp.int32)
         n_tiles = int(idx._payload.shape[0]) // idx.tile_n
         p_tiles = min(P_TILES, n_tiles)
 
@@ -129,7 +128,7 @@ def main() -> None:
             return _tiles_resid_plan_search(
                 queries + noise, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], idx._scale, st["ids"],
-                st["tile_window"], nv,
+                st["tile_window"], st["valid_end"],
                 k=K, p_tiles=p_tiles, tile_n=idx.tile_n, tile_q=idx.tile_q,
                 interpret=False,
             )
@@ -158,7 +157,6 @@ def main() -> None:
         idx = BandIVFIndex.build(db, nlist=1024, dtype="int8", residual=True,
                                  kmeans_iters=10)
         st = idx._device_state()
-        nv = jnp.asarray(idx._n, jnp.int32)
         n_tiles = int(idx._payload.shape[0]) // idx.tile_n
         p_tiles = min(64, n_tiles)
 
@@ -166,7 +164,7 @@ def main() -> None:
             return _tiles_resid_plan_search(
                 queries + noise, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], idx._scale, st["ids"],
-                st["tile_window"], nv,
+                st["tile_window"], st["valid_end"],
                 k=K, p_tiles=p_tiles, tile_n=idx.tile_n, tile_q=idx.tile_q,
                 interpret=not on_tpu,
             )

@@ -61,10 +61,14 @@ def qps_bench(
     t0 = time.perf_counter()
     for i in range(iters):
         run_once(1e-4 * (i + 1))  # distinct inputs defeat relay result caching
-    dt = max(time.perf_counter() - t0 - rtt * iters, 1e-9)
+    raw = time.perf_counter() - t0
+    # when device time ≈ RTT (tiny workloads) the subtraction collapses to
+    # noise and qps diverges; floor at 5% of raw and report the saturation
+    dt = max(raw - rtt * iters, 0.05 * raw)
     qps = nq * iters / dt
     return {
         "qps": qps,
+        "rtt_bound": bool(raw - rtt * iters < 0.05 * raw),
         "latency_ms": 1000.0 * dt / (iters * max(1, nq // batch)),
         "batch": batch,
         "fetch_rtt_ms": rtt * 1000.0,

@@ -31,20 +31,23 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
     jax.jit,
     static_argnames=(
         "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
-        "refine_scale", "row_major",
+        "refine_scale", "row_major", "n_pools", "l_buckets",
     ),
 )
 def _pq_tiles_plan_search(
     q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
     centroid_tiles=None, n_valid=None, local_rm=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
-    row_major: bool = False,
+    row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
 
     codes_cm (m, N_pad) arena-ordered; refine_rows (N_pad, D) int8 arena-
     ordered (pass a (1, D) dummy + refine_scale 0 to disable refinement).
     n_valid (traced scalar): TRUE row count — pad rows masked in-kernel.
+    n_pools > 1 splits probed tiles across independent candidate pools
+    (ops/pallas_pq.py kernel doc) — the fix for PQ-noise shadowing in the
+    cross-tile R=1 merge; k_cand can then reach n_pools·l_buckets.
     """
     from cloudvectordb_tpu.ops.pallas_pq import pq_tiles_topk_pallas
 
@@ -68,7 +71,8 @@ def _pq_tiles_plan_search(
         codes_cm, codebooks, q_s, tile_table, k_cand,
         centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
-        row_major=row_major, local_ids=local_rm,
+        row_major=row_major, local_ids=local_rm, n_pools=n_pools,
+        l_buckets=l_buckets,
     )
     if refine_scale > 0:
         # probed lists can hold < k_cand real rows: unfilled merge slots sit
@@ -163,12 +167,14 @@ def _tiles_plan_search(
 )
 def _tiles_resid_plan_search(
     q, centroids, payload, local_ids, centroid_tiles, resid_scale, ids,
-    tile_window, n_valid,
+    tile_window, valid_end,
     *, k, p_tiles, tile_n, tile_q, interpret, int8_q: bool = True,
 ):
     """One-dispatch residual-int8 search: identical planning to
     _tiles_plan_search, residual kernel for scoring (int8 residual rows +
-    exact in-kernel centroid term — see ops/pallas_band.py)."""
+    exact in-kernel centroid term — see ops/pallas_band.py).
+    valid_end (n_tiles, W) i32 masks tail padding and slack holes
+    per tile-list (ops/pallas_band.py::_tiles_resid_kernel doc)."""
     from cloudvectordb_tpu.ops.pallas_band import tiles_topk_resid_pallas
 
     b = q.shape[0]
@@ -188,7 +194,7 @@ def _tiles_resid_plan_search(
 
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
-        tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
+        valid_end, tile_n=tile_n, tile_q=tile_q, interpret=interpret,
         int8_q=int8_q,
     )
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
@@ -201,6 +207,14 @@ def _next_pow2(x: int) -> int:
     while p < x:
         p *= 2
     return p
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_set(buf, dest, rows):
+    """In-place (donated) device scatter — the O(batch) slack-insert path:
+    the arena buffer is aliased, so a 9.6 GB payload at config-#4 scale is
+    never copied or shipped to the host on add()."""
+    return buf.at[dest].set(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -233,18 +247,31 @@ class BandIVFIndex(Index):
         tile_n: int = 2048,
         tile_q: int = 256,
         residual: bool = False,
+        slack: float = 0.0,
     ):
         """residual=True (int8 only): the arena stores int8 RESIDUALS
         (row − its list centroid) and the kernel adds the centroid term back
         exactly — same HBM footprint, ~3–4× less quantization noise
-        (measured 1M×768 ceiling: recall 0.981 vs 0.956 whole-row int8)."""
+        (measured 1M×768 ceiling: recall 0.981 vs 0.956 whole-row int8).
+
+        slack>0 (residual mode only): each list's arena segment is allocated
+        with `ceil(count·slack)+8` empty SLACK slots so that `add()` becomes
+        an O(batch) in-place device scatter (donated buffer — no host round
+        trip, no re-sort) until a list's slack fills; overflow rows spill to
+        the pending buffer as before. Holes are masked exactly in-kernel via
+        the per-tile-list valid_end table (ops/pallas_band.py)."""
         assert dtype in ("int8", "bfloat16", "float32")
         assert not (residual and dtype != "int8"), "residual is the int8 path"
+        assert slack == 0.0 or (residual and dtype == "int8"), (
+            "slack slots require the residual-int8 arena (the valid_end "
+            "masking lives in the residual kernel)"
+        )
         self.dim = dim
         self.metric = "ip"
         self.nlist = nlist
         self.dtype = dtype
         self.residual = residual
+        self.slack = slack
         # private flag for base-class branches: the PQ subclass REUSES the
         # name `residual` for residual-PQ semantics, but its payload is a
         # code matrix, never residual-int8 rows
@@ -255,6 +282,8 @@ class BandIVFIndex(Index):
         self.tile_q = tile_q
         self._local = None  # (1, N_pad) uint8 per-row local list idx (resid)
         self._centroid_tiles = None  # (n_tiles, D, W) bf16 (resid)
+        self._list_lens = None  # (nlist,) VALID rows per list (resid)
+        self._valid_end = None  # (n_tiles, W) i32 per-tile-list valid end
         self.centroids: np.ndarray | None = None  # locality-ordered
         self._payload: np.ndarray | None = None  # padded arena (N_pad, D)
         self._ids: np.ndarray | None = None
@@ -276,8 +305,16 @@ class BandIVFIndex(Index):
         self.merge_threshold = 0.05  # merge when pending > 5% of arena
 
     @property
+    def _n_valid(self) -> int:
+        """Valid arena rows. `_n` is the arena EXTENT (capacity offsets[-1]);
+        with slack>0 the extent includes unfilled hole slots."""
+        if self._list_lens is not None:
+            return int(self._list_lens.sum())
+        return self._n
+
+    @property
     def ntotal(self) -> int:
-        return self._n + self._pending.size
+        return self._n_valid + self._pending.size
 
     @classmethod
     def build(
@@ -393,8 +430,17 @@ class BandIVFIndex(Index):
         n = assign_all.shape[0]
         order, offsets = arena_sort(assign_all.astype(np.int32), nlist)
         dest = np.empty(n, np.int64)
-        dest[order] = np.arange(n)  # source row -> arena position
-        n_pad = -(-n // idx.tile_n) * idx.tile_n
+        dest[order] = np.arange(n)  # source row -> arena position (compact)
+        if idx.slack > 0:
+            counts = np.diff(offsets)
+            offsets, cap_dest = idx._slack_layout(counts)
+            dest = cap_dest[dest]  # source row -> capacity arena position
+            extent = int(offsets[-1])
+            n_pad = -(-extent // idx.tile_n) * idx.tile_n
+            idx._list_lens = counts.astype(np.int64)
+        else:
+            extent = n
+            n_pad = -(-n // idx.tile_n) * idx.tile_n
         arena = jnp.zeros((n_pad, idx.dim), jnp.int8)
         resid8 = idx._resid8
 
@@ -416,38 +462,74 @@ class BandIVFIndex(Index):
             arena = quant_scatter(arena, chunk, d, a_dev, cdev)
             base += sizes[ci]
         idx._payload = arena  # stays in HBM; never visits the host
-        idx._ids = order.astype(np.int64)
+        if idx.slack > 0:
+            ids_full = np.full(n_pad, -1, np.int64)
+            ids_full[dest] = np.arange(n, dtype=np.int64)  # global id = src row
+            idx._ids = ids_full
+        else:
+            idx._ids = order.astype(np.int64)
         idx._offsets = offsets
-        idx._n = n
+        idx._n = extent
         idx._tile_window = idx._compute_tile_window()
         if idx._resid8:
-            idx._build_residual_aux(assign_all[order])
+            idx._build_residual_aux()
         idx._dev = None
         return idx
+
+    def _slack_layout(self, counts: np.ndarray):
+        """Capacity offsets + per-sorted-row destination for slack arenas.
+
+        Returns (offsets_cap (nlist+1,), dest (n,)) where dest[i] is the
+        arena position of the i-th list-sorted row: each list's rows sit at
+        the START of its capacity segment, followed by ceil(count·slack)+8
+        empty slack slots that later `add()` calls fill in place."""
+        counts = counts.astype(np.int64)
+        caps = counts + np.ceil(counts * self.slack).astype(np.int64) + 8
+        offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+        start = np.concatenate([[0], np.cumsum(counts)])
+        dest = (np.arange(int(counts.sum()), dtype=np.int64)
+                - np.repeat(start[:-1], counts)
+                + np.repeat(offsets[:-1], counts))
+        return offsets, dest
 
     def _assemble_compact(self, payload: np.ndarray, ids: np.ndarray,
                           assigns: np.ndarray) -> None:
         """Set this index's arena from already-quantized rows (+ their global
         ids and list assignments): one native counting sort + tile padding.
-        Shared by streaming builds (single and sharded) and LSM merges."""
+        Shared by streaming builds (single and sharded) and LSM merges.
+        slack>0 re-opens fresh slack slots in every list's segment."""
         from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
 
         order, offsets = arena_sort(np.asarray(assigns, np.int32), self.nlist)
         sorted_payload = gather_rows(np.asarray(payload), order)
         n = sorted_payload.shape[0]
-        n_pad = -(-n // self.tile_n) * self.tile_n
-        if n_pad != n:
-            sorted_payload = np.concatenate([
-                sorted_payload,
-                np.zeros((n_pad - n, self.dim), sorted_payload.dtype),
-            ])
-        self._payload = sorted_payload  # host; ships to HBM lazily
-        self._ids = np.asarray(ids, np.int64)[order]
+        if self.slack > 0:
+            counts = np.diff(offsets)
+            offsets, dest = self._slack_layout(counts)
+            extent = int(offsets[-1])
+            n_pad = -(-extent // self.tile_n) * self.tile_n
+            arena = np.zeros((n_pad, self.dim), sorted_payload.dtype)
+            arena[dest] = sorted_payload
+            ids_full = np.full(n_pad, -1, np.int64)
+            ids_full[dest] = np.asarray(ids, np.int64)[order]
+            self._payload = arena
+            self._ids = ids_full
+            self._list_lens = counts.astype(np.int64)
+            self._n = extent
+        else:
+            n_pad = -(-n // self.tile_n) * self.tile_n
+            if n_pad != n:
+                sorted_payload = np.concatenate([
+                    sorted_payload,
+                    np.zeros((n_pad - n, self.dim), sorted_payload.dtype),
+                ])
+            self._payload = sorted_payload  # host; ships to HBM lazily
+            self._ids = np.asarray(ids, np.int64)[order]
+            self._n = n
         self._offsets = offsets
-        self._n = n
         self._tile_window = self._compute_tile_window()
         if self._resid8:
-            self._build_residual_aux(np.asarray(assigns)[order])
+            self._build_residual_aux()
         self._dev = None
 
     def _populate(self, vectors) -> None:
@@ -470,31 +552,48 @@ class BandIVFIndex(Index):
                 jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             )
         n = int(payload.shape[0])
-        n_pad = -(-n // self.tile_n) * self.tile_n
-        if n_pad != n:
-            payload = jnp.concatenate(
-                [payload, jnp.zeros((n_pad - n, self.dim), payload.dtype)]
-            )
         counts = np.bincount(a_np, minlength=self.nlist)
+        if self.slack > 0:
+            offsets, dest = self._slack_layout(counts)
+            extent = int(offsets[-1])
+            n_pad = -(-extent // self.tile_n) * self.tile_n
+            arena = jnp.zeros((n_pad, self.dim), payload.dtype)
+            payload = arena.at[jnp.asarray(dest.astype(np.int32))].set(payload)
+            ids = np.full(n_pad, -1, np.int64)
+            ids[dest] = order
+            self._ids = ids
+            self._list_lens = counts.astype(np.int64)
+            self._n = extent
+        else:
+            n_pad = -(-n // self.tile_n) * self.tile_n
+            if n_pad != n:
+                payload = jnp.concatenate(
+                    [payload, jnp.zeros((n_pad - n, self.dim), payload.dtype)]
+                )
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            self._ids = order.astype(np.int32)
+            self._n = n
         self._payload = payload  # device-resident
-        self._ids = order.astype(np.int32)
-        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self._offsets = offsets
         self._scale = scale
-        self._n = n
         self._tile_window = self._compute_tile_window()
         if self._resid8:
-            self._build_residual_aux(a_np[order])
+            self._build_residual_aux()
         self._dev = None
 
-    def _build_residual_aux(self, assigns_sorted: np.ndarray) -> None:
+    def _build_residual_aux(self) -> None:
         """Residual mode: per-row LOCAL list index within its tile window
-        (drives the in-kernel centroid one-hot) + per-tile centroid
-        matrices (n_tiles, D, W) — recomputed after every arena re-sort."""
-        n = self._n
+        (drives the in-kernel centroid one-hot), per-tile centroid
+        matrices (n_tiles, W, D), and the per-tile-list valid_end table —
+        all derivable from the capacity offsets + list lengths, recomputed
+        after every arena re-sort or in-place insert."""
+        n = self._n  # arena extent, INCLUDING slack holes
         n_pad = int(self._payload.shape[0])
         tw = self._tile_window  # (n_tiles, W)
+        # every capacity slot (filled or hole) belongs to its list
+        assigns = np.repeat(np.arange(self.nlist), np.diff(self._offsets))
         row_tile = np.arange(n) // self.tile_n
-        local = assigns_sorted[:n] - tw[row_tile, 0]
+        local = assigns - tw[row_tile, 0]
         w = tw.shape[1]
         assert local.min(initial=0) >= 0 and local.max(initial=0) < w
         loc = np.zeros((1, n_pad), np.uint8)
@@ -505,6 +604,9 @@ class BandIVFIndex(Index):
         # tiles, measured)
         self._centroid_tiles = np.ascontiguousarray(
             self.centroids[tw]).astype(np.float32)
+        lens = (self._list_lens if self._list_lens is not None
+                else np.diff(self._offsets))
+        self._valid_end = (self._offsets[:-1][tw] + lens[tw]).astype(np.int32)
 
     def _compute_tile_window(self) -> np.ndarray:
         """(n_tiles, W) list ids intersecting each arena tile (rows padded by
@@ -534,9 +636,53 @@ class BandIVFIndex(Index):
             self._populate(vectors)
             return
         a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
-        payload = self._quantize_rows(vectors, a)
         b = int(vectors.shape[0])
         ids = np.arange(self.ntotal, self.ntotal + b, dtype=np.int64)
+        if self.slack > 0 and self._list_lens is not None:
+            # in-place insert into each list's slack slots: an O(batch)
+            # donated device scatter; rows whose list is full spill to the
+            # pending buffer (exact scan) until the next merge re-slacks.
+            a_np = np.asarray(a)
+            caps = np.diff(self._offsets)
+            order = np.argsort(a_np, kind="stable")
+            a_s = a_np[order]
+            starts = np.searchsorted(a_s, np.arange(self.nlist))
+            rank = np.arange(b) - starts[a_s]  # rank within its list
+            avail = caps[a_s] - self._list_lens[a_s]
+            take = rank < avail
+            dest = self._offsets[:-1][a_s] + self._list_lens[a_s] + rank
+            t_idx, s_idx = order[take], order[~take]
+            if t_idx.size:
+                rows = self._quantize_rows(
+                    vectors[jnp.asarray(t_idx)], jnp.asarray(a_np[t_idx]))
+                dest_t = dest[take]
+                dest_dev = jnp.asarray(dest_t.astype(np.int32))
+                self._payload = _scatter_set(
+                    jnp.asarray(self._payload), dest_dev, rows)
+                self._ids = np.asarray(self._ids, np.int64)
+                self._ids[dest_t] = ids[t_idx]
+                np.add.at(self._list_lens, a_np[t_idx], 1)
+                tw = self._tile_window
+                self._valid_end = (self._offsets[:-1][tw]
+                                   + self._list_lens[tw]).astype(np.int32)
+                if self._dev is not None:  # keep the staged state coherent
+                    self._dev["payload"] = self._payload
+                    self._dev["ids"] = _scatter_set(
+                        self._dev["ids"], dest_dev,
+                        jnp.asarray(ids[t_idx].astype(np.int32)))
+                    self._dev["valid_end"] = jnp.asarray(self._valid_end)
+            if s_idx.size:
+                rows_sp = self._quantize_rows(
+                    vectors[jnp.asarray(s_idx)], jnp.asarray(a_np[s_idx]))
+                self._pending.append(np.asarray(rows_sp), ids[s_idx],
+                                     a_np[s_idx])
+                self._pending_dev = None
+                if self._pending.size > max(
+                        self.merge_threshold * self._n_valid,
+                        4 * self.tile_n):
+                    self.merge_pending()
+            return
+        payload = self._quantize_rows(vectors, a)
         self._pending.append(np.asarray(payload), ids, np.asarray(a))
         self._pending_dev = None
         if self._pending.size > max(self.merge_threshold * self._n,
@@ -563,12 +709,21 @@ class BandIVFIndex(Index):
         p, pids, passign = self._pending.drain()
         self._pending_dev = None
         if self._n:
-            old_payload = np.asarray(self._payload)[: self._n]
-            old_assign = np.repeat(
+            cap_assign = np.repeat(
                 np.arange(self.nlist), np.diff(self._offsets)
             )
+            if self._list_lens is not None:  # slack arena: skip hole slots
+                valid_pos = np.flatnonzero(
+                    np.asarray(self._ids[: self._n]) >= 0)
+                old_payload = np.asarray(self._payload)[valid_pos]
+                old_assign = cap_assign[valid_pos]
+                old_ids = np.asarray(self._ids, np.int64)[valid_pos]
+            else:
+                old_payload = np.asarray(self._payload)[: self._n]
+                old_assign = cap_assign
+                old_ids = self._ids.astype(np.int64)
             payload_all = np.concatenate([old_payload, p.astype(old_payload.dtype)])
-            ids_all = np.concatenate([self._ids.astype(np.int64), pids])
+            ids_all = np.concatenate([old_ids, pids])
             assign_all = np.concatenate([old_assign, passign])
         else:
             payload_all, ids_all, assign_all = p, pids, passign
@@ -624,8 +779,10 @@ class BandIVFIndex(Index):
         """Approximate rows (dequantized payload) for the given global ids,
         covering both arena and pending rows."""
         ids = np.asarray(ids)
+        ids_arr = np.asarray(self._ids, np.int64)
+        valid = np.flatnonzero(ids_arr >= 0)
         pos = np.full(self.ntotal, -1, np.int64)
-        pos[self._ids] = np.arange(self._n)
+        pos[ids_arr[valid]] = valid
         snap = self._pending.snapshot_full()
         out = np.empty((ids.shape[0], self.dim), np.float32)
         scale = self._scale if self.dtype == "int8" else 1.0
@@ -664,6 +821,7 @@ class BandIVFIndex(Index):
                 self._dev["local"] = jnp.asarray(self._local)
                 self._dev["centroid_tiles"] = jnp.asarray(
                     self._centroid_tiles, jnp.bfloat16)
+                self._dev["valid_end"] = jnp.asarray(self._valid_end)
         return self._dev
 
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
@@ -704,7 +862,7 @@ class BandIVFIndex(Index):
             v, gids = _tiles_resid_plan_search(
                 jnp.asarray(qp), st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], self._scale, st["ids"],
-                st["tile_window"], jnp.asarray(self._n, jnp.int32),
+                st["tile_window"], st["valid_end"],
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
                 interpret=interpret, int8_q=(scoring != "precise"),
             )
@@ -788,19 +946,22 @@ class BandIVFIndex(Index):
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):
         self.merge_pending()  # persist one contiguous arena
-        return {
+        out = {
             "centroids": self.centroids,
             "payload": np.asarray(self._payload),
             "ids": self._ids,
             "offsets": self._offsets,
         }
+        if self._list_lens is not None:
+            out["list_lens"] = self._list_lens
+        return out
 
     def _state_meta_common(self):
         return {
             "nlist": self.nlist, "dtype": self.dtype, "scale": self._scale,
             "n": self._n, "kmeans_iters": self.kmeans_iters, "seed": self.seed,
             "tile_n": self.tile_n, "tile_q": self.tile_q,
-            "residual": self.residual,
+            "residual": self.residual, "slack": self.slack,
         }
 
     def _state_meta(self):
@@ -811,18 +972,19 @@ class BandIVFIndex(Index):
         m = manifest["meta"]
         idx = cls(manifest["dim"], m["nlist"], m["dtype"], m["kmeans_iters"],
                   m["seed"], m["tile_n"], m["tile_q"],
-                  residual=m.get("residual", False))
+                  residual=m.get("residual", False),
+                  slack=m.get("slack", 0.0))
         idx.centroids = np.asarray(arrays["centroids"])
         idx._payload = np.asarray(arrays["payload"])
         idx._ids = np.asarray(arrays["ids"])
         idx._offsets = np.asarray(arrays["offsets"])
+        if "list_lens" in arrays:
+            idx._list_lens = np.asarray(arrays["list_lens"], np.int64)
         idx._scale = m["scale"]
         idx._n = m["n"]
         idx._tile_window = idx._compute_tile_window()
-        if idx._resid8:  # aux derives from offsets — not persisted
-            assigns_sorted = np.repeat(np.arange(idx.nlist),
-                                       np.diff(idx._offsets))
-            idx._build_residual_aux(assigns_sorted)
+        if idx._resid8:  # aux derives from offsets + lens — not persisted
+            idx._build_residual_aux()
         return idx
 
 
@@ -855,6 +1017,7 @@ class BandIVFPQIndex(BandIVFIndex):
         tile_q: int = 128,
         residual: bool = True,
         opq_matrix: np.ndarray | None = None,
+        aniso_eta: float = 0.0,
     ):
         super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
                          seed=seed, tile_n=tile_n, tile_q=tile_q)
@@ -864,6 +1027,7 @@ class BandIVFPQIndex(BandIVFIndex):
         self.nbits = nbits
         self.refine = refine
         self.residual = residual
+        self.aniso_eta = aniso_eta  # >1: score-aware codebooks (index/pq.py)
         self.pq_train_iters = pq_train_iters
         self.codebooks: np.ndarray | None = None
         self._codes_cm = None  # (m[+1], N_pad) uint8, arena-ordered, device
@@ -875,6 +1039,31 @@ class BandIVFPQIndex(BandIVFIndex):
         self._pending_codes: list[np.ndarray] = []
         self._pending_scale = 0.0
         self._codes_row_major = False  # device-resident builds store (N, m+1)
+
+    def _train_pq_codebooks(self, enc_vecs, xdir) -> np.ndarray:
+        """PQ codebooks on `enc_vecs` (residuals when self.residual).
+
+        aniso_eta > 1 switches to score-aware anisotropic training
+        (index/pq.py::train_pq_aniso) with `xdir` — the full (rotated)
+        datapoints, NOT the residuals — as the score direction."""
+        from cloudvectordb_tpu.index.pq import train_pq, train_pq_aniso
+
+        if self.aniso_eta > 1.0:
+            return np.asarray(train_pq_aniso(
+                enc_vecs, xdir, self.m, self.nbits,
+                iters=self.pq_train_iters, eta=self.aniso_eta,
+                seed=self.seed))
+        return np.asarray(train_pq(enc_vecs, self.m, self.nbits,
+                                   iters=self.pq_train_iters, seed=self.seed))
+
+    def _pq_encode_rows(self, enc_in, xdir, codebooks):
+        """Encode under the metric the codebooks were trained with."""
+        from cloudvectordb_tpu.index.pq import pq_encode, pq_encode_aniso
+
+        if self.aniso_eta > 1.0:
+            return pq_encode_aniso(enc_in, xdir, codebooks,
+                                   eta=self.aniso_eta)
+        return pq_encode(enc_in, codebooks)
 
     @classmethod
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
@@ -898,16 +1087,12 @@ class BandIVFPQIndex(BandIVFIndex):
                             iters=idx.kmeans_iters, seed=idx.seed)
         c = np.asarray(c)
         idx.centroids = c[order_centroids(c)]
-        from cloudvectordb_tpu.index.pq import train_pq
-
-        train_vecs = vectors[jnp.asarray(sel)]
+        xdir = vectors[jnp.asarray(sel)]
+        train_vecs = xdir
         if idx.residual:
             a_s, _ = assign_clusters(train_vecs, jnp.asarray(idx.centroids))
             train_vecs = train_vecs - jnp.asarray(idx.centroids)[a_s]
-        idx.codebooks = np.asarray(
-            train_pq(train_vecs, m, idx.nbits,
-                     iters=idx.pq_train_iters, seed=idx.seed)
-        )
+        idx.codebooks = idx._train_pq_codebooks(train_vecs, xdir)
         idx._populate(vectors)
         return idx
 
@@ -922,7 +1107,6 @@ class BandIVFPQIndex(BandIVFIndex):
         only its m-byte codes (+ optional int8 refine rows) reach the host.
         The arena assembles once with the native parallel sort.
         """
-        from cloudvectordb_tpu.index.pq import pq_encode, train_pq
         from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
 
         idx = None
@@ -954,9 +1138,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 if idx.residual:
                     a_s, _ = assign_clusters(train_vecs, cdev)
                     train_vecs = train_vecs - cdev[a_s]
-                idx.codebooks = np.asarray(
-                    train_pq(train_vecs, m, idx.nbits,
-                             iters=idx.pq_train_iters, seed=idx.seed))
+                idx.codebooks = idx._train_pq_codebooks(train_vecs, tr[:ns])
                 if idx.refine == "int8":
                     rms = float(jnp.sqrt(jnp.mean(tr * tr)))
                     amax = float(jnp.max(jnp.abs(tr)))
@@ -968,7 +1150,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 cdev = jnp.asarray(idx.centroids)
             a, _ = assign_clusters(tr, cdev)
             enc_in = tr - cdev[a] if idx.residual else tr
-            codes = pq_encode(enc_in, jnp.asarray(idx.codebooks))
+            codes = idx._pq_encode_rows(enc_in, tr, jnp.asarray(idx.codebooks))
             code_chunks.append(np.asarray(codes))
             assign_chunks.append(np.asarray(a))
             if idx.refine == "int8":
@@ -1025,7 +1207,6 @@ class BandIVFPQIndex(BandIVFIndex):
         pass 2 re-produces each chunk and scatters its codes + refine rows
         into HBM arenas at host-sorted positions.
         """
-        from cloudvectordb_tpu.index.pq import pq_encode, train_pq
         from cloudvectordb_tpu.utils.native import arena_sort
 
         idx = None
@@ -1055,9 +1236,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 if idx.residual:
                     a_s, _ = assign_clusters(train_vecs, cdev)
                     train_vecs = train_vecs - cdev[a_s]
-                idx.codebooks = np.asarray(
-                    train_pq(train_vecs, m, idx.nbits,
-                             iters=idx.pq_train_iters, seed=idx.seed))
+                idx.codebooks = idx._train_pq_codebooks(train_vecs, tr[:ns])
                 if idx.refine == "int8":
                     rms = float(jnp.sqrt(jnp.mean(tr * tr)))
                     amax = float(jnp.max(jnp.abs(tr)))
@@ -1115,7 +1294,7 @@ class BandIVFPQIndex(BandIVFIndex):
         def encode_scatter(codes_ar, refine_ar, chunk, d, a, c, cb):
             tr = chunk @ rot_dev if rot_dev is not None else chunk
             enc_in = tr - c[a] if resid else tr
-            codes = pq_encode(enc_in, cb)  # (b, m)
+            codes = idx._pq_encode_rows(enc_in, tr, cb)  # (b, m)
             codes_ar = codes_ar.at[d].set(codes)
             if do_refine:
                 r8 = jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)
@@ -1140,8 +1319,6 @@ class BandIVFPQIndex(BandIVFIndex):
         return idx
 
     def _populate(self, vectors) -> None:
-        from cloudvectordb_tpu.index.pq import pq_encode
-
         vectors = jnp.asarray(vectors, jnp.float32)
         a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
         a_np = np.asarray(a)
@@ -1158,7 +1335,8 @@ class BandIVFPQIndex(BandIVFIndex):
         cdev = jnp.asarray(self.centroids)
         a_sorted = jnp.asarray(a_np[order])
         enc_in = x - cdev[a_sorted] if self.residual else x
-        codes = pq_encode(enc_in, jnp.asarray(self.codebooks))  # (N, m)
+        codes = self._pq_encode_rows(
+            enc_in, x, jnp.asarray(self.codebooks))  # (N, m)
         rows_cm = self.m + (1 if self.residual else 0)
         codes_cm = jnp.zeros((rows_cm, n_pad), jnp.uint8).at[: self.m, :n].set(
             jnp.transpose(codes)
@@ -1205,8 +1383,6 @@ class BandIVFPQIndex(BandIVFIndex):
         time) and fold into the arena via one native re-sort past the
         threshold. Fixes the r1 crash where the inherited add() treated the
         code matrix as raw vector rows."""
-        from cloudvectordb_tpu.index.pq import pq_encode
-
         vectors = jnp.asarray(vectors, jnp.float32)
         assert self.centroids is not None and self.codebooks is not None, (
             "build() trains the quantizers before add()"
@@ -1220,7 +1396,7 @@ class BandIVFPQIndex(BandIVFIndex):
         cdev = jnp.asarray(self.centroids)
         a, _ = assign_clusters(tr, cdev)
         enc_in = tr - cdev[a] if self.residual else tr
-        codes = pq_encode(enc_in, jnp.asarray(self.codebooks))
+        codes = self._pq_encode_rows(enc_in, tr, jnp.asarray(self.codebooks))
         if self._pending_scale == 0.0:
             # refine='int8' ties pending to the arena refine scale (no
             # requantization at merge); refine='none' picks one at first add
@@ -1375,7 +1551,13 @@ class BandIVFPQIndex(BandIVFIndex):
         return self._dev
 
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
-               p_tiles: int = 0, refine_factor: int = 16, **_):
+               p_tiles: int = 0, refine_factor: int = 16, n_pools: int = 0,
+               **_):
+        """n_pools=0 (auto): enough independent kernel candidate pools to hold
+        k_cand = k·refine_factor slots, capped at a ~4096-slot VMEM budget —
+        deep refine_factor (≥ tile_n/k) only helps WITH pools, since a single
+        pool caps candidates at tile_n and shadows under PQ score noise
+        (ops/pallas_pq.py kernel doc)."""
         assert self._n, "empty index"
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -1393,6 +1575,17 @@ class BandIVFPQIndex(BandIVFIndex):
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
         )
         k_cand = min(max(k * refine_factor, 32), self._n) if self.refine == "int8" else k
+        slot_budget = max(4096, self.tile_n)
+        if n_pools <= 0:
+            n_pools = max(1, min(-(-k_cand // self.tile_n),
+                                 slot_budget // self.tile_n, p_tiles))
+        l_buckets = min(self.tile_n, max(128, _next_pow2(-(-k_cand // n_pools))))
+        while self.tile_n % l_buckets != 0 and l_buckets < self.tile_n:
+            l_buckets *= 2  # must divide tile_n
+        l_buckets = min(l_buckets, self.tile_n)
+        if self.tile_n % l_buckets != 0:  # non-pow2 tile_n: fall back
+            l_buckets = self.tile_n
+        k_cand = min(k_cand, n_pools * l_buckets)
         v, gids = _pq_tiles_plan_search(
             jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
@@ -1400,7 +1593,8 @@ class BandIVFPQIndex(BandIVFIndex):
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=self.tile_q, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
-            row_major=self._codes_row_major,
+            row_major=self._codes_row_major, n_pools=n_pools,
+            l_buckets=l_buckets,
         )
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
@@ -1428,6 +1622,7 @@ class BandIVFPQIndex(BandIVFIndex):
                      "pq_train_iters": self.pq_train_iters,
                      "n_pad_rows": self._n_pad_rows,
                      "residual": self.residual,
+                     "aniso_eta": self.aniso_eta,
                      "codes_row_major": self._codes_row_major})
         return meta
 
@@ -1436,7 +1631,8 @@ class BandIVFPQIndex(BandIVFIndex):
         m = manifest["meta"]
         idx = cls(manifest["dim"], m["nlist"], m["m"], m["nbits"], m["refine"],
                   m["pq_train_iters"], m["kmeans_iters"], m["seed"],
-                  m["tile_n"], m["tile_q"], residual=m.get("residual", False))
+                  m["tile_n"], m["tile_q"], residual=m.get("residual", False),
+                  aniso_eta=m.get("aniso_eta", 0.0))
         idx.centroids = np.asarray(arrays["centroids"])
         idx.codebooks = np.asarray(arrays["codebooks"])
         idx._codes_cm = np.asarray(arrays["codes_cm"])

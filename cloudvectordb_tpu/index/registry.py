@@ -30,16 +30,17 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
     nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
     if cfg.kind == "band_ivf":
         dtype = cfg.dtype if cfg.dtype != "float32" else "int8"
+        resid = cfg.residual and dtype == "int8"
         return BandIVFIndex.build(
             vectors, nlist, train_sample=cfg.train_sample, dtype=dtype,
-            residual=(cfg.residual and dtype == "int8"),
+            residual=resid, slack=(cfg.slack if resid else 0.0),
             kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
         )
     if cfg.kind == "band_ivf_pq":
         return BandIVFPQIndex.build(
             vectors, nlist, m=cfg.m, nbits=cfg.nbits, refine=cfg.refine,
             opq=cfg.opq, train_sample=cfg.train_sample,
-            kmeans_iters=cfg.kmeans_iters,
+            kmeans_iters=cfg.kmeans_iters, aniso_eta=cfg.aniso_eta,
             pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
         )
     if cfg.kind == "ivf_flat":

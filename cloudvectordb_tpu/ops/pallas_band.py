@@ -364,7 +364,6 @@ def band_topk_pallas(
 
 def _tiles_resid_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile ids
-    nv_ref,          # scalar prefetch: (1,) TRUE row count
     *refs, l_buckets, w_lists, int8_q,
 ):
     """Residual-int8 tiles scan: db rows hold int8 RESIDUALS (row − its list
@@ -383,16 +382,23 @@ def _tiles_resid_kernel(
     attenuated by s_resid — ~4× below the db-side residual noise floor.
     row_scale folds s_resid (and the per-row query dequant scale when
     int8_q) so the kernel only multiplies.
+
+    Validity is PER LIST, not a global row count: ve_ref (1, W) carries,
+    for each of this tile's lists, the arena row index one past that
+    list's last VALID row. Row g of local list li is live iff
+    g < ve[li]. This masks (a) tail padding to the tile multiple AND
+    (b) interior slack holes that in-place inserts (index layer `add`)
+    have not yet filled — a zero residual reconstructs to the list
+    centroid, a plausible high-IP phantom if left unmasked.
     """
     if int8_q:
-        (q_ref, q8_ref, db_ref, local_ref, ct_ref, scale_ref,
+        (q_ref, q8_ref, db_ref, local_ref, ct_ref, scale_ref, ve_ref,
          out_v_ref, out_i_ref, val_sc, idx_sc) = refs
     else:
-        (q_ref, db_ref, local_ref, ct_ref, scale_ref,
+        (q_ref, db_ref, local_ref, ct_ref, scale_ref, ve_ref,
          out_v_ref, out_i_ref, val_sc, idx_sc) = refs
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
-    n = nv_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -425,13 +431,18 @@ def _tiles_resid_kernel(
     scores = c_scores + scale_ref[:] * r_scores
 
     tile_sz = scores.shape[1]
+    # per-row valid end: ve of the row's local list (int32-exact select;
+    # W is small so the VPU loop is negligible next to the matmuls)
+    ve_row = jnp.zeros((tile_sz,), jnp.int32)
+    for wi in range(w_lists):
+        ve_row = ve_row + ve_ref[0, 0, wi] * (local == wi).astype(jnp.int32)
     qt = pl.program_id(0)
     at = tile_table_ref[qt, j]
     rows_per_bucket = tile_sz // l_buckets
     base = at * tile_sz
     if rows_per_bucket == 1:
         g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        mx = jnp.where(g < n, scores, NEG_INF)
+        mx = jnp.where(g < ve_row[None, :], scores, NEG_INF)
         new_idx = g
     else:
         s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
@@ -440,7 +451,8 @@ def _tiles_resid_kernel(
             + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
             + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
         )
-        s3 = jnp.where(g_idx < n, s3, NEG_INF)
+        s3 = jnp.where(g_idx < ve_row.reshape(1, rows_per_bucket, l_buckets),
+                       s3, NEG_INF)
         mx = jnp.max(s3, axis=1)
         is_max = s3 >= mx[:, None, :]
         r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
@@ -471,11 +483,13 @@ def tiles_topk_resid_pallas(
     queries_sorted,  # (Q_pad, D) f32/bf16 pre-sorted queries
     tile_table,      # (n_qt, P) i32
     k: int,
+    valid_end,       # (n_tiles, W) i32: one past each tile-list's last VALID
+                     # arena row — masks tail padding AND interior slack
+                     # holes left for in-place inserts (kernel doc)
     tile_n: int = 2048,
     tile_q: int = 256,
     l_buckets: int = 0,
     interpret: bool = False,
-    n_valid=None,
     int8_q: bool = True,  # residual matmul on the int8 MXU path (2× rate)
 ):
     """Top-k over residual-int8 arena tiles (see _tiles_resid_kernel)."""
@@ -500,9 +514,8 @@ def tiles_topk_resid_pallas(
     n_qt = nq // tile_q
     p = tile_table.shape[1]
     w = int(centroid_tiles.shape[1])
-    nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
-        jnp.asarray(n_valid, jnp.int32).reshape(1)
-    )
+    assert valid_end.shape == (centroid_tiles.shape[0], w), (
+        valid_end.shape, centroid_tiles.shape)
     qf = queries_sorted.astype(jnp.float32)
     if int8_q:
         q_amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-12)
@@ -512,29 +525,33 @@ def tiles_topk_resid_pallas(
     else:
         row_scale = jnp.full((nq, 1), jnp.asarray(resid_scale, jnp.float32))
 
-    q_spec = pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0),
+    q_spec = pl.BlockSpec((tile_q, d), lambda i, j, tt: (i, 0),
                           memory_space=pltpu.VMEM)
     in_specs = [q_spec]
     if int8_q:
         in_specs.append(q_spec)  # q8 rides alongside the bf16 queries
     in_specs += [
-        pl.BlockSpec((tile_n, d), lambda i, j, tt, nv: (tt[i, j], 0),
+        pl.BlockSpec((tile_n, d), lambda i, j, tt: (tt[i, j], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
+        pl.BlockSpec((1, tile_n), lambda i, j, tt: (0, tt[i, j]),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, w, d), lambda i, j, tt, nv: (tt[i, j], 0, 0),
+        pl.BlockSpec((1, w, d), lambda i, j, tt: (tt[i, j], 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_q, 1), lambda i, j, tt, nv: (i, 0),
+        pl.BlockSpec((tile_q, 1), lambda i, j, tt: (i, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w), lambda i, j, tt: (tt[i, j], 0, 0),
+                     memory_space=pltpu.VMEM),  # valid_end as (n_tiles,1,W):
+        # Mosaic requires the last two block dims to equal the array dims
+        # (W is small and never 128-divisible)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_qt, p),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0),
+            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -545,11 +562,12 @@ def tiles_topk_resid_pallas(
     kernel = functools.partial(
         _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w, int8_q=int8_q
     )
-    args = [tile_table.astype(jnp.int32), nv, qf.astype(jnp.bfloat16)]
+    args = [tile_table.astype(jnp.int32), qf.astype(jnp.bfloat16)]
     if int8_q:
         args.append(q8)
     args += [db_resid, local_ids, centroid_tiles.astype(jnp.bfloat16),
-             row_scale]
+             row_scale,
+             valid_end.astype(jnp.int32).reshape(valid_end.shape[0], 1, w)]
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -93,7 +93,7 @@ def _ceil_to(x: int, mult: int) -> int:
 
 def _pq_tiles_kernel(
     tile_table_ref, nv_ref, *refs, l_buckets, m, ncode, dsub, w_lists,
-    row_major=False,
+    row_major=False, n_pools=1,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -116,7 +116,15 @@ def _pq_tiles_kernel(
     copies the whole 8 GB arena per chunk at 125M scale). The residual
     local-list byte then rides a SEPARATE (1, N_pad) input: a 65-lane
     minor dim crashes the TPU compiler at ≥8e9 elements (65 vs 64 lanes,
-    measured), and 64 keeps the arena exactly m bytes/row."""
+    measured), and 64 keeps the arena exactly m bytes/row.
+
+    n_pools: number of INDEPENDENT bucket pools; probed tile j merges into
+    pool j % n_pools. With one pool, a true neighbor is dropped whenever ANY
+    other probed tile holds a higher-PQ-scoring row at the same slot position
+    (~p_tiles competitors/slot under the R=1 merge) — under noisy PQ scores
+    this shadowing caps candidate quality and makes recall plateau in k_cand.
+    n_pools pools cut the competitors per slot by n_pools AND multiply the
+    candidate budget to n_pools·l_buckets, at zero extra HBM traffic."""
     if row_major and w_lists:
         (q_ref, codes_ref, local_ref, cbt_ref, ct_ref,
          out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc) = refs
@@ -183,9 +191,19 @@ def _pq_tiles_kernel(
         r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
         r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
         new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
-    better = mx > val_sc[:]
-    val_sc[:] = jnp.where(better, mx, val_sc[:])
-    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+    if n_pools == 1:
+        better = mx > val_sc[0]
+        val_sc[0] = jnp.where(better, mx, val_sc[0])
+        idx_sc[0] = jnp.where(better, new_idx, idx_sc[0])
+    else:
+        # predicated static-index update: pool j % n_pools takes this tile
+        pool = lax.rem(j, n_pools)
+        for pid in range(n_pools):
+            @pl.when(pool == pid)
+            def _upd(pid=pid):
+                better = mx > val_sc[pid]
+                val_sc[pid] = jnp.where(better, mx, val_sc[pid])
+                idx_sc[pid] = jnp.where(better, new_idx, idx_sc[pid])
 
     @pl.when(j == n_j - 1)
     def _emit():
@@ -196,7 +214,7 @@ def _pq_tiles_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
-                     "row_major"),
+                     "row_major", "n_pools"),
 )
 def pq_tiles_topk_pallas(
     codes_cm,
@@ -212,6 +230,9 @@ def pq_tiles_topk_pallas(
     n_valid=None,  # true row count (traced scalar ok); pad rows masked out
     row_major: bool = False,  # codes are (N_pad, m) — see kernel doc
     local_ids=None,  # (1, N_pad) uint8, required when row_major + residual
+    n_pools: int = 1,  # independent bucket pools (see kernel doc); VMEM cost
+                       # is 16·tile_q·l_buckets·n_pools bytes — keep
+                       # n_pools·l_buckets ≲ 4096 at tile_q=128
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -287,18 +308,22 @@ def pq_tiles_topk_pallas(
             ),  # (1, W, D)
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pools, tile_q, l_buckets),
+                         lambda i, j, tt, nv: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pools, tile_q, l_buckets),
+                         lambda i, j, tt, nv: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, tile_n), jnp.float32),
-            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
-            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+            pltpu.VMEM((n_pools, tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((n_pools, tile_q, l_buckets), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
-        w_lists=w_lists, row_major=row_major,
+        w_lists=w_lists, row_major=row_major, n_pools=n_pools,
     )
     args = [tile_table.astype(jnp.int32), nv, qp, codes_cm]
     if row_major and residual:
@@ -308,14 +333,17 @@ def pq_tiles_topk_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+            jax.ShapeDtypeStruct((n_pools, nq, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((n_pools, nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
     )(*args)
 
-    top_v, pos = lax.top_k(out_v[:nq], min(k, l_buckets))
-    top_i = jnp.take_along_axis(out_i[:nq], pos, axis=1)
+    # pools side by side: (nq, n_pools·l_buckets) candidate slots per query
+    cand_v = jnp.transpose(out_v[:, :nq], (1, 0, 2)).reshape(nq, -1)
+    cand_i = jnp.transpose(out_i[:, :nq], (1, 0, 2)).reshape(nq, -1)
+    top_v, pos = lax.top_k(cand_v, min(k, n_pools * l_buckets))
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_v, top_i
 
 

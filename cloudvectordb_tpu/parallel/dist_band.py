@@ -30,7 +30,7 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 )
 def _sharded_band_search(
     q, centroids, payload, ids, tile_window, n_valid, db_scale,
-    local_ids=None, centroid_tiles=None,
+    local_ids=None, centroid_tiles=None, valid_end=None,
     *, k, p_tiles, tile_n, tile_q, interpret, mesh, int8_mode=True,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
@@ -38,11 +38,17 @@ def _sharded_band_search(
     axis 0; queries/centroids replicated. Without the per-shard count the
     kernel's pad mask would use the (shared) padded size and zero-pad rows
     of short shards would surface as phantom global-id-0 candidates.
-    local_ids (S, 1, n_pad) + centroid_tiles (S, n_tiles, W, D) switch the
-    per-shard scan to the residual-int8 kernel."""
+    local_ids (S, 1, n_pad) + centroid_tiles (S, n_tiles, W, D) +
+    valid_end (S, n_tiles, W) switch the per-shard scan to the
+    residual-int8 kernel (its masking is per tile-list, not a scalar count
+    — see ops/pallas_band.py::_tiles_resid_kernel)."""
     from cloudvectordb_tpu.index.ivf_band import _tiles_resid_plan_search
 
     residual = local_ids is not None
+    # 2-D ('replica', 'shard') mesh: query batch splits across replicas
+    # (each holding a full index copy), rows split across shards. On a 1-D
+    # mesh queries are replicated. Identical kernel + merge either way.
+    qs = P("replica") if "replica" in mesh.axis_names else P()
 
     def merge(v, gid):
         all_v = lax.all_gather(v, "shard", axis=0)  # (S, B, k)
@@ -54,9 +60,9 @@ def _sharded_band_search(
         return best_v, jnp.take_along_axis(cand_i, pos, axis=1)
 
     if residual:
-        def local(qb, c, pay, ids_l, tw, nv, loc, ct):
+        def local(qb, c, pay, ids_l, tw, loc, ct, ve):
             v, gid = _tiles_resid_plan_search(
-                qb, c, pay, loc[0], ct[0], db_scale, ids_l[0], tw[0], nv[0],
+                qb, c, pay, loc[0], ct[0], db_scale, ids_l[0], tw[0], ve[0],
                 k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
                 interpret=interpret,
             )
@@ -64,12 +70,12 @@ def _sharded_band_search(
 
         return shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(), P("shard"), P("shard"), P("shard"),
+            in_specs=(qs, P(), P("shard"), P("shard"), P("shard"),
                       P("shard"), P("shard"), P("shard")),
-            out_specs=(P(), P()),
+            out_specs=(qs, qs),
             check_vma=False,
-        )(q, centroids, payload, ids, tile_window, n_valid,
-          local_ids, centroid_tiles)
+        )(q, centroids, payload, ids, tile_window,
+          local_ids, centroid_tiles, valid_end)
 
     def local(qb, c, pay, ids_l, tw, nv):
         v, gid = _tiles_plan_search(
@@ -82,8 +88,8 @@ def _sharded_band_search(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P("shard"), P("shard"), P("shard"), P("shard")),
-        out_specs=(P(), P()),
+        in_specs=(qs, P(), P("shard"), P("shard"), P("shard"), P("shard")),
+        out_specs=(qs, qs),
         check_vma=False,
     )(q, centroids, payload, ids, tile_window, n_valid)
 
@@ -274,9 +280,17 @@ class ShardedBandIndex:
                 ct = cents[tw_piece(si)[0]]  # (n_tiles, w, D) — D minor
                 return np.ascontiguousarray(ct)[None].astype(jnp.bfloat16)
 
+            def ve_piece(si):
+                # pad tiles/columns stay 0 → fully masked in-kernel
+                out = np.zeros((1, n_tiles, w), np.int32)
+                sve = self._shards[si]._valid_end
+                out[0, : sve.shape[0], : sve.shape[1]] = sve
+                return out
+
             self._dev["local"] = stage_row_sharded(local_piece, s, self.mesh)
             self._dev["centroid_tiles"] = stage_row_sharded(
                 ct_piece, s, self.mesh)
+            self._dev["valid_end"] = stage_row_sharded(ve_piece, s, self.mesh)
         return self._dev
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
@@ -292,13 +306,17 @@ class ShardedBandIndex:
                 1.0, sh0.nlist * sh0.tile_n / max(sh0.ntotal, 1))
             p_tiles = int(min(st["n_tiles"],
                               max(8, round(4 * nprobe / lists_per_tile))))
-        q_pad = -(-nq // sh0.tile_q) * sh0.tile_q
+        # each replica's query slice must itself be a tile_q multiple
+        n_rep = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("replica", 1)
+        q_mult = sh0.tile_q * n_rep
+        q_pad = -(-nq // q_mult) * q_mult
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
         v, i = _sharded_band_search(
             jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
-            st.get("local"), st.get("centroid_tiles"),
+            st.get("local"), st.get("centroid_tiles"), st.get("valid_end"),
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
             interpret=interpret, mesh=self.mesh,
             int8_mode=("hybrid" if scoring == "hybrid" else True),

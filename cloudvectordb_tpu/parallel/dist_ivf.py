@@ -40,7 +40,10 @@ def _sharded_ivfpq_search(
 ):
     """codes (S·maxn, m) row-sharded; offsets/lens/ids/refine_rows sharded on
     axis 0. Refinement rescoring runs SHARD-LOCALLY (each shard holds the
-    int8 rows for its partition) before the tiny all_gather merge."""
+    int8 rows for its partition) before the tiny all_gather merge. On a 2-D
+    ('replica', 'shard') mesh the query batch additionally splits across
+    replicas (each replica column holds a full index copy)."""
+    qs = P("replica") if "replica" in mesh.axis_names else P()
 
     def local(qb, c, cb, codes_l, ids_l, off_l, lens_l, rr):
         v, i = _ivfpq_scan_search(
@@ -79,10 +82,10 @@ def _sharded_ivfpq_search(
         local,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(), P("shard"), P("shard"), P("shard"), P("shard"),
+            qs, P(), P(), P("shard"), P("shard"), P("shard"), P("shard"),
             P("shard"),
         ),
-        out_specs=(P(), P()),
+        out_specs=(qs, qs),
         check_vma=False,
     )(q, centroids, codebooks, codes, ids, offsets, lens, refine_rows)
 
@@ -317,9 +320,16 @@ class ShardedIVFPQIndex:
         do_refine = self.refine == "int8" and any(self._refine_rows_ins)
         per_shard = max(sh.ntotal for sh in self._shards)
         k_cand = min(max(k * refine_factor, 32), per_shard) if do_refine else k
+        n_rep = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("replica", 1)
         outs_v, outs_i = [], []
         for s0 in range(0, queries.shape[0], batch):
-            qb = jnp.asarray(queries[s0 : s0 + batch])
+            qh = queries[s0 : s0 + batch]
+            pad = (-qh.shape[0]) % n_rep
+            if pad:  # each replica's slice must be equal-sized
+                qh = np.concatenate([qh, np.repeat(qh[-1:], pad, axis=0)])
+            real = qh.shape[0] - pad
+            qb = jnp.asarray(qh)
             v, i = _sharded_ivfpq_search(
                 qb, st["centroids"], st["codebooks"], st["codes"], st["ids"],
                 st["offsets"], st["lens"], st["refine"],
@@ -327,6 +337,6 @@ class ShardedIVFPQIndex:
                 metric=self.metric, residual=self.residual, mesh=self.mesh,
                 refine_scale=self._refine_scale if do_refine else 0.0,
             )
-            outs_v.append(np.asarray(v))
-            outs_i.append(np.asarray(i))
+            outs_v.append(np.asarray(v)[:real])
+            outs_i.append(np.asarray(i)[:real])
         return np.concatenate(outs_v), np.concatenate(outs_i)

@@ -85,18 +85,28 @@ def stage_row_sharded(piece_fn, n_shards: int, mesh: Mesh,
     placed directly on device si and stitched with
     make_array_from_single_device_arrays. Host peak = one piece at a time —
     at 100M-scale staging this halves host memory vs the dense concat.
+
+    On a 2-D ('replica', 'shard') mesh each piece is placed on EVERY device
+    of its shard column (index replicas across slices; one host→device copy
+    per replica — on real multi-slice hardware each host stages its own).
     """
     import numpy as np
 
-    devs = list(mesh.devices.flat)[:n_shards]
     sharding = NamedSharding(mesh, P(axis_name))
+    if "replica" in mesh.axis_names:
+        dev_grid = mesh.devices  # (n_replica, n_shard)
+        assert dev_grid.shape[1] >= n_shards
+        cols = [list(dev_grid[:, si]) for si in range(n_shards)]
+    else:
+        cols = [[d] for d in list(mesh.devices.flat)[:n_shards]]
     arrs = []
     shape0 = None
-    for si, d in enumerate(devs):
+    for si, col in enumerate(cols):
         piece = np.ascontiguousarray(piece_fn(si))
         if shape0 is None:
             shape0 = piece.shape
         assert piece.shape == shape0, (piece.shape, shape0)
-        arrs.append(jax.device_put(piece, d))
+        for d in col:
+            arrs.append(jax.device_put(piece, d))
     global_shape = (n_shards * shape0[0], *shape0[1:])
     return jax.make_array_from_single_device_arrays(global_shape, sharding, arrs)

@@ -124,6 +124,10 @@ class IndexConfig(_ConfigBase):
     refine: str = "int8"           # none | int8: exact re-rank of ADC top-R
     refine_factor: int = 16       # ADC candidates per requested k
     residual: bool = True          # band_ivf: residual-int8 encoding (r2)
+    slack: float = 0.0             # band_ivf residual: per-list slack slots
+                                   # for O(batch) in-place adds (r2)
+    aniso_eta: float = 0.0         # band_ivf_pq: >1 trains score-aware
+                                   # (anisotropic) PQ codebooks (r2)
     kmeans_iters: int = 20
     pq_train_iters: int = 12
     train_sample: int = 262_144    # vectors sampled for k-means / PQ training

@@ -103,7 +103,7 @@ def main():
             return _tiles_resid_plan_search(
                 qb + noise, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], idx._scale, st["ids"],
-                st["tile_window"], nv,
+                st["tile_window"], st["valid_end"],
                 k=K, p_tiles=p_tiles, tile_n=idx.tile_n, tile_q=idx.tile_q,
                 interpret=False,
             )

@@ -119,3 +119,26 @@ def test_sharded_band_residual_streaming():
     st = idx._device_state()
     _, found = idx.search(q, 10, p_tiles=st["n_tiles"])
     assert recall_at_k(found, gt) >= 0.9
+
+
+def test_sharded_band_2d_replica_mesh_parity():
+    """('replica', 'shard') 2×4 mesh: full index replicas across the replica
+    axis (multi-slice serving — replicas split query traffic, shards fan out
+    within a slice). Results must be IDENTICAL to the 1-D 4-shard mesh: the
+    replica axis only partitions the batch."""
+    from cloudvectordb_tpu.parallel.mesh import make_2d_mesh
+
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=77, normalize=True)
+    q = queries_from(db, 64, seed=78, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    kw = dict(nlist=16, dtype="int8", residual=True, kmeans_iters=6,
+              tile_n=128, tile_q=16, seed=5)
+    flat = ShardedBandIndex.build(
+        db, mesh=make_mesh(4, axis_name="shard"), **kw)
+    twod = ShardedBandIndex.build(db, mesh=make_2d_mesh(2, 4), **kw)
+    st = flat._device_state()
+    v1, i1 = flat.search(q, 10, p_tiles=st["n_tiles"])
+    v2, i2 = twod.search(q, 10, p_tiles=st["n_tiles"])
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
+    assert recall_at_k(i2, gt) >= 0.9

@@ -84,3 +84,21 @@ def test_sharded_ivfpq_add_with_refine():
     q_late = db[3000:3016]
     _, late = idx.search(q_late, 1, nprobe=16)
     assert (late[:, 0] == np.arange(3000, 3016)).mean() >= 0.85
+
+
+def test_sharded_ivfpq_2d_replica_mesh_parity():
+    """2×4 ('replica','shard') mesh must return exactly the 1-D 4-shard
+    results — the replica axis only splits the query batch."""
+    from cloudvectordb_tpu.parallel.mesh import make_2d_mesh, make_mesh
+
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=300, normalize=True)
+    q = queries_from(db, 48, seed=301, normalize=True)
+    kw = dict(nlist=16, m=8, nbits=5, kmeans_iters=6, pq_train_iters=5,
+              refine="int8", seed=3)
+    flat = ShardedIVFPQIndex.build(db, mesh=make_mesh(4, axis_name="shard"),
+                                   **kw)
+    twod = ShardedIVFPQIndex.build(db, mesh=make_2d_mesh(2, 4), **kw)
+    v1, i1 = flat.search(q, 10, nprobe=16)
+    v2, i2 = twod.search(q, 10, nprobe=16)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)

@@ -303,3 +303,179 @@ def test_residual_int8_device_streaming(data):
     _, f = idx.search(q, 10, interpret=True, strategy="tiles",
                       p_tiles=idx._payload.shape[0] // idx.tile_n)
     assert recall_at_k(f, gt) >= 0.9
+
+
+def test_pq_multi_pool_candidates(data):
+    """n_pools > 1 splits probed tiles across independent kernel candidate
+    pools: deeper k_cand (beyond one pool's l_buckets slots) and n_pools×
+    fewer same-slot shadowing competitors under noisy PQ scores. Full
+    coverage + deep refine must therefore recall at least as well as the
+    single-pool path, and every hit must be a real row."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=5, refine="int8", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16,
+    )
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    _, f1 = idx.search(q, 10, p_tiles=n_tiles, refine_factor=64,
+                       n_pools=1, interpret=True)
+    _, f4 = idx.search(q, 10, p_tiles=n_tiles, refine_factor=64,
+                       n_pools=4, interpret=True)
+    r1, r4 = recall_at_k(f1, gt), recall_at_k(f4, gt)
+    assert r4 >= r1 - 1e-9, (r4, r1)
+    assert r4 >= 0.8, r4
+    assert f4.max() < db.shape[0] and f4.min() >= 0
+
+
+def test_pq_multi_pool_scores_match_reconstruction(data):
+    """No-refine multi-pool scores must equal exact IPs against the PQ
+    reconstructions (pools change candidate bookkeeping, not scoring)."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+    from cloudvectordb_tpu.index.pq import pq_decode
+
+    db, q, _ = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=5, refine="none", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16, residual=False,
+    )
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    codes = np.asarray(idx._codes_cm)[: idx.m, : idx._n].T
+    decoded = np.asarray(pq_decode(codes, idx.codebooks))  # arena order
+    arena_pos = np.empty(idx._n, np.int64)
+    arena_pos[idx._ids] = np.arange(idx._n)
+    s, f = idx.search(q, 10, p_tiles=n_tiles, n_pools=4, interpret=True)
+    for row in range(0, q.shape[0], 7):
+        ip = q[row] @ decoded[arena_pos[f[row]]].T
+        np.testing.assert_allclose(s[row], ip, rtol=2e-2, atol=2e-2)
+
+
+def test_slack_build_parity_and_masking(data):
+    """slack>0 changes arena LAYOUT only: same rows, same quantizer, same
+    scores — full-coverage results must match the compact build. Hole slots
+    (zero residuals → they'd reconstruct to the list centroid, a plausible
+    high-IP phantom) must be masked by the per-tile-list valid_end table."""
+    db, q, gt = data
+    kw = dict(nlist=16, dtype="int8", kmeans_iters=6, tile_n=256, tile_q=16,
+              residual=True)
+    compact = BandIVFIndex.build(db, **kw)
+    slack = BandIVFIndex.build(db, slack=0.3, **kw)
+    assert slack._list_lens is not None
+    assert slack._n > compact._n  # slack slots exist
+    assert slack.ntotal == compact.ntotal == db.shape[0]
+    p_c = compact._payload.shape[0] // compact.tile_n
+    p_s = int(np.asarray(slack._payload).shape[0]) // slack.tile_n
+    vc, fc = compact.search(q, 10, interpret=True, p_tiles=p_c)
+    vs, fs = slack.search(q, 10, interpret=True, p_tiles=p_s)
+    assert recall_at_k(fs, gt) >= recall_at_k(fc, gt) - 1e-9
+    np.testing.assert_allclose(vs, vc, rtol=1e-4, atol=1e-4)
+
+
+def test_slack_add_in_place(data):
+    """Adds go into slack slots — NO pending rows, searchable immediately,
+    and the arena is updated by an O(batch) device scatter."""
+    db, q, gt = data
+    idx = BandIVFIndex.build(
+        db[:3000], nlist=16, dtype="int8", kmeans_iters=6, tile_n=256,
+        tile_q=16, residual=True, slack=0.5,
+    )
+    extent_before = idx._n
+    idx.add(db[3000:3400])
+    assert idx._pending.size == 0, "slack should absorb the whole batch"
+    assert idx._n == extent_before  # no re-sort, no growth
+    assert idx.ntotal == 3400
+    # the new rows are immediately retrievable (self-query, full coverage)
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    _, found = idx.search(db[3000:3400], 5, interpret=True, p_tiles=p_all)
+    self_hit = (found == np.arange(3000, 3400)[:, None]).any(axis=1)
+    assert self_hit.mean() >= 0.99, self_hit.mean()
+    # original content still searchable at build quality
+    _, f = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    _, gt_sub = brute_force_topk(db[:3400], q, 10, metric="ip")
+    assert recall_at_k(f, gt_sub) >= 0.9
+
+
+def test_slack_overflow_spills_to_pending(data):
+    """Rows beyond a list's slack capacity spill to the pending buffer and
+    stay searchable; merge_pending() folds them in and re-opens slack."""
+    db, q, _ = data
+    idx = BandIVFIndex.build(
+        db[:2000], nlist=8, dtype="int8", kmeans_iters=6, tile_n=256,
+        tile_q=16, residual=True, slack=0.01,
+    )
+    idx.merge_threshold = 1e9  # keep pending; we merge manually below
+    idx.add(db[2000:3000])  # slack ~28 rows/list — most must spill
+    assert idx._pending.size > 0
+    assert idx.ntotal == 3000
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    _, found = idx.search(db[2500:2600], 3, interpret=True, p_tiles=p_all)
+    self_hit = (found == np.arange(2500, 2600)[:, None]).any(axis=1)
+    assert self_hit.mean() >= 0.99
+    idx.merge_pending()
+    assert idx._pending.size == 0 and idx.ntotal == 3000
+    assert idx._list_lens.sum() == 3000
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    _, found = idx.search(db[2500:2600], 3, interpret=True, p_tiles=p_all)
+    self_hit = (found == np.arange(2500, 2600)[:, None]).any(axis=1)
+    assert self_hit.mean() >= 0.99
+
+
+def test_slack_holes_never_surface_adversarially(rng):
+    """All-negative-score regime: every real row anti-correlated with the
+    query. An unmasked hole (zero residual → reconstructs to the list
+    centroid) would score ≈ q·c ≥ 0 and win — assert every returned id is a
+    real row and every score negative."""
+    d = 64
+    base = rng.normal(size=(1, d)).astype(np.float32)
+    base /= np.linalg.norm(base)
+    db = -base + 0.05 * rng.normal(size=(512, d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    idx = BandIVFIndex.build(db, nlist=4, dtype="int8", kmeans_iters=4,
+                             tile_n=128, tile_q=8, residual=True, slack=0.5)
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    v, f = idx.search(base, 10, interpret=True, p_tiles=p_all)
+    assert f.min() >= 0 and f.max() < 512, f
+    assert (v < 0).all(), v
+
+
+def test_slack_save_load_roundtrip(data, tmp_path):
+    from cloudvectordb_tpu.index import load_index
+
+    db, q, _ = data
+    idx = BandIVFIndex.build(db[:3000], nlist=16, dtype="int8",
+                             kmeans_iters=6, tile_n=256, tile_q=16,
+                             residual=True, slack=0.3)
+    idx.add(db[3000:3200])
+    idx.save(tmp_path / "slk")
+    idx2 = load_index(tmp_path / "slk")
+    assert idx2.slack == idx.slack and idx2.ntotal == idx.ntotal
+    assert idx2._list_lens is not None
+    p_all = int(np.asarray(idx2._payload).shape[0]) // idx2.tile_n
+    _, f1 = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    _, f2 = idx2.search(q, 10, interpret=True, p_tiles=p_all)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_aniso_pq_index_end_to_end(data, tmp_path):
+    """aniso_eta>1 trains score-aware codebooks; the index must stay a
+    correct index (full-coverage recall in the plain index's range), the
+    metric-matched encoder must be used, and eta must round-trip."""
+    from cloudvectordb_tpu.index import load_index
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    kw = dict(nlist=16, m=8, nbits=5, refine="none", kmeans_iters=6,
+              pq_train_iters=6, tile_n=256, tile_q=16)
+    plain = BandIVFPQIndex.build(db, **kw)
+    aniso = BandIVFPQIndex.build(db, aniso_eta=4.0, **kw)
+    nt = aniso._n_pad_rows // aniso.tile_n
+    _, fp = plain.search(q, 10, p_tiles=nt, interpret=True)
+    _, fa = aniso.search(q, 10, p_tiles=nt, interpret=True)
+    rp, ra = recall_at_k(fp, gt), recall_at_k(fa, gt)
+    assert ra >= rp - 0.05, (ra, rp)  # no-refine PQ ceiling comparable
+    aniso.save(tmp_path / "aniso")
+    idx2 = load_index(tmp_path / "aniso")
+    assert idx2.aniso_eta == 4.0
+    _, f2 = idx2.search(q, 10, p_tiles=nt, interpret=True)
+    np.testing.assert_array_equal(fa, f2)
