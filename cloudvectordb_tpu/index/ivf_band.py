@@ -826,35 +826,36 @@ class BandIVFIndex(Index):
 
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                strategy: str = "tiles", p_tiles: int = 0,
-               scoring: str = "hybrid"):
+               scoring: str = "hybrid", tile_q: int | None = None):
         """strategy='tiles' (default): device-planned query-clustered tile
         probing — one dispatch, compute ∝ p_tiles/n_tiles of a full scan.
         strategy='band': contiguous-band variant (kept for comparison; 1-D id
         locality is weak in high dimensions, so bands prune poorly).
         scoring (int8 arenas only): 'hybrid' (default) scores int8 rows in
         bf16 against unquantized bf16 queries — no query-side quantization
-        noise, ~2× MXU cost; 'int8' is the fastest two-sided-int8 path."""
+        noise, ~2× MXU cost; 'int8' is the fastest two-sided-int8 path.
+        tile_q: per-search query-tile override — smaller groups make the
+        shared tile table more specific for small/diverse batches
+        (see _auto_p_tiles)."""
         assert self._n, "empty index"
         if interpret is None:  # Mosaic only exists on TPU; interpret elsewhere
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
         if strategy == "tiles":
             return self._search_tiles(queries, k, nprobe, p_tiles, interpret,
-                                      scoring)
+                                      scoring, tile_q)
         assert not self._resid8, "band strategy lacks the centroid term; use tiles"
         return self._search_band(queries, k, nprobe, interpret)
 
     def _search_tiles(self, queries, k, nprobe, p_tiles, interpret,
-                      scoring="hybrid"):
+                      scoring="hybrid", tile_q=None):
         nq = queries.shape[0]
         st = self._device_state()
         n_tiles = int(self._payload.shape[0]) // self.tile_n
+        tq = tile_q or self.tile_q
         if p_tiles <= 0:
-            # tiles needed to cover ~nprobe lists per query, ×4 because the
-            # tile set is shared across the whole (sorted) query tile
-            lists_per_tile = max(1.0, self.nlist * self.tile_n / max(self._n, 1))
-            p_tiles = int(min(n_tiles, max(8, round(4 * nprobe / lists_per_tile))))
-        q_pad = -(-nq // self.tile_q) * self.tile_q
+            p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
+        q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
         )
@@ -863,7 +864,7 @@ class BandIVFIndex(Index):
                 jnp.asarray(qp), st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], st["valid_end"],
-                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
+                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret, int8_q=(scoring != "precise"),
             )
         else:
@@ -874,11 +875,33 @@ class BandIVFIndex(Index):
             v, gids = _tiles_plan_search(
                 jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
                 st["tile_window"], self._scale, jnp.asarray(self._n, jnp.int32),
-                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=self.tile_q,
+                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 int8=int8_mode, interpret=interpret,
             )
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         return self._merge_pending_topk(v, gids, queries[:nq], k)
+
+    def _auto_p_tiles(self, nq: int, nprobe: int, n_tiles: int,
+                      tile_q: int | None = None) -> int:
+        """Span-aware tile budget (measured at 2M×768, B=512, nlist=2048:
+        the old batch-blind 10.5% budget scored recall 0.57; covering the
+        group span scores the 0.93 full-coverage ceiling at 25× less scan).
+
+        The planner shares ONE tile table across each group of `tile_q`
+        sorted queries, so the budget must cover the group's UNION of
+        relevant tiles, not one query's. For g = min(tile_q, nq) queries
+        spread over the locality-ordered lists, the union spans
+        ≈ min(nlist·g/nq, g·nprobe) lists; multiply by tiles-per-list and
+        add a per-query margin. Big batches → homogeneous groups → small
+        spans: recall at fixed p_tiles IMPROVES with batch size (document
+        this to serving users; small batches should pass a smaller tile_q).
+        """
+        tq = tile_q or self.tile_q
+        g = min(tq, max(nq, 1))
+        r = max(self._n, 1) / max(self.nlist, 1) / self.tile_n  # tiles/list
+        span = min(self.nlist * g / max(nq, 1), float(g) * nprobe)
+        margin = max(8.0, nprobe * max(r, 0.25))
+        return int(min(n_tiles, max(8, int(np.ceil(span * r + margin)))))
 
     def _search_band(self, queries, k: int, nprobe: int, interpret: bool):
         nq = queries.shape[0]
@@ -1552,12 +1575,20 @@ class BandIVFPQIndex(BandIVFIndex):
 
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                p_tiles: int = 0, refine_factor: int = 16, n_pools: int = 0,
-               **_):
+               tile_q: int | None = None, **_):
         """n_pools=0 (auto): enough independent kernel candidate pools to hold
-        k_cand = k·refine_factor slots, capped at a ~4096-slot VMEM budget —
-        deep refine_factor (≥ tile_n/k) only helps WITH pools, since a single
-        pool caps candidates at tile_n and shadows under PQ score noise
-        (ops/pallas_pq.py kernel doc)."""
+        k_cand = k·refine_factor slots, within a VMEM slot budget that scales
+        inversely with the query tile — deep refine_factor (≥ tile_n/k) only
+        helps WITH pools, since a single pool caps candidates at tile_n and
+        shadows under PQ score noise (ops/pallas_pq.py kernel doc; measured
+        at 1M: slot-max extraction costs 2.4 recall pts, 4×-slot pools
+        recover to 0.99+ candidate recall).
+
+        tile_q overrides the index's query-tile size for THIS search (new
+        value → one extra kernel compile). Smaller tiles make the shared
+        tile table per-group more specific — the lever for small/diverse
+        batches (see _auto_p_tiles; measured at 2M, B=512: tile_q 128→32
+        lifts recall 0.57→0.93 at the same scanned-tile count)."""
         assert self._n, "empty index"
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -1567,15 +1598,16 @@ class BandIVFPQIndex(BandIVFIndex):
         nq = queries.shape[0]
         st = self._device_state()
         n_tiles = self._n_pad_rows // self.tile_n
+        tq = tile_q or self.tile_q
         if p_tiles <= 0:
-            lists_per_tile = max(1.0, self.nlist * self.tile_n / max(self._n, 1))
-            p_tiles = int(min(n_tiles, max(8, round(4 * nprobe / lists_per_tile))))
-        q_pad = -(-nq // self.tile_q) * self.tile_q
+            p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
+        q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
         )
         k_cand = min(max(k * refine_factor, 32), self._n) if self.refine == "int8" else k
-        slot_budget = max(4096, self.tile_n)
+        # scratch+output VMEM ≈ 16·tq·slots bytes; stay under ~4 MB
+        slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
         if n_pools <= 0:
             n_pools = max(1, min(-(-k_cand // self.tile_n),
                                  slot_budget // self.tile_n, p_tiles))
@@ -1591,7 +1623,7 @@ class BandIVFPQIndex(BandIVFIndex):
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
             jnp.asarray(self._n, jnp.int32), st.get("local_rm"),
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
-            tile_q=self.tile_q, interpret=interpret,
+            tile_q=tq, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
             l_buckets=l_buckets,

@@ -301,14 +301,14 @@ class ShardedBandIndex:
         nq = queries.shape[0]
         st = self._device_state()
         sh0 = self._shards[0]
-        if p_tiles <= 0:
-            lists_per_tile = max(
-                1.0, sh0.nlist * sh0.tile_n / max(sh0.ntotal, 1))
-            p_tiles = int(min(st["n_tiles"],
-                              max(8, round(4 * nprobe / lists_per_tile))))
         # each replica's query slice must itself be a tile_q multiple
         n_rep = dict(zip(self.mesh.axis_names,
                          self.mesh.devices.shape)).get("replica", 1)
+        if p_tiles <= 0:
+            # span-aware budget (index layer doc); each replica plans over
+            # its own nq/n_rep query slice
+            p_tiles = sh0._auto_p_tiles(
+                max(1, nq // n_rep), nprobe, int(st["n_tiles"]))
         q_mult = sh0.tile_q * n_rep
         q_pad = -(-nq // q_mult) * q_mult
         qp = queries if q_pad == nq else np.concatenate(

@@ -75,7 +75,8 @@ def main():
     n = int(n_m * 1e6)
     n_chunks = -(-n // CHUNK)
     sizes = [CHUNK] * (n // CHUNK) + ([n % CHUNK] if n % CHUNK else [])
-    nlist = 4096
+    nlist = int(os.environ.get("BENCH_NLIST", 4096))
+    aniso_eta = float(os.environ.get("ANISO_ETA", "0"))
     print(f"config#3: N={n} D={D} m=64 nbits=8 OPQ refine=int8 nlist={nlist}",
           flush=True)
 
@@ -138,6 +139,7 @@ def main():
     idx = BandIVFPQIndex.build_device_streaming(
         chunk_fn, n_chunks, nlist=nlist, m=64, nbits=8, opq=True,
         refine="int8", kmeans_iters=10, pq_train_iters=8,
+        aniso_eta=aniso_eta,
     )
     t_build = time.perf_counter() - t0
     n_tiles = idx._n_pad_rows // idx.tile_n
@@ -145,43 +147,56 @@ def main():
           f"sample + {n_chunks} chunk encode/scatter passes)", flush=True)
 
     # --- stage 4: recall + fenced QPS ----------------------------------------
+    # configs: p_tiles:k_cand:n_pools:tile_q (0 p_tiles = span-aware auto).
+    # Defaults exercise the r2 findings: span-aware p + single pool, then
+    # deep 4×1024-slot pools at tile_q=64 (slot-max shadowing recovery).
     st = idx._device_state()
     rtt = measure_fetch_rtt()
     nv = jnp.asarray(idx._n, jnp.int32)
-    p_list = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2
-                               else ["256", "512", "1024"])]
-    k_cand_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 160
-    for p_tiles in p_list:
-        p_tiles = min(p_tiles, n_tiles)
-        k_cand = k_cand_arg
+    cfg_list = (sys.argv[2].split(",") if len(sys.argv) > 2
+                else ["0:1024:1:128", "0:4096:4:64", "512:4096:4:64"])
+    for cfg_s in cfg_list:
+        parts = [int(x) for x in cfg_s.split(":")]
+        p_tiles, k_cand, n_pools, tile_q = (parts + [1, idx.tile_q])[:4]
+        p_tiles = min(p_tiles, n_tiles) if p_tiles else idx._auto_p_tiles(
+            B, 32, n_tiles, tile_q=tile_q)
+        l_buckets = min(idx.tile_n, max(128, -(-k_cand // n_pools)))
 
         def run(noise):
             return _pq_tiles_plan_search(
                 queries + noise, st["centroids"], st["codes"],
                 st["codebooks"], st["refine"], st["ids"], st["tile_window"],
-                st["centroid_tiles"], nv,
-                k=K, k_cand=k_cand, p_tiles=p_tiles, tile_n=idx.tile_n,
-                tile_q=idx.tile_q, interpret=False, refine_scale=idx._scale,
+                st["centroid_tiles"], nv, st.get("local_rm"),
+                k=K, k_cand=min(k_cand, n_pools * l_buckets),
+                p_tiles=p_tiles, tile_n=idx.tile_n,
+                tile_q=tile_q, interpret=False, refine_scale=idx._scale,
+                row_major=idx._codes_row_major,
+                n_pools=n_pools, l_buckets=l_buckets,
             )
 
-        v, g = run(0.0)
-        r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
-        reps = 8
-        acc = jnp.float32(0)
-        for it in range(2):
-            vv, _ = run(0.5 + 1e-4 * it)
-            acc = acc + jnp.sum(vv)
-        float(acc)
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for it in range(reps):
-            vv, _ = run(1e-4 * (it + 1))
-            acc = acc + jnp.sum(vv)
-        float(acc)
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        qps = B * reps / dt
-        print(f"[eval] p_tiles={p_tiles:5d} ({p_tiles/n_tiles:5.1%}): "
-              f"recall@10={r:.4f}  {qps:9.0f} qps/chip", flush=True)
+        try:
+            v, g = run(0.0)
+            r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
+            reps = 8
+            acc = jnp.float32(0)
+            for it in range(2):
+                vv, _ = run(0.5 + 1e-4 * it)
+                acc = acc + jnp.sum(vv)
+            float(acc)
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for it in range(reps):
+                vv, _ = run(1e-4 * (it + 1))
+                acc = acc + jnp.sum(vv)
+            float(acc)
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+            qps = B * reps / dt
+            print(f"[eval] p={p_tiles} ({p_tiles/n_tiles:5.1%}) "
+                  f"k_cand={k_cand} pools={n_pools} tq={tile_q}: "
+                  f"recall@10={r:.4f}  {qps:9.0f} qps/chip", flush=True)
+        except Exception as e:
+            print(f"[eval] {cfg_s}: FAILED {type(e).__name__} "
+                  f"{str(e)[:160]}", flush=True)
 
     # --- budget table ---------------------------------------------------------
     rows_per_chip_100m = 100e6 / 8

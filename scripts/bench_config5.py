@@ -37,11 +37,12 @@ def main():
 
     n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 125.0
     nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    aniso_eta = float(os.environ.get("ANISO_ETA", "0"))
     n = int(n_m * 1e6)
     n_chunks = -(-n // CHUNK)
     sizes = [CHUNK] * (n // CHUNK) + ([n % CHUNK] if n % CHUNK else [])
     print(f"config#5 slice: N={n} D={D} m=64 nbits=8 OPQ refine=none "
-          f"nlist={nlist} chunks={n_chunks}", flush=True)
+          f"nlist={nlist} chunks={n_chunks} aniso_eta={aniso_eta}", flush=True)
 
     kw, kc = jax.random.split(jax.random.PRNGKey(1000))
     w = jax.random.normal(kw, (LATENT, D), jnp.float32) / (LATENT ** 0.5)
@@ -91,6 +92,7 @@ def main():
     idx = BandIVFPQIndex.build_device_streaming(
         chunk_fn, n_chunks, nlist=nlist, m=64, nbits=8, opq=True,
         refine="none", kmeans_iters=8, pq_train_iters=6,
+        aniso_eta=aniso_eta,
     )
     build_s = time.perf_counter() - t0
     n_tiles = idx._n_pad_rows // idx.tile_n

@@ -1,8 +1,11 @@
 """Sweep kernel candidate pools (n_pools) × refine depth for BandIVFPQ.
 
-Quantifies the PQ-noise shadowing fix (ops/pallas_pq.py kernel doc): a single
-bucket pool caps candidates at tile_n slots and drops any true neighbor that
-shares a slot position with a higher-PQ-scoring row in another probed tile.
+CAVEAT (r2 finding, DESIGN.md §10): passing n_pools at a fixed refine_factor
+keeps the TOTAL slot count constant (l_buckets shrinks to k_cand/n_pools), so
+per-slot competition is unchanged — to actually test shadowing recovery,
+raise refine_factor so n_pools·l_buckets grows (and shrink tile_q to fit the
+16·tile_q·slots VMEM budget). The dominant recall lever at fixed coverage is
+the shared-tile-table span (tile_q vs batch size), not pools.
 
 Usage: python scripts/sweep_pq_pools.py [N_millions=2] [nlist=2048] [p_tiles=0]
 """

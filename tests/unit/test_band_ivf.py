@@ -479,3 +479,37 @@ def test_aniso_pq_index_end_to_end(data, tmp_path):
     assert idx2.aniso_eta == 4.0
     _, f2 = idx2.search(q, 10, p_tiles=nt, interpret=True)
     np.testing.assert_array_equal(fa, f2)
+
+
+def test_auto_p_tiles_span_aware(data):
+    """The shared-tile-table budget must grow when query groups are more
+    diverse (small batch relative to tile_q) and shrink for homogeneous
+    groups (large batch), covering the group's union span (measured at 2M:
+    batch-blind budgets cost 36 recall points)."""
+    db, q, gt = data
+    idx = BandIVFIndex.build(db, nlist=16, dtype="int8", kmeans_iters=6,
+                             tile_n=256, tile_q=64, residual=True)
+    n_tiles = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    p_small_batch = idx._auto_p_tiles(64, 8, n_tiles)
+    p_big_batch = idx._auto_p_tiles(4096, 8, n_tiles)
+    assert p_small_batch >= p_big_batch
+    p_small_tq = idx._auto_p_tiles(64, 8, n_tiles, tile_q=16)
+    assert p_small_tq <= p_small_batch  # tighter groups -> smaller budget
+    assert 1 <= p_big_batch <= n_tiles and 1 <= p_small_tq <= n_tiles
+    # recall with auto budget at this tiny scale covers everything relevant
+    _, f = idx.search(q, 10, interpret=True)
+    assert recall_at_k(f, gt) >= 0.9
+
+
+def test_search_tile_q_override(data):
+    """Per-search tile_q must produce valid (and at small scale identical-
+    coverage) results without touching the index's stored tile_q."""
+    db, q, gt = data
+    idx = BandIVFIndex.build(db, nlist=16, dtype="int8", kmeans_iters=6,
+                             tile_n=256, tile_q=64, residual=True)
+    n_tiles = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    _, f1 = idx.search(q, 10, interpret=True, p_tiles=n_tiles)
+    _, f2 = idx.search(q, 10, interpret=True, p_tiles=n_tiles, tile_q=16)
+    assert idx.tile_q == 64
+    r1, r2 = recall_at_k(f1, gt), recall_at_k(f2, gt)
+    assert abs(r1 - r2) <= 0.02, (r1, r2)  # full coverage: grouping moot
