@@ -32,6 +32,7 @@ from cloudvectordb_tpu.ops.topk import tiled_topk
     static_argnames=(
         "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
         "refine_scale", "row_major", "n_pools", "l_buckets",
+        "refine_residual",
     ),
 )
 def _pq_tiles_plan_search(
@@ -39,6 +40,7 @@ def _pq_tiles_plan_search(
     centroid_tiles=None, n_valid=None, local_rm=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
     row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
+    refine_residual: bool = False,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
 
@@ -48,6 +50,14 @@ def _pq_tiles_plan_search(
     n_pools > 1 splits probed tiles across independent candidate pools
     (ops/pallas_pq.py kernel doc) — the fix for PQ-noise shadowing in the
     cross-tile R=1 merge; k_cand can then reach n_pools·l_buckets.
+
+    refine_residual: refine_rows hold int8 RESIDUALS (row − list centroid),
+    ~4× finer than whole-row int8 at the same byte cost; the exact centroid
+    term is recovered per candidate from the planner's q·centroids matrix
+    via the row's local-list byte — a scalar gather, no extra matmul.
+    (Measured at 10M×768: whole-row int8 refine ceilings at 0.860 recall —
+    the quantization noise of the rescore itself — where the residual-int8
+    tiles index reaches 0.97 with the same bytes.)
     """
     from cloudvectordb_tpu.ops.pallas_pq import pq_tiles_topk_pallas
 
@@ -83,8 +93,16 @@ def _pq_tiles_plan_search(
         # rescore in query sub-batches: materializing the full gathered
         # (B, k_cand, D) f32 candidate tensor is 12.9 GB at B=4096,
         # k_cand=1024, D=768 — lax.map keeps the peak at one sub-batch.
+        # Residual path: int8→bf16 is EXACT (values in ±127); bf16 operands
+        # + f32 accumulation halve the gather temp and double the MXU rate,
+        # and the dominant (centroid) term is added back in exact f32.
         def rescore(args):
             qb, rb = args
+            if refine_residual:
+                cand = refine_rows[rb].astype(jnp.bfloat16)
+                return refine_scale * jnp.einsum(
+                    "bd,brd->br", qb.astype(jnp.bfloat16), cand,
+                    preferred_element_type=jnp.float32)
             cand = refine_rows[rb].astype(jnp.float32) * refine_scale
             return jnp.einsum("bd,brd->br", qb, cand)
 
@@ -94,6 +112,13 @@ def _pq_tiles_plan_search(
             q_s.reshape(nb, b // nb, q_s.shape[1]),
             rows.reshape(nb, b // nb, rows.shape[1]),
         )).reshape(rows.shape)
+        if refine_residual:
+            # exact centroid term: row → local-list byte → global list id
+            # (tile_window gather) → dots[b, list] scalar gather
+            loc = (local_rm[0, rows] if row_major
+                   else codes_cm[-1, rows]).astype(jnp.int32)
+            lists = tile_window[rows // tile_n, loc]
+            ex = ex + jnp.take_along_axis(dots[order], lists, axis=1)
         ex = jnp.where(valid, ex, NEG_INF)
         v, pos = jax.lax.top_k(ex, k)
         rows = jnp.take_along_axis(rows, pos, axis=1)
@@ -1051,6 +1076,9 @@ class BandIVFPQIndex(BandIVFIndex):
         self.refine = refine
         self.residual = residual
         self.aniso_eta = aniso_eta  # >1: score-aware codebooks (index/pq.py)
+        # residual-PQ mode stores refine rows as int8 RESIDUALS (the local
+        # list byte needed to recover the centroid term already exists)
+        self._refine_residual = residual and refine == "int8"
         self.pq_train_iters = pq_train_iters
         self.codebooks: np.ndarray | None = None
         self._codes_cm = None  # (m[+1], N_pad) uint8, arena-ordered, device
@@ -1163,8 +1191,9 @@ class BandIVFPQIndex(BandIVFIndex):
                     train_vecs = train_vecs - cdev[a_s]
                 idx.codebooks = idx._train_pq_codebooks(train_vecs, tr[:ns])
                 if idx.refine == "int8":
-                    rms = float(jnp.sqrt(jnp.mean(tr * tr)))
-                    amax = float(jnp.max(jnp.abs(tr)))
+                    src = train_vecs if idx._refine_residual else tr
+                    rms = float(jnp.sqrt(jnp.mean(src * src)))
+                    amax = float(jnp.max(jnp.abs(src)))
                     scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
             else:
                 rot = (jnp.asarray(idx.opq_matrix).T
@@ -1177,8 +1206,9 @@ class BandIVFPQIndex(BandIVFIndex):
             code_chunks.append(np.asarray(codes))
             assign_chunks.append(np.asarray(a))
             if idx.refine == "int8":
+                rsrc = enc_in if idx._refine_residual else tr
                 refine_chunks.append(np.asarray(
-                    jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)))
+                    jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)))
         assert idx is not None, "empty stream"
         codes_all = np.concatenate(code_chunks)
         assigns = np.concatenate(assign_chunks)
@@ -1261,8 +1291,9 @@ class BandIVFPQIndex(BandIVFIndex):
                     train_vecs = train_vecs - cdev[a_s]
                 idx.codebooks = idx._train_pq_codebooks(train_vecs, tr[:ns])
                 if idx.refine == "int8":
-                    rms = float(jnp.sqrt(jnp.mean(tr * tr)))
-                    amax = float(jnp.max(jnp.abs(tr)))
+                    src = train_vecs if idx._refine_residual else tr
+                    rms = float(jnp.sqrt(jnp.mean(src * src)))
+                    amax = float(jnp.max(jnp.abs(src)))
                     idx._scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
             else:
                 rot = (jnp.asarray(idx.opq_matrix).T
@@ -1320,7 +1351,8 @@ class BandIVFPQIndex(BandIVFIndex):
             codes = idx._pq_encode_rows(enc_in, tr, cb)  # (b, m)
             codes_ar = codes_ar.at[d].set(codes)
             if do_refine:
-                r8 = jnp.clip(jnp.round(tr / scale), -127, 127).astype(jnp.int8)
+                rsrc = enc_in if idx._refine_residual else tr
+                r8 = jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)
                 refine_ar = refine_ar.at[d].set(r8)
             return codes_ar, refine_ar
 
@@ -1332,6 +1364,7 @@ class BandIVFPQIndex(BandIVFIndex):
             codes_rm, refine = encode_scatter(
                 codes_rm, refine, chunk, d, a_dev, cdev, cbdev)
             base += sizes[ci]
+            chunk = d = a_dev = None  # free HBM refs before the next gen
         idx._codes_cm = codes_rm  # device-resident, ROW-major
         idx._codes_row_major = True
         idx._payload = codes_rm
@@ -1382,12 +1415,15 @@ class BandIVFPQIndex(BandIVFIndex):
         else:
             self._centroid_tiles = None
         if self.refine == "int8":
-            rms = jnp.sqrt(jnp.mean(x * x))
-            amax = jnp.max(jnp.abs(x))
+            # residual refine rows (when the PQ itself is residual): ~4×
+            # finer at the same bytes; centroid term recovered at rescore
+            src = enc_in if self._refine_residual else x
+            rms = jnp.sqrt(jnp.mean(src * src))
+            amax = jnp.max(jnp.abs(src))
             self._scale = float(
                 jnp.maximum(jnp.minimum(amax, 4.0 * rms) / 127.0, 1e-12)
             )
-            rr = jnp.clip(jnp.round(x / self._scale), -127, 127).astype(jnp.int8)
+            rr = jnp.clip(jnp.round(src / self._scale), -127, 127).astype(jnp.int8)
             self._refine_rows = jnp.concatenate(
                 [rr, jnp.zeros((n_pad - n, self.dim), jnp.int8)]
             ) if n_pad != n else rr
@@ -1421,9 +1457,10 @@ class BandIVFPQIndex(BandIVFIndex):
         enc_in = tr - cdev[a] if self.residual else tr
         codes = self._pq_encode_rows(enc_in, tr, jnp.asarray(self.codebooks))
         if self._pending_scale == 0.0:
-            # refine='int8' ties pending to the arena refine scale (no
-            # requantization at merge); refine='none' picks one at first add
-            if self.refine == "int8":
+            # whole-row refine ties pending to the arena refine scale (no
+            # requantization at merge); residual refine and refine='none'
+            # need a WHOLE-ROW scale here — the pending scan scores raw rows
+            if self.refine == "int8" and not self._refine_residual:
                 self._pending_scale = self._scale
             else:
                 rms = float(jnp.sqrt(jnp.mean(tr * tr)))
@@ -1463,7 +1500,17 @@ class BandIVFPQIndex(BandIVFIndex):
         ids_all = np.concatenate([self._ids.astype(np.int64), pids])
         if self.refine == "int8":
             old_refine = np.asarray(self._refine_rows)[: self._n]
-            refine_all = np.concatenate([old_refine, rows8])
+            if self._refine_residual:
+                # pending rows are whole-row int8 at _pending_scale;
+                # re-express as residuals at the arena's residual scale
+                # (double quantization on merged adds only — bounded)
+                resid_p = (rows8.astype(np.float32) * self._pending_scale
+                           - self.centroids[passign])
+                rows8_r = np.clip(np.round(resid_p / self._scale),
+                                  -127, 127).astype(np.int8)
+                refine_all = np.concatenate([old_refine, rows8_r])
+            else:
+                refine_all = np.concatenate([old_refine, rows8])
         order, offsets = arena_sort(assigns, self.nlist)
         n = codes_all.shape[0]
         n_pad = -(-n // self.tile_n) * self.tile_n
@@ -1507,10 +1554,14 @@ class BandIVFPQIndex(BandIVFIndex):
         if arena_mask.any():
             rows = pos[ids[arena_mask]]
             if self.refine == "int8":
-                out[arena_mask] = (
-                    np.asarray(self._refine_rows)[rows].astype(np.float32)
-                    * self._scale
-                )
+                rec = (np.asarray(self._refine_rows)[rows].astype(np.float32)
+                       * self._scale)
+                if self._refine_residual:  # rows store residuals
+                    assign = (
+                        np.searchsorted(self._offsets, rows, side="right") - 1
+                    )
+                    rec = rec + self.centroids[assign]
+                out[arena_mask] = rec
             else:
                 cm = np.asarray(self._codes_cm)
                 codes = (cm[rows, : self.m] if self._codes_row_major
@@ -1626,7 +1677,7 @@ class BandIVFPQIndex(BandIVFIndex):
             tile_q=tq, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
-            l_buckets=l_buckets,
+            l_buckets=l_buckets, refine_residual=self._refine_residual,
         )
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
@@ -1655,6 +1706,7 @@ class BandIVFPQIndex(BandIVFIndex):
                      "n_pad_rows": self._n_pad_rows,
                      "residual": self.residual,
                      "aniso_eta": self.aniso_eta,
+                     "refine_residual": self._refine_residual,
                      "codes_row_major": self._codes_row_major})
         return meta
 
@@ -1665,6 +1717,8 @@ class BandIVFPQIndex(BandIVFIndex):
                   m["pq_train_iters"], m["kmeans_iters"], m["seed"],
                   m["tile_n"], m["tile_q"], residual=m.get("residual", False),
                   aniso_eta=m.get("aniso_eta", 0.0))
+        # older manifests carry whole-row refine rows regardless of mode
+        idx._refine_residual = m.get("refine_residual", False)
         idx.centroids = np.asarray(arrays["centroids"])
         idx.codebooks = np.asarray(arrays["codebooks"])
         idx._codes_cm = np.asarray(arrays["codes_cm"])

@@ -137,48 +137,61 @@ def train_pq_aniso(
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def pq_encode_aniso(x, xdir, codebooks, eta: float, tile: int = 8192):
+def pq_encode_aniso(x, xdir, codebooks, eta: float, tile: int = 4096):
     """Encode under the anisotropic metric the codebooks were trained with.
 
     Plain nearest-codeword encoding is metric-mismatched for anisotropic
     codebooks (it trades parallel error back for orthogonal error); matching
     the training assignment rule preserves the score-aware tradeoff.
+
+    Memory shape: a ``fori_loop`` over ROW blocks sliced straight out of the
+    caller's arrays (``dynamic_slice`` — no padded (N, D) copies, no
+    (N, m, dsub) split), all m sub-spaces batched into one (m, tile, ncode)
+    einsum per block. Peak HBM beyond the inputs is one block's distance
+    tensor + the (N, m) uint8 output. (Earlier versions materialized
+    several (500k, 64, 12)-or-(500k, 768) temps next to the donated build
+    arenas and OOM'd a 16 GB chip inside encode_scatter.)
     """
     m, ncode, ds = codebooks.shape
-    n = x.shape[0]
-    subs = _split(x, m)
-    us = _split(xdir, m)
-    us = us / jnp.maximum(jnp.linalg.norm(us, axis=2, keepdims=True), 1e-9)
+    n, d = x.shape
     etam1 = jnp.float32(eta - 1.0)
-    n_pad = (-n) % tile
+    cb = codebooks.astype(jnp.float32)
+    cb_sq = jnp.sum(cb * cb, axis=2)  # (m, ncode)
+    xf = x.astype(jnp.float32)
+    uf = xdir.astype(jnp.float32)
 
-    def one(sub, u, cb):
-        sub = sub.astype(jnp.float32)
-        u = u.astype(jnp.float32)
-        p = jnp.sum(u * sub, axis=1)
-        x_sq = jnp.sum(sub * sub, axis=1)
-        pad = lambda v: (
-            jnp.concatenate([v, jnp.zeros((n_pad, *v.shape[1:]), v.dtype)])
-            if n_pad else v
-        )
-        sub_t = pad(sub).reshape(-1, tile, ds)
-        u_t = pad(u).reshape(-1, tile, ds)
-        p_t = pad(p).reshape(-1, tile)
-        xsq_t = pad(x_sq).reshape(-1, tile)
-        cb_sq = jnp.sum(cb * cb, axis=1)
+    def blk(xb, ub):
+        t = xb.shape[0]
+        xs = jnp.transpose(xb.reshape(t, m, ds), (1, 0, 2))  # (m, T, ds)
+        us = jnp.transpose(ub.reshape(t, m, ds), (1, 0, 2))
+        us = us / jnp.maximum(
+            jnp.linalg.norm(us, axis=2, keepdims=True), 1e-9)
+        p = jnp.sum(us * xs, axis=2)  # (m, T)
+        x_sq = jnp.sum(xs * xs, axis=2)
+        xc = jnp.einsum("mtd,mkd->mtk", xs, cb,
+                        preferred_element_type=jnp.float32)
+        uc = jnp.einsum("mtd,mkd->mtk", us, cb,
+                        preferred_element_type=jnp.float32)
+        dlt = p[:, :, None] - uc
+        dist = (x_sq[:, :, None] - 2.0 * xc + cb_sq[:, None, :]
+                + etam1 * dlt * dlt)
+        return jnp.transpose(
+            jnp.argmin(dist, axis=2).astype(jnp.uint8))  # (T, m)
 
-        def blk(blk_args):
-            st, ut, pt, xt = blk_args
-            base = xt[:, None] - 2.0 * st @ cb.T + cb_sq[None, :]
-            dlt = pt[:, None] - ut @ cb.T
-            return jnp.argmin(base + etam1 * dlt * dlt, axis=1).astype(
-                jnp.int32
-            )
+    n_full = (n // tile) * tile
+    if n_full == 0:  # single sub-tile block — no loop to trace
+        return blk(xf, uf)
 
-        return lax.map(blk, (sub_t, u_t, p_t, xsq_t)).reshape(-1)[:n]
+    def body(i, out):
+        xb = lax.dynamic_slice_in_dim(xf, i * tile, tile)
+        ub = lax.dynamic_slice_in_dim(uf, i * tile, tile)
+        return lax.dynamic_update_slice_in_dim(out, blk(xb, ub), i * tile, 0)
 
-    codes = jax.vmap(one)(subs, us, codebooks)  # (m, N)
-    return jnp.transpose(codes).astype(jnp.uint8)
+    out = lax.fori_loop(0, n // tile, body, jnp.zeros((n_full, m), jnp.uint8))
+    if n_full == n:
+        return out
+    tail = blk(xf[n_full:], uf[n_full:])  # one sub-tile block
+    return jnp.concatenate([out, tail])
 
 
 @functools.partial(jax.jit, static_argnames=())

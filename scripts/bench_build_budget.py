@@ -171,6 +171,7 @@ def main():
                 p_tiles=p_tiles, tile_n=idx.tile_n,
                 tile_q=tile_q, interpret=False, refine_scale=idx._scale,
                 row_major=idx._codes_row_major,
+                refine_residual=idx._refine_residual,
                 n_pools=n_pools, l_buckets=l_buckets,
             )
 
