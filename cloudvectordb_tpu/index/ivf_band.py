@@ -73,8 +73,11 @@ def _pq_tiles_plan_search(
     order = jnp.argsort(top1)
     q_s = q[order]
     coarse_s = coarse[order]
-    cw = coarse_s[:, tile_window]
-    ts = jnp.max(cw, axis=-1).reshape(n_qt, tile_q, -1).max(axis=1)
+    # group-max FIRST, then the tile-window gather: max over the query group
+    # commutes with max over the window, and the gather shrinks from
+    # (B, n_tiles, W) — 4 GB at B=4096, 122k tiles — to (n_qt, n_tiles, W)
+    g_max = coarse_s.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, nlist)
+    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
     _, tile_table = jax.lax.top_k(ts, p_tiles)
 
     v, rows = pq_tiles_topk_pallas(
@@ -159,9 +162,10 @@ def _tiles_plan_search(
     q_s = q[order]
     coarse_s = coarse[order]
     # arena-tile score per query = max coarse score over lists in the tile
-    cw = coarse_s[:, tile_window]  # (B, n_tiles, W) small gather
-    tile_score = jnp.max(cw, axis=-1)
-    ts = tile_score.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, n_tiles)
+    # group-max over queries FIRST (commutes with the window max), THEN the
+    # tile-window gather — (n_qt, n_tiles, W), B/tile_q× smaller
+    g_max = coarse_s.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, nlist)
+    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
     _, tile_table = jax.lax.top_k(ts, p_tiles)
 
     if int8 == "hybrid":  # bf16 queries × int8 rows (see ops._score_tile)
@@ -213,8 +217,11 @@ def _tiles_resid_plan_search(
     order = jnp.argsort(top1)
     q_s = q[order]
     coarse_s = coarse[order]
-    cw = coarse_s[:, tile_window]
-    ts = jnp.max(cw, axis=-1).reshape(n_qt, tile_q, -1).max(axis=1)
+    # group-max FIRST, then the tile-window gather: max over the query group
+    # commutes with max over the window, and the gather shrinks from
+    # (B, n_tiles, W) — 4 GB at B=4096, 122k tiles — to (n_qt, n_tiles, W)
+    g_max = coarse_s.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, nlist)
+    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
     _, tile_table = jax.lax.top_k(ts, p_tiles)
 
     v, rows = tiles_topk_resid_pallas(
@@ -1302,7 +1309,9 @@ class BandIVFPQIndex(BandIVFIndex):
             a, _ = assign_clusters(tr, cdev)
             assigns.append(np.asarray(a))
             sizes.append(int(chunk.shape[0]))
+            chunk = tr = a = None  # free the ~GB-scale HBM refs per iter
         assert idx is not None, "empty stream"
+        train_vecs = None  # pass-1 sample buffers must not outlive the loop
         assign_all = np.concatenate(assigns)
         n = assign_all.shape[0]
         order, offsets = arena_sort(assign_all.astype(np.int32), nlist)

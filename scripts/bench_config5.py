@@ -38,6 +38,9 @@ def main():
     n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 125.0
     nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     aniso_eta = float(os.environ.get("ANISO_ETA", "0"))
+    # at 122k+ tiles the (n_qt, p) scalar-prefetch table hits the SMEM
+    # ceiling near p=4096 — coarser tiles halve the table at equal coverage
+    tile_n = int(os.environ.get("BENCH_TILE_N", "1024"))
     n = int(n_m * 1e6)
     n_chunks = -(-n // CHUNK)
     sizes = [CHUNK] * (n // CHUNK) + ([n % CHUNK] if n % CHUNK else [])
@@ -92,7 +95,7 @@ def main():
     idx = BandIVFPQIndex.build_device_streaming(
         chunk_fn, n_chunks, nlist=nlist, m=64, nbits=8, opq=True,
         refine="none", kmeans_iters=8, pq_train_iters=6,
-        aniso_eta=aniso_eta,
+        aniso_eta=aniso_eta, tile_n=tile_n,
     )
     build_s = time.perf_counter() - t0
     n_tiles = idx._n_pad_rows // idx.tile_n
