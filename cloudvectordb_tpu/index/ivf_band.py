@@ -1058,6 +1058,14 @@ class BandIVFPQIndex(BandIVFIndex):
 
     kind = "band_ivf_pq"
 
+    # Row-major code arenas past this row count are stored as SEGMENTS
+    # (each + one trailing zero pad tile): Mosaic's DMA descriptors overflow
+    # on a 64-lane int8 input past ~2^32 LANE-PADDED bytes, i.e. ~33.5M rows
+    # at m=64 (measured on v5e: 30M×64 OK, 67M×64 fails compile; 28M keeps
+    # margin below the boundary). ops/pallas_pq.py dispatches per segment
+    # and merges candidates; everything else sees one logical arena.
+    seg_rows_cap = 28 * 1024 * 1024
+
     def __init__(
         self,
         dim: int,
@@ -1097,6 +1105,82 @@ class BandIVFPQIndex(BandIVFIndex):
         self._pending_codes: list[np.ndarray] = []
         self._pending_scale = 0.0
         self._codes_row_major = False  # device-resident builds store (N, m+1)
+
+    @property
+    def _segmented(self) -> bool:
+        return isinstance(self._codes_cm, (list, tuple))
+
+    def _seg_layout(self, n_pad: int):
+        """(row_counts, offsets) for a segmented row-major arena."""
+        cap = (self.seg_rows_cap // self.tile_n) * self.tile_n
+        rows, offs, off = [], [], 0
+        while off < n_pad:
+            r = min(cap, n_pad - off)
+            rows.append(r)
+            offs.append(off)
+            off += r
+        return rows, offs
+
+    def _codes_np_rows(self) -> np.ndarray:
+        """(N_pad, m) row-major host view of the code arena, any layout."""
+        if self._segmented:
+            return np.concatenate(
+                [np.asarray(s)[: -self.tile_n] for s in self._codes_cm])
+        cm = np.asarray(self._codes_cm)
+        if self._codes_row_major:
+            return cm[:, : self.m]
+        return np.ascontiguousarray(cm[: self.m].T)
+
+    def _install_codes_host(self, sorted_codes: np.ndarray,
+                            local: np.ndarray | None) -> None:
+        """Install (n, m) host codes (+ per-row local byte in residual mode)
+        as the arena in the scale-appropriate layout: column-major below the
+        segment cap, row-major segments above it."""
+        n = sorted_codes.shape[0]
+        n_pad = self._n_pad_rows
+        if n_pad <= self.seg_rows_cap:
+            rows_cm = self.m + (1 if self.residual else 0)
+            codes_cm = np.zeros((rows_cm, n_pad), np.uint8)
+            codes_cm[: self.m, :n] = sorted_codes.T
+            if self.residual:
+                codes_cm[self.m, :n] = local.astype(np.uint8)
+            self._codes_cm = codes_cm
+            self._codes_row_major = False
+            self._local_rm = None
+        else:
+            rows, offs = self._seg_layout(n_pad)
+            segs, loc_segs = [], []
+            for r, off in zip(rows, offs):
+                seg = np.zeros((r + self.tile_n, self.m), np.uint8)
+                seg[: min(r, n - off)] = sorted_codes[off : off + r]
+                segs.append(seg)
+                if self.residual:
+                    ls = np.zeros((1, r + self.tile_n), np.uint8)
+                    ls[0, : min(r, n - off)] = local[off : off + r]
+                    loc_segs.append(ls)
+            self._codes_cm = segs
+            self._codes_row_major = True
+            self._local_rm = loc_segs if self.residual else None
+        self._payload = self._codes_cm
+
+    def _seg_centroid_tiles(self, ct: np.ndarray) -> list[np.ndarray]:
+        """Per-segment (seg_tiles+1, W, D) centroid tiles (zero pad tile)."""
+        rows, offs = self._seg_layout(self._n_pad_rows)
+        out = []
+        for r, off in zip(rows, offs):
+            t0, t1 = off // self.tile_n, (off + r) // self.tile_n
+            piece = np.concatenate(
+                [ct[t0:t1], np.zeros((1, *ct.shape[1:]), ct.dtype)])
+            out.append(piece)
+        return out
+
+    def _seg_n_valid(self):
+        """Per-segment REAL row counts (for in-kernel pad masking)."""
+        rows, offs = self._seg_layout(self._n_pad_rows)
+        return tuple(
+            jnp.asarray(int(np.clip(self._n - off, 0, r)), jnp.int32)
+            for r, off in zip(rows, offs)
+        )
 
     def _train_pq_codebooks(self, enc_vecs, xdir) -> np.ndarray:
         """PQ codebooks on `enc_vecs` (residuals when self.residual).
@@ -1329,20 +1413,38 @@ class BandIVFPQIndex(BandIVFIndex):
         # whole arena per chunk (observed OOM at 125M: 2×8.3 GB). The
         # residual local byte lives in a SEPARATE (1, N_pad) array: a
         # 65-lane minor dim crashes the TPU compiler at ≥8e9 elements.
-        codes_rm = jnp.zeros((n_pad, m), jnp.uint8)
+        # Past seg_rows_cap the arena is allocated as SEGMENTS (class doc),
+        # each with a trailing zero pad tile that absorbs out-of-segment
+        # scatter rows and is masked at query time.
+        seg_rows, seg_offs = idx._seg_layout(n_pad)
+        segmented = len(seg_rows) > 1
+        if segmented:
+            codes_rm = tuple(
+                jnp.zeros((r + idx.tile_n, m), jnp.uint8) for r in seg_rows)
+        else:
+            codes_rm = jnp.zeros((n_pad, m), jnp.uint8)
         if idx.residual:
             row_tile = np.arange(n) // idx.tile_n
             local = (assign_all[order] - tw[row_tile, 0]).astype(np.uint8)
             loc_pad = np.zeros(n_pad, np.uint8)
             loc_pad[:n] = local
-            idx._local_rm = jnp.asarray(loc_pad[None])  # (1, N_pad)
-            ct = idx.centroids[tw]
-            idx._centroid_tiles = jnp.asarray(
-                np.ascontiguousarray(ct), jnp.bfloat16)
+            if segmented:
+                idx._local_rm = [
+                    np.concatenate([loc_pad[off : off + r],
+                                    np.zeros(idx.tile_n, np.uint8)])[None]
+                    for r, off in zip(seg_rows, seg_offs)
+                ]
+            else:
+                idx._local_rm = jnp.asarray(loc_pad[None])  # (1, N_pad)
+            ct = np.ascontiguousarray(idx.centroids[tw])
+            idx._centroid_tiles = (idx._seg_centroid_tiles(ct) if segmented
+                                   else jnp.asarray(ct, jnp.bfloat16))
         else:
             idx._local_rm = None
             idx._centroid_tiles = None
         do_refine = idx.refine == "int8"
+        assert not (do_refine and segmented), (
+            "int8 refine rows at segmented scale exceed HBM by construction")
         refine = (jnp.zeros((n_pad, idx.dim), jnp.int8) if do_refine
                   else jnp.zeros((1, idx.dim), jnp.int8))
         cbdev = jnp.asarray(idx.codebooks)
@@ -1358,7 +1460,16 @@ class BandIVFPQIndex(BandIVFIndex):
             tr = chunk @ rot_dev if rot_dev is not None else chunk
             enc_in = tr - c[a] if resid else tr
             codes = idx._pq_encode_rows(enc_in, tr, cb)  # (b, m)
-            codes_ar = codes_ar.at[d].set(codes)
+            if segmented:
+                segs = []
+                for si, (r, off) in enumerate(zip(seg_rows, seg_offs)):
+                    in_seg = (d >= off) & (d < off + r)
+                    # out-of-segment rows dump into the masked pad tile
+                    d_s = jnp.where(in_seg, d - off, r)
+                    segs.append(codes_ar[si].at[d_s].set(codes))
+                codes_ar = tuple(segs)
+            else:
+                codes_ar = codes_ar.at[d].set(codes)
             if do_refine:
                 rsrc = enc_in if idx._refine_residual else tr
                 r8 = jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)
@@ -1374,9 +1485,9 @@ class BandIVFPQIndex(BandIVFIndex):
                 codes_rm, refine, chunk, d, a_dev, cdev, cbdev)
             base += sizes[ci]
             chunk = d = a_dev = None  # free HBM refs before the next gen
-        idx._codes_cm = codes_rm  # device-resident, ROW-major
+        idx._codes_cm = list(codes_rm) if segmented else codes_rm
         idx._codes_row_major = True
-        idx._payload = codes_rm
+        idx._payload = idx._codes_cm
         idx._refine_rows = refine
         if not do_refine:
             idx._scale = 0.0
@@ -1499,10 +1610,7 @@ class BandIVFPQIndex(BandIVFIndex):
         pcodes = np.concatenate(self._pending_codes)
         self._pending_codes = []
         self._pending_dev = None
-        if self._codes_row_major:
-            old_codes = np.asarray(self._codes_cm)[: self._n, : self.m]
-        else:
-            old_codes = np.asarray(self._codes_cm)[: self.m, : self._n].T
+        old_codes = self._codes_np_rows()[: self._n]
         old_assign = np.repeat(np.arange(self.nlist), np.diff(self._offsets))
         codes_all = np.concatenate([old_codes, pcodes.astype(np.uint8)])
         assigns = np.concatenate([old_assign, passign]).astype(np.int32)
@@ -1529,26 +1637,23 @@ class BandIVFPQIndex(BandIVFIndex):
         self._ids = ids_all[order]
         self._tile_window = self._compute_tile_window()
         sorted_codes = gather_rows(codes_all, order)
-        rows_cm = self.m + (1 if self.residual else 0)
-        codes_cm = np.zeros((rows_cm, n_pad), np.uint8)
-        codes_cm[: self.m, :n] = sorted_codes.T
+        local = None
         if self.residual:
             tw = self._tile_window
             row_tile = np.arange(n) // self.tile_n
-            local = assigns[order] - tw[row_tile, 0]
-            codes_cm[self.m, :n] = local.astype(np.uint8)
-            ct = self.centroids[tw]
-            self._centroid_tiles = jnp.asarray(
-                np.ascontiguousarray(ct), jnp.bfloat16)
+            local = (assigns[order] - tw[row_tile, 0]).astype(np.uint8)
+            ct = np.ascontiguousarray(self.centroids[tw])
+            self._centroid_tiles = (
+                self._seg_centroid_tiles(ct)
+                if n_pad > self.seg_rows_cap
+                else jnp.asarray(ct, jnp.bfloat16))
         if self.refine == "int8":
             rr = gather_rows(refine_all, order)
             if n_pad != n:
                 rr = np.concatenate([rr, np.zeros((n_pad - n, self.dim), np.int8)])
             self._refine_rows = rr
-        self._codes_cm = codes_cm
-        self._codes_row_major = False  # host merge re-assembles code-major
-        self._local_rm = None
-        self._payload = codes_cm
+        # scale-appropriate layout (col-major, or row-major segments)
+        self._install_codes_host(sorted_codes, local)
         self._dev = None
 
     def reconstruct(self, ids) -> np.ndarray:
@@ -1572,9 +1677,19 @@ class BandIVFPQIndex(BandIVFIndex):
                     rec = rec + self.centroids[assign]
                 out[arena_mask] = rec
             else:
-                cm = np.asarray(self._codes_cm)
-                codes = (cm[rows, : self.m] if self._codes_row_major
-                         else cm[: self.m, rows].T)  # (r, m)
+                if self._segmented:
+                    rows_arr = np.asarray(rows)
+                    codes = np.empty((rows_arr.shape[0], self.m), np.uint8)
+                    seg_rows, seg_offs = self._seg_layout(self._n_pad_rows)
+                    for si, (r, off) in enumerate(zip(seg_rows, seg_offs)):
+                        msk = (rows_arr >= off) & (rows_arr < off + r)
+                        if msk.any():  # device gather, small host fetch
+                            codes[msk] = np.asarray(self._codes_cm[si][
+                                jnp.asarray(rows_arr[msk] - off)])
+                else:
+                    cm = np.asarray(self._codes_cm)
+                    codes = (cm[rows, : self.m] if self._codes_row_major
+                             else cm[: self.m, rows].T)  # (r, m)
                 cb = self.codebooks  # (m, C, dsub)
                 dec = np.concatenate(
                     [cb[j][codes[:, j]] for j in range(self.m)], axis=1
@@ -1616,20 +1731,26 @@ class BandIVFPQIndex(BandIVFIndex):
 
     def _device_state(self):
         if self._dev is None:
+            seg = self._segmented
             self._dev = dict(
-                codes=jnp.asarray(self._codes_cm),
+                codes=(tuple(jnp.asarray(s) for s in self._codes_cm)
+                       if seg else jnp.asarray(self._codes_cm)),
                 centroids=jnp.asarray(self.centroids),
                 codebooks=jnp.asarray(self.codebooks),
                 refine=jnp.asarray(self._refine_rows),
                 ids=jnp.asarray(self._ids, jnp.int32),
                 tile_window=jnp.asarray(self._tile_window),
                 centroid_tiles=(
-                    jnp.asarray(self._centroid_tiles, jnp.bfloat16)
+                    (tuple(jnp.asarray(c, jnp.bfloat16)
+                           for c in self._centroid_tiles) if seg
+                     else jnp.asarray(self._centroid_tiles, jnp.bfloat16))
                     if self._centroid_tiles is not None else None
                 ),
-                local_rm=(jnp.asarray(self._local_rm)
-                          if getattr(self, "_local_rm", None) is not None
-                          else None),
+                local_rm=(
+                    (tuple(jnp.asarray(l) for l in self._local_rm)
+                     if seg else jnp.asarray(self._local_rm))
+                    if getattr(self, "_local_rm", None) is not None
+                    else None),
             )
         return self._dev
 
@@ -1678,10 +1799,12 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.tile_n % l_buckets != 0:  # non-pow2 tile_n: fall back
             l_buckets = self.tile_n
         k_cand = min(k_cand, n_pools * l_buckets)
+        nv = (self._seg_n_valid() if self._segmented
+              else jnp.asarray(self._n, jnp.int32))
         v, gids = _pq_tiles_plan_search(
             jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
-            jnp.asarray(self._n, jnp.int32), st.get("local_rm"),
+            nv, st.get("local_rm"),
             k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=tq, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
@@ -1698,7 +1821,10 @@ class BandIVFPQIndex(BandIVFIndex):
         out = {
             "centroids": self.centroids,
             "codebooks": self.codebooks,
-            "codes_cm": np.asarray(self._codes_cm),
+            # segmented arenas persist as one row-major matrix; load
+            # re-segments past seg_rows_cap
+            "codes_cm": (self._codes_np_rows() if self._segmented
+                         else np.asarray(self._codes_cm)),
             "ids": self._ids,
             "offsets": self._offsets,
         }
@@ -1745,17 +1871,26 @@ class BandIVFPQIndex(BandIVFIndex):
         if "opq_matrix" in arrays:
             idx.opq_matrix = np.asarray(arrays["opq_matrix"])
         idx._tile_window = idx._compute_tile_window()
+        local = None
+        if idx.residual and idx._codes_row_major:
+            # local byte derives from offsets
+            assigns_sorted = np.repeat(np.arange(idx.nlist),
+                                       np.diff(idx._offsets))
+            row_tile = np.arange(idx._n) // idx.tile_n
+            local = (assigns_sorted
+                     - idx._tile_window[row_tile, 0]).astype(np.uint8)
+        if (idx._codes_row_major
+                and idx._n_pad_rows > idx.seg_rows_cap):
+            # saved as one row-major matrix; re-segment past the cap
+            idx._install_codes_host(
+                np.asarray(idx._codes_cm)[: idx._n], local)
+        elif idx.residual and idx._codes_row_major:
+            loc_pad = np.zeros(idx._n_pad_rows, np.uint8)
+            loc_pad[: idx._n] = local
+            idx._local_rm = loc_pad[None]
         if idx.residual:
-            ct = idx.centroids[idx._tile_window]
-            idx._centroid_tiles = jnp.asarray(
-                np.ascontiguousarray(ct), jnp.bfloat16
-            )
-            if idx._codes_row_major:  # local byte derives from offsets
-                assigns_sorted = np.repeat(np.arange(idx.nlist),
-                                           np.diff(idx._offsets))
-                row_tile = np.arange(idx._n) // idx.tile_n
-                local = (assigns_sorted - idx._tile_window[row_tile, 0])
-                loc_pad = np.zeros(idx._n_pad_rows, np.uint8)
-                loc_pad[: idx._n] = local.astype(np.uint8)
-                idx._local_rm = loc_pad[None]
+            ct = np.ascontiguousarray(idx.centroids[idx._tile_window])
+            idx._centroid_tiles = (
+                idx._seg_centroid_tiles(ct) if idx._segmented
+                else jnp.asarray(ct, jnp.bfloat16))
         return idx

@@ -93,7 +93,7 @@ def _ceil_to(x: int, mult: int) -> int:
 
 def _pq_tiles_kernel(
     tile_table_ref, nv_ref, *refs, l_buckets, m, ncode, dsub, w_lists,
-    row_major=False, n_pools=1,
+    row_major=False, n_pools=1, n_live_tiles=None,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -134,76 +134,83 @@ def _pq_tiles_kernel(
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     n = nv_ref[0]
+    qt = pl.program_id(0)
+    at = tile_table_ref[qt, j]
 
     @pl.when(j == 0)
     def _init():
         val_sc[:] = jnp.full_like(val_sc, NEG_INF)
         idx_sc[:] = jnp.zeros_like(idx_sc)
 
-    codes = codes_ref[:]
-    tile_sz = codes.shape[0] if row_major else codes.shape[1]
+    # segmented dispatch: out-of-segment table entries point at the pad
+    # tile (index n_live_tiles) — skip the whole decode+score for them
+    # (the block DMA still runs, but it is one cached zero tile)
+    live = (at < n_live_tiles) if n_live_tiles is not None else (j >= 0)
 
-    def code_row(sub):
-        return codes[:, sub] if row_major else codes[sub, :]
+    @pl.when(live)
+    def _body():
+        codes = codes_ref[:]
+        tile_sz = codes.shape[0] if row_major else codes.shape[1]
 
-    code_iota = lax.broadcasted_iota(jnp.int32, (ncode, tile_sz), 0)
-    for sub in range(m):
-        oh_t = (code_iota == code_row(sub).astype(jnp.int32)[None, :]).astype(
-            jnp.bfloat16
-        )
-        xhat_sc[sub * dsub : (sub + 1) * dsub, :] = lax.dot_general(
-            cbt_ref[:, sub * ncode : (sub + 1) * ncode], oh_t,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-    if w_lists:  # residual mode: add this tile's per-row centroid term
-        local = (local_ref[0, :] if row_major else code_row(m)).astype(
-            jnp.int32
-        )  # (T,) local list idx < w_lists
-        w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, tile_sz), 0)
-        oh_l = (w_iota == local[None, :]).astype(jnp.bfloat16)  # (W, T)
-        xhat_sc[:, :] = xhat_sc[:, :] + lax.dot_general(
-            ct_ref[0], oh_l, (((0,), (0,)), ((), ())),
+        def code_row(sub):
+            return codes[:, sub] if row_major else codes[sub, :]
+
+        code_iota = lax.broadcasted_iota(jnp.int32, (ncode, tile_sz), 0)
+        for sub in range(m):
+            oh_t = (code_iota == code_row(sub).astype(jnp.int32)[None, :]).astype(
+                jnp.bfloat16
+            )
+            xhat_sc[sub * dsub : (sub + 1) * dsub, :] = lax.dot_general(
+                cbt_ref[:, sub * ncode : (sub + 1) * ncode], oh_t,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        if w_lists:  # residual mode: add this tile's per-row centroid term
+            local = (local_ref[0, :] if row_major else code_row(m)).astype(
+                jnp.int32
+            )  # (T,) local list idx < w_lists
+            w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, tile_sz), 0)
+            oh_l = (w_iota == local[None, :]).astype(jnp.bfloat16)  # (W, T)
+            xhat_sc[:, :] = xhat_sc[:, :] + lax.dot_general(
+                ct_ref[0], oh_l, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # ct (W, D) contracted on W with OH (W, T) → (D, T)
+        scores = lax.dot_general(
+            q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # ct (W, D) contracted on W with OH (W, T) → (D, T)
-    scores = lax.dot_general(
-        q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qt = pl.program_id(0)
-    at = tile_table_ref[qt, j]
-    rows_per_bucket = tile_sz // l_buckets
-    base = at * tile_sz
-    if rows_per_bucket == 1:
-        # L == tile: pure elementwise merge, no reduction/argmax passes
-        g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        mx = jnp.where(g < n, scores, NEG_INF)
-        new_idx = g
-    else:
-        s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
-        g_idx = (
-            base
-            + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
-            + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
         )
-        s3 = jnp.where(g_idx < n, s3, NEG_INF)
-        mx = jnp.max(s3, axis=1)
-        is_max = s3 >= mx[:, None, :]
-        r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-        r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
-        new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
-    if n_pools == 1:
-        better = mx > val_sc[0]
-        val_sc[0] = jnp.where(better, mx, val_sc[0])
-        idx_sc[0] = jnp.where(better, new_idx, idx_sc[0])
-    else:
-        # predicated static-index update: pool j % n_pools takes this tile
-        pool = lax.rem(j, n_pools)
-        for pid in range(n_pools):
-            @pl.when(pool == pid)
-            def _upd(pid=pid):
-                better = mx > val_sc[pid]
-                val_sc[pid] = jnp.where(better, mx, val_sc[pid])
-                idx_sc[pid] = jnp.where(better, new_idx, idx_sc[pid])
+        rows_per_bucket = tile_sz // l_buckets
+        base = at * tile_sz
+        if rows_per_bucket == 1:
+            # L == tile: pure elementwise merge, no reduction/argmax passes
+            g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            mx = jnp.where(g < n, scores, NEG_INF)
+            new_idx = g
+        else:
+            s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
+            g_idx = (
+                base
+                + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+                + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+            )
+            s3 = jnp.where(g_idx < n, s3, NEG_INF)
+            mx = jnp.max(s3, axis=1)
+            is_max = s3 >= mx[:, None, :]
+            r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+            r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
+            new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+        if n_pools == 1:
+            better = mx > val_sc[0]
+            val_sc[0] = jnp.where(better, mx, val_sc[0])
+            idx_sc[0] = jnp.where(better, new_idx, idx_sc[0])
+        else:
+            # predicated static-index update: pool j % n_pools takes this tile
+            pool = lax.rem(j, n_pools)
+            for pid in range(n_pools):
+                @pl.when(pool == pid)
+                def _upd(pid=pid):
+                    better = mx > val_sc[pid]
+                    val_sc[pid] = jnp.where(better, mx, val_sc[pid])
+                    idx_sc[pid] = jnp.where(better, new_idx, idx_sc[pid])
 
     @pl.when(j == n_j - 1)
     def _emit():
@@ -214,7 +221,7 @@ def _pq_tiles_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
-                     "row_major", "n_pools"),
+                     "row_major", "n_pools", "n_live_tiles"),
 )
 def pq_tiles_topk_pallas(
     codes_cm,
@@ -233,6 +240,8 @@ def pq_tiles_topk_pallas(
     n_pools: int = 1,  # independent bucket pools (see kernel doc); VMEM cost
                        # is 16·tile_q·l_buckets·n_pools bytes — keep
                        # n_pools·l_buckets ≲ 4096 at tile_q=128
+    n_live_tiles: int | None = None,  # segmented dispatch: tiles ≥ this are
+                                      # the pad tile — skip their compute
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -245,7 +254,42 @@ def pq_tiles_topk_pallas(
     ``n_valid``: number of REAL rows (pad rows must never become candidates —
     they decode to plausible vectors); defaults to the padded size.
     Returns (scores (Q, k) f32, arena-row idx (Q, k) i32).
+
+    SEGMENTED arenas: `codes_cm` may be a tuple of row-major segments —
+    required past ~33M rows, where Mosaic's DMA descriptors overflow on a
+    64-lane int8 input (measured: 30M×64 OK, 67M×64 fails compile; the
+    768-lane residual arena is fine at 12.5M×768 = 9.6 GB). Each segment
+    carries a trailing ZERO pad tile; this wrapper remaps out-of-segment
+    tile-table entries to that pad tile (masked via the per-segment
+    n_valid), dispatches the unchanged kernel per segment, and merges the
+    candidate pools with global row offsets. `centroid_tiles`, `local_ids`
+    and `n_valid` must then be parallel tuples.
     """
+    if isinstance(codes_cm, (list, tuple)):
+        assert row_major, "segmentation is a row-major-arena feature"
+        outs_v, outs_i = [], []
+        t_off = 0
+        for si, seg in enumerate(codes_cm):
+            seg_tiles = seg.shape[0] // tile_n - 1  # minus the pad tile
+            in_seg = (tile_table >= t_off) & (tile_table < t_off + seg_tiles)
+            tt_seg = jnp.where(in_seg, tile_table - t_off, seg_tiles)
+            v, i = pq_tiles_topk_pallas(
+                seg, codebooks, queries_sorted, tt_seg.astype(jnp.int32), k,
+                centroid_tiles=(centroid_tiles[si]
+                                if centroid_tiles is not None else None),
+                tile_n=tile_n, tile_q=tile_q, l_buckets=l_buckets,
+                interpret=interpret, n_valid=n_valid[si], row_major=True,
+                local_ids=(local_ids[si] if local_ids is not None else None),
+                n_pools=n_pools, n_live_tiles=seg_tiles,
+            )
+            outs_v.append(v)
+            outs_i.append(i + t_off * tile_n)
+            t_off += seg_tiles
+        cand_v = jnp.concatenate(outs_v, axis=1)
+        cand_i = jnp.concatenate(outs_i, axis=1)
+        top_v, pos = lax.top_k(cand_v, min(k, cand_v.shape[1]))
+        return top_v, jnp.take_along_axis(cand_i, pos, axis=1)
+
     ncode, dsub = codebooks.shape[1], codebooks.shape[2]
     residual = centroid_tiles is not None
     if row_major:
@@ -324,6 +368,7 @@ def pq_tiles_topk_pallas(
     kernel = functools.partial(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
         w_lists=w_lists, row_major=row_major, n_pools=n_pools,
+        n_live_tiles=n_live_tiles,
     )
     args = [tile_table.astype(jnp.int32), nv, qp, codes_cm]
     if row_major and residual:

@@ -99,14 +99,16 @@ def main():
     )
     build_s = time.perf_counter() - t0
     n_tiles = idx._n_pad_rows // idx.tile_n
-    codes_gb = idx._codes_cm.size / 1e9
+    codes_gb = (sum(s.size for s in idx._codes_cm) if idx._segmented
+                else idx._codes_cm.size) / 1e9
     print(f"[build] {build_s:.0f} s; codes in HBM: {codes_gb:.1f} GB; "
           f"n_tiles={n_tiles}", flush=True)
 
     # --- recall + fenced QPS ----------------------------------------------------
     st = idx._device_state()
     rtt = measure_fetch_rtt()
-    nv = jnp.asarray(idx._n, jnp.int32)
+    nv = (idx._seg_n_valid() if idx._segmented
+          else jnp.asarray(idx._n, jnp.int32))
     qrot = (queries @ jnp.asarray(idx.opq_matrix).T
             if idx.opq_matrix is not None else queries)
     p_list = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3

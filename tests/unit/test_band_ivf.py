@@ -513,3 +513,96 @@ def test_search_tile_q_override(data):
     assert idx.tile_q == 64
     r1, r2 = recall_at_k(f1, gt), recall_at_k(f2, gt)
     assert abs(r1 - r2) <= 0.02, (r1, r2)  # full coverage: grouping moot
+
+
+def test_pq_segmented_arena_parity(data):
+    """Row-major code arenas past seg_rows_cap split into segments, each
+    dispatched separately with a filtered tile table and a maskable pad
+    tile (Mosaic's DMA limit on 64-lane inputs — class doc). With identical
+    quantizers, segmented search must match the single-arena results at
+    full coverage (candidate pools can only widen)."""
+    import jax.numpy as jnp
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [db[:2000], db[2000:]]
+
+    def cf(i):
+        return jnp.asarray(chunks[i])
+
+    kw = dict(nlist=16, m=8, nbits=5, refine="none", kmeans_iters=5,
+              pq_train_iters=5, tile_n=256, tile_q=16, train_sample=2048)
+    single = BandIVFPQIndex.build_device_streaming(cf, 2, **kw)
+
+    class Seg(BandIVFPQIndex):
+        seg_rows_cap = 1024  # 4000 rows -> 4 segments
+
+    seg = Seg.build_device_streaming(cf, 2, **kw)
+    assert seg._segmented and len(seg._codes_cm) >= 3
+    # identical codes end-to-end (same quantizers, same data)
+    np.testing.assert_array_equal(
+        single._codes_np_rows(), seg._codes_np_rows())
+    nt = single._n_pad_rows // single.tile_n
+    v1, f1 = single.search(q, 10, p_tiles=nt, interpret=True)
+    v2, f2 = seg.search(q, 10, p_tiles=nt, interpret=True)
+    r1, r2 = recall_at_k(f1, gt), recall_at_k(f2, gt)
+    assert r2 >= r1 - 1e-9, (r2, r1)  # segment pools only widen candidates
+    assert f2.max() < db.shape[0] and f2.min() >= 0
+
+
+def test_pq_segmented_add_merge_save_load(data, tmp_path):
+    """Pending adds on a segmented index: merge re-sorts on host and
+    re-installs segments; save stores one row-major matrix and load
+    re-segments past the cap."""
+    import jax.numpy as jnp
+    from cloudvectordb_tpu.index import load_index
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+    from cloudvectordb_tpu.index.registry import _KINDS
+
+    db, q, gt = data
+
+    class Seg(BandIVFPQIndex):
+        seg_rows_cap = 1024
+
+    def cf(i):
+        return jnp.asarray(db[:3000][i * 1500 : (i + 1) * 1500])
+
+    idx = Seg.build_device_streaming(
+        cf, 2, nlist=16, m=8, nbits=5, refine="none", kmeans_iters=5,
+        pq_train_iters=5, tile_n=256, tile_q=16, train_sample=2048)
+    assert idx._segmented
+    idx.add(db[3000:])
+    idx.merge_pending()
+    assert idx._pending.size == 0 and idx.ntotal == db.shape[0]
+    assert idx._segmented  # merge re-installed segments (4000 > cap)
+    nt = idx._n_pad_rows // idx.tile_n
+    # recall floor: PQ-only (no refine) at m=8/nbits=5 is reconstruction-
+    # ceiling-limited; the invariant under test is that merge PRESERVES it
+    _, f3 = idx.search(q, 10, p_tiles=nt, interpret=True)
+    _, gt4 = brute_force_topk(db, q, 10, metric="ip")
+    r_merged = recall_at_k(f3, gt4)
+    fresh = Seg.build(db, nlist=16, m=8, nbits=5, refine="none",
+                      kmeans_iters=5, pq_train_iters=5, tile_n=256,
+                      tile_q=16)
+    nt_f = fresh._n_pad_rows // fresh.tile_n
+    _, ff = fresh.search(q, 10, p_tiles=nt_f, interpret=True)
+    assert r_merged >= recall_at_k(ff, gt4) - 0.1, (
+        r_merged, recall_at_k(ff, gt4))
+    f = f3
+    # merged adds' codes/centroid bookkeeping intact: reconstructions of
+    # the added rows stay close to the originals (self-retrieval by PQ-only
+    # score is genuinely ambiguous in tightly clustered data)
+    rec = idx.reconstruct(np.arange(3000, 3032))
+    cos = (rec * db[3000:3032]).sum(1) / np.maximum(
+        np.linalg.norm(rec, axis=1) * np.linalg.norm(db[3000:3032], axis=1),
+        1e-9)
+    assert cos.min() > 0.8, cos.min()
+    idx.save(tmp_path / "seg")
+    try:
+        _KINDS["band_ivf_pq"] = Seg  # load with the test's small cap
+        idx2 = load_index(tmp_path / "seg")
+    finally:
+        _KINDS["band_ivf_pq"] = BandIVFPQIndex
+    assert idx2._segmented
+    _, f2 = idx2.search(q, 10, p_tiles=nt, interpret=True)
+    np.testing.assert_array_equal(f, f2)
