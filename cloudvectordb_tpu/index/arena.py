@@ -80,26 +80,22 @@ class PendingBuffer:
         )
 
     def drain(self):
-        if not self._chunks:
+        snap = self.snapshot_full()
+        if snap is None:
             e = np.zeros((0, self.width), self.dtype)
             return e, np.zeros((0,), np.int64), np.zeros((0,), np.int64)
-        p = np.concatenate([c[0] for c in self._chunks])
-        i = np.concatenate([c[1] for c in self._chunks])
-        a = np.concatenate([c[2] for c in self._chunks])
         self._chunks.clear()
-        return p, i, a
+        return snap
 
     def snapshot(self):
         """Concatenated view without clearing (for search over pending rows)."""
-        if not self._chunks:
-            return None
-        p = np.concatenate([c[0] for c in self._chunks])
-        i = np.concatenate([c[1] for c in self._chunks])
-        return p, i
+        snap = self.snapshot_full()
+        return None if snap is None else snap[:2]
 
     def snapshot_full(self):
-        """Like snapshot() but also returns the list assignments (needed by
-        residual-encoded pending rows to rebuild their centroid term)."""
+        """Concatenated (payload, ids, assignments) without clearing — the
+        assignments let residual-encoded pending rows rebuild their
+        centroid term."""
         if not self._chunks:
             return None
         p = np.concatenate([c[0] for c in self._chunks])

@@ -27,6 +27,32 @@ from cloudvectordb_tpu.ops.pallas_band import (
 from cloudvectordb_tpu.ops.topk import tiled_topk
 
 
+def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int):
+    """Shared device-side planning prologue for every tiles search.
+
+    Sorts queries by their top-1 coarse centroid (L2 ranking — the
+    assignment metric), then scores arena tiles per QUERY GROUP: group-max
+    over queries FIRST, THEN the tile-window gather (the maxes commute and
+    the gather shrinks from (B, n_tiles, W) — 4 GB at B=4096/122k tiles —
+    to (n_qt, n_tiles, W)). Returns (q_s, order, dots, tile_table) where
+    dots is the raw q·centroids IP matrix in CALLER query order.
+    """
+    n_qt = q.shape[0] // tile_q
+    dots = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+    coarse = dots - 0.5 * c_sq[None, :]
+    top1 = jnp.argmax(coarse, axis=1)
+    order = jnp.argsort(top1)
+    q_s = q[order]
+    g_max = coarse[order].reshape(n_qt, tile_q, -1).max(axis=1)
+    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
+    _, tile_table = jax.lax.top_k(ts, p_tiles)
+    return q_s, order, dots, tile_table
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -63,22 +89,8 @@ def _pq_tiles_plan_search(
 
     NEG_INF = float("-inf")
     b = q.shape[0]
-    n_qt = b // tile_q
-    dots = jax.lax.dot_general(
-        q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
-    coarse = dots - 0.5 * c_sq[None, :]  # L2 ranking (assignment metric)
-    top1 = jnp.argmax(coarse, axis=1)
-    order = jnp.argsort(top1)
-    q_s = q[order]
-    coarse_s = coarse[order]
-    # group-max FIRST, then the tile-window gather: max over the query group
-    # commutes with max over the window, and the gather shrinks from
-    # (B, n_tiles, W) — 4 GB at B=4096, 122k tiles — to (n_qt, n_tiles, W)
-    g_max = coarse_s.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, nlist)
-    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
-    _, tile_table = jax.lax.top_k(ts, p_tiles)
+    q_s, order, dots, tile_table = _plan_tiles(
+        q, centroids, tile_window, tile_q, p_tiles)
 
     v, rows = pq_tiles_topk_pallas(
         codes_cm, codebooks, q_s, tile_table, k_cand,
@@ -109,8 +121,10 @@ def _pq_tiles_plan_search(
             cand = refine_rows[rb].astype(jnp.float32) * refine_scale
             return jnp.einsum("bd,brd->br", qb, cand)
 
-        sub = max(1, min(512, b))
-        nb = b // sub if b % sub == 0 else 1
+        # largest divisor of b ≤ 512 (a non-divisible fallback to ONE batch
+        # would re-create the 12.9 GB gather this chunking exists to avoid)
+        sub = max(d for d in range(1, min(512, b) + 1) if b % d == 0)
+        nb = b // sub
         ex = jax.lax.map(rescore, (
             q_s.reshape(nb, b // nb, q_s.shape[1]),
             rows.reshape(nb, b // nb, rows.shape[1]),
@@ -118,6 +132,10 @@ def _pq_tiles_plan_search(
         if refine_residual:
             # exact centroid term: row → local-list byte → global list id
             # (tile_window gather) → dots[b, list] scalar gather
+            assert not isinstance(codes_cm, (list, tuple)), (
+                "residual refine is bounded to one arena segment "
+                "(guarded at build/merge)"
+            )
             loc = (local_rm[0, rows] if row_major
                    else codes_cm[-1, rows]).astype(jnp.int32)
             lists = tile_window[rows // tile_n, loc]
@@ -147,26 +165,8 @@ def _tiles_plan_search(
     intersecting each arena tile (rows padded by repeating the last list).
     """
     b = q.shape[0]
-    n_qt = b // tile_q
-    dots = jax.lax.dot_general(
-        q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (B, nlist)
-    # rank centroids by L2 (the assignment metric): IP ranking mis-probes
-    # when centroid norms vary. ||q-c||² ∝ -2q·c + ||c||² for unit queries.
-    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
-    coarse = dots - 0.5 * c_sq[None, :]
-    # group similar queries: sort by best coarse centroid id so query tiles
-    # share probe sets (tile-level selection approximates the union well)
-    top1 = jnp.argmax(coarse, axis=1)
-    order = jnp.argsort(top1)
-    q_s = q[order]
-    coarse_s = coarse[order]
-    # arena-tile score per query = max coarse score over lists in the tile
-    # group-max over queries FIRST (commutes with the window max), THEN the
-    # tile-window gather — (n_qt, n_tiles, W), B/tile_q× smaller
-    g_max = coarse_s.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, nlist)
-    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
-    _, tile_table = jax.lax.top_k(ts, p_tiles)
+    q_s, order, _, tile_table = _plan_tiles(
+        q, centroids, tile_window, tile_q, p_tiles)
 
     if int8 == "hybrid":  # bf16 queries × int8 rows (see ops._score_tile)
         q_scale = jnp.ones((b, 1), jnp.float32)
@@ -206,23 +206,8 @@ def _tiles_resid_plan_search(
     per tile-list (ops/pallas_band.py::_tiles_resid_kernel doc)."""
     from cloudvectordb_tpu.ops.pallas_band import tiles_topk_resid_pallas
 
-    b = q.shape[0]
-    n_qt = b // tile_q
-    dots = jax.lax.dot_general(
-        q, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
-    coarse = dots - 0.5 * c_sq[None, :]
-    top1 = jnp.argmax(coarse, axis=1)
-    order = jnp.argsort(top1)
-    q_s = q[order]
-    coarse_s = coarse[order]
-    # group-max FIRST, then the tile-window gather: max over the query group
-    # commutes with max over the window, and the gather shrinks from
-    # (B, n_tiles, W) — 4 GB at B=4096, 122k tiles — to (n_qt, n_tiles, W)
-    g_max = coarse_s.reshape(n_qt, tile_q, -1).max(axis=1)  # (n_qt, nlist)
-    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
-    _, tile_table = jax.lax.top_k(ts, p_tiles)
+    q_s, order, _, tile_table = _plan_tiles(
+        q, centroids, tile_window, tile_q, p_tiles)
 
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
@@ -313,7 +298,7 @@ class BandIVFIndex(Index):
         self.tile_n = tile_n
         self.tile_q = tile_q
         self._local = None  # (1, N_pad) uint8 per-row local list idx (resid)
-        self._centroid_tiles = None  # (n_tiles, D, W) bf16 (resid)
+        self._centroid_tiles = None  # (n_tiles, W, D) bf16 (resid)
         self._list_lens = None  # (nlist,) VALID rows per list (resid)
         self._valid_end = None  # (n_tiles, W) i32 per-tile-list valid end
         self.centroids: np.ndarray | None = None  # locality-ordered
@@ -901,7 +886,10 @@ class BandIVFIndex(Index):
             )
         else:
             if self.dtype == "int8":
-                int8_mode = "hybrid" if scoring == "hybrid" else True
+                # 'precise' (bf16 queries, no query-side quantization) maps
+                # to the hybrid kernel — plain True is the NOISIEST
+                # two-sided-int8 mode and must only serve scoring='int8'
+                int8_mode = True if scoring == "int8" else "hybrid"
             else:
                 int8_mode = False
             v, gids = _tiles_plan_search(
@@ -1098,7 +1086,7 @@ class BandIVFPQIndex(BandIVFIndex):
         self.codebooks: np.ndarray | None = None
         self._codes_cm = None  # (m[+1], N_pad) uint8, arena-ordered, device
         self._refine_rows = None  # (N_pad, dim) int8, arena-ordered
-        self._centroid_tiles = None  # (n_tiles, D, W) residual-mode centroids
+        self._centroid_tiles = None  # (n_tiles, W, D) residual-mode centroids
         # pending adds: base PendingBuffer holds (int8 rows, ids, assigns) in
         # ROTATED space for the exact pending scan; PQ codes ride alongside
         # in the same chunk order for the eventual arena merge.
@@ -1527,7 +1515,7 @@ class BandIVFPQIndex(BandIVFIndex):
             codes_cm = codes_cm.at[self.m, :n].set(
                 jnp.asarray(local.astype(np.uint8))
             )
-            # per-tile centroid matrices (n_tiles, D, W)
+            # per-tile centroid matrices (n_tiles, W, D) — D minor
             ct = self.centroids[tw]  # (n_tiles, W, D)
             self._centroid_tiles = jnp.asarray(
                 np.ascontiguousarray(ct), jnp.bfloat16
@@ -1631,6 +1619,15 @@ class BandIVFPQIndex(BandIVFIndex):
         order, offsets = arena_sort(assigns, self.nlist)
         n = codes_all.shape[0]
         n_pad = -(-n // self.tile_n) * self.tile_n
+        if n_pad > self.seg_rows_cap and self.refine == "int8":
+            # mirror build_device_streaming's guard: int8 refine rows past
+            # the segment cap are ~21+ GB and the segmented refine gather is
+            # unimplemented — fail loudly instead of corrupting the index
+            raise NotImplementedError(
+                f"index grew past seg_rows_cap ({self.seg_rows_cap} rows) "
+                "with refine='int8' — refined indexes are bounded to one "
+                "arena segment (use refine='none' at this scale, or shard)"
+            )
         self._offsets = offsets
         self._n = n
         self._n_pad_rows = n_pad

@@ -65,6 +65,7 @@ def _sharded_band_search(
                 qb, c, pay, loc[0], ct[0], db_scale, ids_l[0], tw[0], ve[0],
                 k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
                 interpret=interpret,
+                int8_q=(int8_mode != "precise"),  # scoring='precise' plumb
             )
             return merge(v, gid)
 
@@ -81,7 +82,9 @@ def _sharded_band_search(
         v, gid = _tiles_plan_search(
             qb, c, pay, ids_l[0], tw[0], db_scale, nv[0],
             k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
-            int8=int8_mode, interpret=interpret,
+            # whole-row int8 arenas have no f32 path; 'precise' → hybrid
+            int8=("hybrid" if int8_mode == "precise" else int8_mode),
+            interpret=interpret,
         )
         return merge(v, gid)
 
@@ -132,8 +135,12 @@ class ShardedBandIndex:
             sub = BandIVFIndex(dim, nlist, **kw)
             sub.centroids = centroids
             sub._populate(jnp.asarray(vectors[bounds[si] : bounds[si + 1]]))
-            # global ids = local order + partition base
-            sub._ids = (sub._ids + bounds[si]).astype(np.int32)
+            # global ids = local order + partition base; slack arenas mark
+            # hole slots with -1 — those must NOT be offset into the valid
+            # id range (a phantom would alias a real row's id)
+            ids = np.asarray(sub._ids, np.int64)
+            sub._ids = np.where(ids >= 0, ids + bounds[si], -1).astype(
+                np.int32)
             idx._shards.append(sub)
         # one global dequant scale (max across shards keeps scores comparable)
         idx._scale = max(sh._scale for sh in idx._shards)
@@ -319,6 +326,7 @@ class ShardedBandIndex:
             st.get("local"), st.get("centroid_tiles"), st.get("valid_end"),
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
             interpret=interpret, mesh=self.mesh,
-            int8_mode=("hybrid" if scoring == "hybrid" else True),
+            int8_mode=("precise" if scoring == "precise"
+                       else True if scoring == "int8" else "hybrid"),
         )
         return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)

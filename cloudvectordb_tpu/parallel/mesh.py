@@ -95,7 +95,9 @@ def stage_row_sharded(piece_fn, n_shards: int, mesh: Mesh,
     sharding = NamedSharding(mesh, P(axis_name))
     if "replica" in mesh.axis_names:
         dev_grid = mesh.devices  # (n_replica, n_shard)
-        assert dev_grid.shape[1] >= n_shards
+        # P('shard') splits dim0 over EVERY shard column — a partial cover
+        # fails deep inside make_array_from_single_device_arrays
+        assert dev_grid.shape[1] == n_shards, (dev_grid.shape, n_shards)
         cols = [list(dev_grid[:, si]) for si in range(n_shards)]
     else:
         cols = [[d] for d in list(mesh.devices.flat)[:n_shards]]

@@ -142,3 +142,23 @@ def test_sharded_band_2d_replica_mesh_parity():
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
     assert recall_at_k(i2, gt) >= 0.9
+
+
+def test_sharded_slack_build_preserves_hole_markers():
+    """Slack arenas mark holes with id -1; the sharded builder's global-id
+    offset must not shift them into the valid range (a phantom would alias
+    a real row's id, and merges would absorb garbage rows)."""
+    db = clustered_vectors(2048, 64, n_clusters=16, seed=55, normalize=True)
+    idx = ShardedBandIndex.build(
+        db, nlist=8, mesh=make_mesh(4, axis_name="shard"), dtype="int8",
+        residual=True, slack=0.3, kmeans_iters=4, tile_n=128, tile_q=8)
+    seen = []
+    for sh in idx._shards:
+        ids = np.asarray(sh._ids, np.int64)
+        holes = ids < 0
+        assert holes.sum() > 0  # slack slots exist
+        assert (ids[holes] == -1).all()
+        seen.append(ids[~holes])
+    allv = np.concatenate(seen)
+    assert allv.size == db.shape[0]
+    assert np.unique(allv).size == db.shape[0]  # no duplicated global ids

@@ -606,3 +606,23 @@ def test_pq_segmented_add_merge_save_load(data, tmp_path):
     assert idx2._segmented
     _, f2 = idx2.search(q, 10, p_tiles=nt, interpret=True)
     np.testing.assert_array_equal(f, f2)
+
+
+def test_segmented_refine_growth_raises_cleanly(data):
+    """An int8-refine index may NOT silently cross the segment cap via adds:
+    segmented refine gathers are unimplemented and the refine rows would be
+    tens of GB — merge must raise NotImplementedError, not corrupt state."""
+    import pytest
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, _ = data
+
+    class Seg(BandIVFPQIndex):
+        seg_rows_cap = 1024
+
+    idx = Seg.build(db[:1000], nlist=8, m=8, nbits=5, refine="int8",
+                    kmeans_iters=4, pq_train_iters=4, tile_n=256, tile_q=16)
+    idx.merge_threshold = 1e9
+    idx.add(db[1000:])  # crosses the 1024-row cap at merge
+    with pytest.raises(NotImplementedError):
+        idx.merge_pending()
