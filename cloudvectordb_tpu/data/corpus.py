@@ -24,7 +24,12 @@ from cloudvectordb_tpu.utils.config import DataConfig
 
 
 def chunk_document(text: str, max_words: int = 180, stride: int = 140) -> list[str]:
-    """Overlapping word-window chunks; tiny docs pass through unchanged."""
+    """Overlapping word-window chunks; tiny docs pass through unchanged.
+
+    stride > max_words would silently DROP the words between windows —
+    clamp so every word lands in at least one chunk.
+    """
+    stride = min(stride, max_words)
     words = text.split()
     if len(words) <= max_words:
         return [text]

@@ -95,12 +95,18 @@ def mine_triplets(
         for s in range(0, cfg.num_triplets, bs):
             batch_idx = picks[s : s + bs]
             q = encode_fn([passages[i] for i in batch_idx])
-            _, ids = index.search(q, cfg.hard_topk)
+            sc, ids = index.search(q, cfg.hard_topk)
+            sc = np.asarray(sc)
             for r, anchor_i in enumerate(batch_idx):
+                # unfilled result slots sit at (-inf, id 0) — without the
+                # score mask passage 0 gets over-sampled as a "hard" negative
                 cand = [
                     int(c)
-                    for c in ids[r][cfg.hard_skip :]
-                    if doc_ids[int(c)] != doc_ids[anchor_i]
+                    for ci, c in enumerate(ids[r][cfg.hard_skip :],
+                                           start=cfg.hard_skip)
+                    if np.isfinite(sc[r][ci])
+                    and 0 <= int(c) < n_pass
+                    and doc_ids[int(c)] != doc_ids[anchor_i]
                 ]
                 hard_neg_of[s + r] = (
                     rng.choice(cand) if cand else rng.integers(0, n_pass)
@@ -150,7 +156,9 @@ def mine_triplets_from_pairs(
     assert len(queries) == len(positives)
     rng = np.random.default_rng(cfg.seed)
     n = len(queries)
-    count = min(cfg.num_triplets, n) if cfg.num_triplets else n
+    # honor num_triplets > n by oversampling with replacement (matching
+    # mine_triplets) instead of silently mining fewer than requested
+    count = cfg.num_triplets if cfg.num_triplets else n
     picks = rng.choice(n, size=count, replace=count > n)
     anchors, pos_out, neg_out = [], [], []
     hard_neg = None
@@ -162,9 +170,16 @@ def mine_triplets_from_pairs(
         for s in range(0, count, bs):
             batch_idx = picks[s : s + bs]
             qv = encode_fn([queries[i] for i in batch_idx])
-            _, ids = index.search(qv, cfg.hard_topk)
+            sc, ids = index.search(qv, cfg.hard_topk)
+            sc = np.asarray(sc)
             for r, qi in enumerate(batch_idx):
-                cand = [int(c) for c in ids[r][cfg.hard_skip :] if int(c) != qi]
+                cand = [
+                    int(c)
+                    for ci, c in enumerate(ids[r][cfg.hard_skip :],
+                                           start=cfg.hard_skip)
+                    if np.isfinite(sc[r][ci]) and 0 <= int(c) < n
+                    and int(c) != qi
+                ]
                 hard_neg[s + r] = rng.choice(cand) if cand else rng.integers(0, n)
     for t, i in enumerate(picks):
         if hard_neg is not None:
@@ -179,34 +194,89 @@ def mine_triplets_from_pairs(
     return Triplets(anchors, pos_out, neg_out)
 
 
-def triplet_batches(
-    triplets: Triplets,
-    tokenizer,
-    batch_size: int,
-    max_len: int,
-    seed: int = 0,
-    epochs: int | None = None,
-) -> Iterator[dict]:
-    """Shuffled, tokenized train batches (drop-remainder for static shapes)."""
-    n = len(triplets)
-    rng = np.random.default_rng(seed)
-    epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(n)
-        for s in range(0, n - batch_size + 1, batch_size):
-            sel = order[s : s + batch_size]
-            a_ids, a_mask = tokenizer.encode_batch(
-                [triplets.anchors[i] for i in sel], max_len
+class triplet_batches:
+    """Shuffled, tokenized train batches (drop-remainder for static shapes).
+
+    An iterator CLASS rather than a generator so checkpoint resume can
+    fast-forward with ``skip(n)`` — advancing the deterministic
+    (epoch, position) cursor and RNG stream WITHOUT tokenizing the skipped
+    batches (a generator-consuming resume tokenized 3·batch_size texts per
+    skipped step, minutes of host CPU at step 10k).
+
+    Fewer triplets than one batch is a config error, not a silent epoch of
+    zero batches (with epochs=None the loop would otherwise spin forever
+    yielding nothing and training would hang).
+    """
+
+    def __init__(
+        self,
+        triplets: Triplets,
+        tokenizer,
+        batch_size: int,
+        max_len: int,
+        seed: int = 0,
+        epochs: int | None = None,
+    ):
+        n = len(triplets)
+        if n < batch_size:
+            raise ValueError(
+                f"{n} triplets < batch_size={batch_size}: raise "
+                "mining.num_triplets or lower train.batch_size"
             )
-            p_ids, p_mask = tokenizer.encode_batch(
-                [triplets.positives[i] for i in sel], max_len
-            )
-            n_ids, n_mask = tokenizer.encode_batch(
-                [triplets.negatives[i] for i in sel], max_len
-            )
-            yield {
-                "anchor_ids": a_ids, "anchor_mask": a_mask,
-                "pos_ids": p_ids, "pos_mask": p_mask,
-                "neg_ids": n_ids, "neg_mask": n_mask,
-            }
-        epoch += 1
+        self._t = triplets
+        self._tok = tokenizer
+        self._bs = batch_size
+        self._ml = max_len
+        self._rng = np.random.default_rng(seed)
+        self._epochs = epochs
+        self._n = n
+        self._bpe = n // batch_size  # batches per epoch (drop remainder)
+        self._epoch = 0
+        self._pos = 0
+        self._order: np.ndarray | None = None
+
+    def __iter__(self) -> "triplet_batches":
+        return self
+
+    def _advance(self) -> np.ndarray | None:
+        """Step the cursor; returns the batch's index selection or None at
+        the end of the (bounded) stream. Identical RNG consumption whether
+        batches are materialized or skipped."""
+        while True:
+            if self._epochs is not None and self._epoch >= self._epochs:
+                return None
+            if self._order is None:
+                self._order = self._rng.permutation(self._n)
+            if self._pos >= self._bpe:
+                self._epoch += 1
+                self._pos = 0
+                self._order = None
+                continue
+            sel = self._order[self._pos * self._bs : (self._pos + 1) * self._bs]
+            self._pos += 1
+            return sel
+
+    def skip(self, count: int) -> None:
+        """Fast-forward `count` batches (no tokenization)."""
+        for _ in range(count):
+            if self._advance() is None:
+                return
+
+    def __next__(self) -> dict:
+        sel = self._advance()
+        if sel is None:
+            raise StopIteration
+        a_ids, a_mask = self._tok.encode_batch(
+            [self._t.anchors[i] for i in sel], self._ml
+        )
+        p_ids, p_mask = self._tok.encode_batch(
+            [self._t.positives[i] for i in sel], self._ml
+        )
+        n_ids, n_mask = self._tok.encode_batch(
+            [self._t.negatives[i] for i in sel], self._ml
+        )
+        return {
+            "anchor_ids": a_ids, "anchor_mask": a_mask,
+            "pos_ids": p_ids, "pos_mask": p_mask,
+            "neg_ids": n_ids, "neg_mask": n_mask,
+        }

@@ -24,20 +24,31 @@ def nprobe_sweep(
     gt_ids: np.ndarray | None = None,
 ) -> list[dict]:
     """Returns [{nprobe, recall, qps, latency_ms}, ...]."""
+    import inspect
+
     if gt_ids is None:
         _, gt_ids = brute_force_topk(vectors, queries, k, metric=index.metric)
+    # band indexes batch internally and take no `batch=` kwarg — only pass
+    # it to search() signatures that accept it (probe-scan IVF family)
+    sig = inspect.signature(index.search)
+    kw = (
+        {"batch": batch}
+        if "batch" in sig.parameters
+        or any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in sig.parameters.values())
+        else {}
+    )
     out = []
     for nprobe in nprobes:
         nprobe = min(nprobe, getattr(index, "nlist", nprobe))
-        _, found = index.search(queries, k, nprobe=nprobe, batch=batch)
+        _, found = index.search(queries, k, nprobe=nprobe, **kw)
         r = recall_at_k(found, gt_ids)
-        index.search(queries[:batch], k, nprobe=nprobe, batch=batch)  # warm
+        index.search(queries[:batch], k, nprobe=nprobe, **kw)  # warm
         t0 = time.perf_counter()
         for it in range(time_iters):
             # distinct inputs per iteration: the axon relay caches results
             # of identical calls, which turns repeat timing into fiction
-            index.search(queries + 1e-4 * (it + 1), k, nprobe=nprobe,
-                         batch=batch)
+            index.search(queries + 1e-4 * (it + 1), k, nprobe=nprobe, **kw)
         dt = time.perf_counter() - t0
         qps = queries.shape[0] * time_iters / dt
         out.append(

@@ -41,7 +41,11 @@ def uniformity_loss(x, t: float = 2.0):
     weight it keeps tiny from-scratch encoders from the degenerate optimum
     the pipeline's encode stage warns about (mean pairwise cosine ≈ 1).
     """
-    sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    # gram-matrix identity: ‖xi−xj‖² = ‖xi‖² + ‖xj‖² − 2·xi·xj — one MXU
+    # matmul and an O(B²) tensor instead of the O(B²·D) broadcast
+    # difference (~200 MB + its cotangent at B=256, D=768)
+    x2 = jnp.sum(x * x, axis=1)
+    sq = jnp.maximum(x2[:, None] + x2[None, :] - 2.0 * x @ x.T, 0.0)
     b = x.shape[0]
     mask = ~jnp.eye(b, dtype=bool)
     return jax.scipy.special.logsumexp(

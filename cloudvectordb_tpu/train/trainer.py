@@ -52,7 +52,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None, metrics: MetricsWriter | None = None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(axis_name="data")
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_data_axis or None, axis_name="data")
         self.model = Encoder(cfg.encoder)
         self.tx = make_optimizer(cfg)
         self.metrics = metrics or MetricsWriter(None)
@@ -144,6 +145,7 @@ class Trainer:
     ) -> TrainState:
         cfg = self.cfg
         state = state or self.init_state()
+        skipper = batches if hasattr(batches, "skip") else None
         batches = iter(batches)
         start_step = 0
         if resume:
@@ -154,11 +156,16 @@ class Trainer:
                 # exact resume: the data stream restarts from its beginning on
                 # every fit() call (deterministic batch order), so skip the
                 # batches the checkpointed run already consumed — otherwise
-                # seen data replays against a later optimizer step.
+                # seen data replays against a later optimizer step. Sources
+                # with a skip() protocol (data/triplets.py::triplet_batches)
+                # fast-forward without tokenizing the skipped batches.
                 cursor = int(meta.get("data_cursor", step))
-                for _ in range(cursor):
-                    if next(batches, None) is None:
-                        break
+                if skipper is not None:
+                    skipper.skip(cursor)
+                else:
+                    for _ in range(cursor):
+                        if next(batches, None) is None:
+                            break
                 log.info("resumed from step %d (data cursor %d)", step, cursor)
         t0 = time.perf_counter()
         seen = 0

@@ -29,15 +29,27 @@ class _ConfigBase:
 
     @classmethod
     def from_dict(cls, d: dict) -> "_ConfigBase":
-        """Build from a dict, recursing into nested dataclass fields."""
+        """Build from a dict, recursing into nested dataclass fields.
+
+        PEP-563 (`from __future__ import annotations`) makes `f.type` a
+        STRING, so nested types must come from resolved type hints — an
+        `is_dataclass(f.type)` check would silently never fire and leave
+        raw dicts in nested fields.
+        """
+        import typing
+
+        hints = typing.get_type_hints(cls)
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name not in d:
                 continue
             v = d[f.name]
-            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-                kwargs[f.name] = f.type.from_dict(v)
-            elif isinstance(v, dict) and isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory):
+            ftype = hints.get(f.name, f.type)
+            if isinstance(v, dict) and dataclasses.is_dataclass(ftype):
+                kwargs[f.name] = ftype.from_dict(v)
+            elif (isinstance(v, dict)
+                  and isinstance(f.default_factory, type)
+                  and dataclasses.is_dataclass(f.default_factory)):
                 kwargs[f.name] = f.default_factory.from_dict(v)
             else:
                 kwargs[f.name] = v
@@ -154,7 +166,9 @@ class DataConfig(_ConfigBase):
     num_docs: int = 10_000
     max_len: int = 256
     chunk_long_docs: bool = True   # chunk-and-pool for long documents (SURVEY.md §5.7)
-    chunk_stride: int = 192
+    chunk_stride: int = 140        # must be ≤ chunk window (180 words) or
+                                   # inter-window words would be dropped;
+                                   # chunk_document clamps defensively
     seed: int = 0
 
 

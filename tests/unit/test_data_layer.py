@@ -61,3 +61,35 @@ def test_triplets_save_load(tmp_path):
 
     t2 = Triplets.load(tmp_path / "t.jsonl")
     assert t2.anchors == trip.anchors and t2.negatives == trip.negatives
+
+
+def test_triplet_batches_skip_matches_consume():
+    """Resume fast-forward: skip(n) must land on EXACTLY the batch that
+    consuming n batches lands on (same RNG stream, same cursor), across an
+    epoch boundary, without tokenizing the skipped batches."""
+    passages = synthetic_corpus(40, seed=2)
+    doc_ids = list(range(40))
+    tok = TextTokenizer.train(passages, vocab_size=512, max_len=16)
+    trip = mine_triplets(passages, doc_ids, MiningConfig(num_triplets=50))
+    mk = lambda: triplet_batches(trip, tok, batch_size=8, max_len=16,
+                                 seed=3, epochs=4)
+    a = mk()
+    for _ in range(9):  # 6 batches/epoch at 50/8 -> crosses into epoch 2
+        next(a)
+    want = next(a)  # the 10th batch
+    b = mk()
+    b.skip(9)
+    got = next(b)
+    for kk in want:
+        np.testing.assert_array_equal(want[kk], got[kk])
+
+
+def test_triplet_batches_too_few_raises():
+    import pytest
+
+    passages = synthetic_corpus(20, seed=4)
+    doc_ids = list(range(20))
+    tok = TextTokenizer.train(passages, vocab_size=512, max_len=16)
+    trip = mine_triplets(passages, doc_ids, MiningConfig(num_triplets=4))
+    with pytest.raises(ValueError):
+        triplet_batches(trip, tok, batch_size=64, max_len=16)
