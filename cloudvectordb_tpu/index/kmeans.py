@@ -42,13 +42,19 @@ def train_kmeans(
 ):
     """k-means on (N, D) → (centroids (k, D) f32, assignments (N,) i32).
 
-    N must be ≥ k. Init: random distinct-ish sample (shuffled rows). Empty
-    clusters are re-seeded each iteration next to the heaviest centroid.
+    Init: random distinct-ish sample (shuffled rows); when k > N the init
+    cycles jittered copies of the rows (tiny corpora with large codebooks —
+    e.g. a 200-vector smoke run training 2^8 PQ codewords — must not crash;
+    duplicate seeds separate via the empty-cluster repair).
     """
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
     perm = jax.random.permutation(key, n)
-    init_c = x[perm[:k]].astype(jnp.float32)
+    if k <= n:
+        init_c = x[perm[:k]].astype(jnp.float32)
+    else:
+        init_c = x[perm[jnp.arange(k) % n]].astype(jnp.float32)
+        init_c = init_c + 1e-4 * jax.random.normal(key, (k, d), jnp.float32)
 
     n_pad = (-n) % tile
     xp = jnp.concatenate([x, jnp.zeros((n_pad, d), x.dtype)], axis=0) if n_pad else x

@@ -123,3 +123,14 @@ def test_aniso_pq_trades_parallel_for_orthogonal_error():
         cb_a, pq_encode_aniso(xj, xj, cb_a, eta=6.0))
     assert par_a < par_p * 0.8, (par_a, par_p)  # big parallel-error cut
     assert mse_a < mse_p * 3.0, (mse_a, mse_p)  # bounded total-MSE cost
+
+
+def test_kmeans_more_clusters_than_points():
+    """k > N must not crash (tiny corpora with 2^nbits PQ codebooks):
+    init cycles jittered rows and shapes stay (k, D)."""
+    x = clustered_vectors(40, 8, n_clusters=4, seed=33)
+    c, a = train_kmeans(jnp.asarray(x), 64, iters=5, seed=0)
+    assert c.shape == (64, 8) and a.shape == (40,)
+    assert int(a.max()) < 64 and np.isfinite(np.asarray(c)).all()
+    cb = train_pq(jnp.asarray(x), m=2, nbits=8, iters=3)  # ncode=256 > 40
+    assert cb.shape == (2, 256, 4)
