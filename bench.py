@@ -25,10 +25,14 @@ import json
 import time
 import traceback
 
+import os
+
 D, K, B, LATENT, NCENTERS = 768, 10, 4096, 32, 256
 N_SCALE = 12_500_000
 CHUNK = 500_000
-NLIST, P_TILES = 4096, 640
+NLIST = int(os.environ.get("BENCH_NLIST", 4096))
+P_TILES = int(os.environ.get("BENCH_P", 640))
+TILE_Q = int(os.environ.get("BENCH_TQ", 0))  # 0 → index default (256)
 NQ_GT = 512
 TARGET_QPS_PER_CHIP = 50_000 / 8
 
@@ -123,13 +127,14 @@ def main() -> None:
         st = idx._device_state()
         n_tiles = int(idx._payload.shape[0]) // idx.tile_n
         p_tiles = min(P_TILES, n_tiles)
+        tq = TILE_Q or idx.tile_q
 
         def run(noise):
             return _tiles_resid_plan_search(
                 queries + noise, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], idx._scale, st["ids"],
                 st["tile_window"], st["valid_end"],
-                k=K, p_tiles=p_tiles, tile_n=idx.tile_n, tile_q=idx.tile_q,
+                k=K, p_tiles=p_tiles, tile_n=idx.tile_n, tile_q=tq,
                 interpret=False,
             )
 
