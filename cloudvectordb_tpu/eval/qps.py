@@ -63,12 +63,16 @@ def qps_bench(
         run_once(1e-4 * (i + 1))  # distinct inputs defeat relay result caching
     raw = time.perf_counter() - t0
     # when device time ≈ RTT (tiny workloads) the subtraction collapses to
-    # noise and qps diverges; floor at 5% of raw and report the saturation
-    dt = max(raw - rtt * iters, 0.05 * raw)
+    # noise and qps diverges; in that regime report the RAW end-to-end rate
+    # as `qps` (a lower bound — never an inflated synthetic figure) and set
+    # rtt_bound so callers know the device-time estimate saturated.
+    rtt_bound = raw - rtt * iters < 0.05 * raw
+    dt = raw if rtt_bound else raw - rtt * iters
     qps = nq * iters / dt
     return {
         "qps": qps,
-        "rtt_bound": bool(raw - rtt * iters < 0.05 * raw),
+        "qps_raw": nq * iters / raw,  # end-to-end incl. relay RTT, always
+        "rtt_bound": bool(rtt_bound),
         "latency_ms": 1000.0 * dt / (iters * max(1, nq // batch)),
         "batch": batch,
         "fetch_rtt_ms": rtt * 1000.0,

@@ -674,14 +674,20 @@ class BandIVFIndex(Index):
                     vectors[jnp.asarray(t_idx)], jnp.asarray(a_np[t_idx]))
                 dest_t = dest[take]
                 dest_dev = jnp.asarray(dest_t.astype(np.int32))
-                self._payload = _scatter_set(
-                    jnp.asarray(self._payload), dest_dev, rows)
+                # host bookkeeping FIRST: if anything below raises, the id
+                # tables never point at a half-applied payload scatter
                 self._ids = np.asarray(self._ids, np.int64)
+                if not self._ids.flags.writeable:  # e.g. mmap'd load
+                    self._ids = self._ids.copy()
+                if not self._list_lens.flags.writeable:
+                    self._list_lens = self._list_lens.copy()
                 self._ids[dest_t] = ids[t_idx]
                 np.add.at(self._list_lens, a_np[t_idx], 1)
                 tw = self._tile_window
                 self._valid_end = (self._offsets[:-1][tw]
                                    + self._list_lens[tw]).astype(np.int32)
+                self._payload = _scatter_set(
+                    jnp.asarray(self._payload), dest_dev, rows)
                 if self._dev is not None:  # keep the staged state coherent
                     self._dev["payload"] = self._payload
                     self._dev["ids"] = _scatter_set(
@@ -1019,10 +1025,13 @@ class BandIVFIndex(Index):
                   slack=m.get("slack", 0.0))
         idx.centroids = np.asarray(arrays["centroids"])
         idx._payload = np.asarray(arrays["payload"])
-        idx._ids = np.asarray(arrays["ids"])
+        # ids/list_lens are mutated in place by the slack add() path, but
+        # load_index mmaps arrays read-only — materialize writable copies
+        # (they are small next to the payload, which stays mapped)
+        idx._ids = np.array(arrays["ids"], np.int64, copy=True)
         idx._offsets = np.asarray(arrays["offsets"])
         if "list_lens" in arrays:
-            idx._list_lens = np.asarray(arrays["list_lens"], np.int64)
+            idx._list_lens = np.array(arrays["list_lens"], np.int64, copy=True)
         idx._scale = m["scale"]
         idx._n = m["n"]
         idx._tile_window = idx._compute_tile_window()
@@ -1097,6 +1106,20 @@ class BandIVFPQIndex(BandIVFIndex):
     @property
     def _segmented(self) -> bool:
         return isinstance(self._codes_cm, (list, tuple))
+
+    def _derive_l_buckets(self, k_cand: int, n_pools: int) -> int:
+        """Kernel bucket count for a candidate budget: the next power of two
+        of ceil(k_cand/n_pools), floored at 128, that divides tile_n (the
+        kernel reshapes each tile into (rows_per_bucket, l_buckets)).
+        Shared by search() and every bench/sweep script — deriving it ad hoc
+        breaks on configs where ceil(k_cand/n_pools) is not a power of two."""
+        l_buckets = min(self.tile_n, max(128, _next_pow2(-(-k_cand // n_pools))))
+        while self.tile_n % l_buckets != 0 and l_buckets < self.tile_n:
+            l_buckets *= 2  # must divide tile_n
+        l_buckets = min(l_buckets, self.tile_n)
+        if self.tile_n % l_buckets != 0:  # non-pow2 tile_n: fall back
+            l_buckets = self.tile_n
+        return l_buckets
 
     def _seg_layout(self, n_pad: int):
         """(row_counts, offsets) for a segmented row-major arena."""
@@ -1789,12 +1812,7 @@ class BandIVFPQIndex(BandIVFIndex):
         if n_pools <= 0:
             n_pools = max(1, min(-(-k_cand // self.tile_n),
                                  slot_budget // self.tile_n, p_tiles))
-        l_buckets = min(self.tile_n, max(128, _next_pow2(-(-k_cand // n_pools))))
-        while self.tile_n % l_buckets != 0 and l_buckets < self.tile_n:
-            l_buckets *= 2  # must divide tile_n
-        l_buckets = min(l_buckets, self.tile_n)
-        if self.tile_n % l_buckets != 0:  # non-pow2 tile_n: fall back
-            l_buckets = self.tile_n
+        l_buckets = self._derive_l_buckets(k_cand, n_pools)
         k_cand = min(k_cand, n_pools * l_buckets)
         nv = (self._seg_n_valid() if self._segmented
               else jnp.asarray(self._n, jnp.int32))

@@ -160,7 +160,7 @@ def main():
         p_tiles, k_cand, n_pools, tile_q = (parts + [1, idx.tile_q])[:4]
         p_tiles = min(p_tiles, n_tiles) if p_tiles else idx._auto_p_tiles(
             B, 32, n_tiles, tile_q=tile_q)
-        l_buckets = min(idx.tile_n, max(128, -(-k_cand // n_pools)))
+        l_buckets = idx._derive_l_buckets(k_cand, n_pools)
 
         def run(noise):
             return _pq_tiles_plan_search(

@@ -109,9 +109,14 @@ def main():
                 s2, _ = idx.search(qv, K, p_tiles=p_tiles,
                                    refine_factor=rf, n_pools=n_pools)
                 _ = float(np.asarray(s2).sum())
-            dt = (time.perf_counter() - ts) / reps - rtt
+            raw = (time.perf_counter() - ts) / reps
+            # same floor as eval/qps.py: fast configs can land within RTT
+            # noise — flag instead of printing a negative/absurd rate
+            rtt_bound = raw - rtt < 0.05 * raw
+            dt = raw if rtt_bound else raw - rtt
+            tag = " (rtt-bound)" if rtt_bound else ""
             print(f"pools={n_pools} rf={rf}: recall@10 {r:.4f}  "
-                  f"{B / dt:,.0f} qps  p_tiles={p_tiles}/{n_tiles}",
+                  f"{B / dt:,.0f} qps{tag}  p_tiles={p_tiles}/{n_tiles}",
                   flush=True)
         except Exception as e:  # VMEM overflow → HTTP 500 remote compile
             print(f"pools={n_pools} rf={rf}: FAILED {type(e).__name__} "

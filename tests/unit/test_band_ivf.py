@@ -457,6 +457,29 @@ def test_slack_save_load_roundtrip(data, tmp_path):
     np.testing.assert_array_equal(f1, f2)
 
 
+def test_slack_add_after_mmap_load(data, tmp_path):
+    """add() on a loaded slack index: load_index mmaps arrays read-only, and
+    the in-place slack insert mutates _ids/_list_lens — the load path must
+    hand add() writable copies (r2 advisor high: half-applied insert after
+    'assignment destination is read-only')."""
+    from cloudvectordb_tpu.index import load_index
+
+    db, q, _ = data
+    idx = BandIVFIndex.build(db[:3000], nlist=16, dtype="int8",
+                             kmeans_iters=6, tile_n=256, tile_q=16,
+                             residual=True, slack=0.3)
+    idx.save(tmp_path / "slk2")
+    idx2 = load_index(tmp_path / "slk2")  # default mmap=True
+    before = idx2.ntotal
+    idx2.add(db[3000:3100])  # must not raise, must land in slack slots
+    assert idx2.ntotal == before + 100
+    p_all = int(np.asarray(idx2._payload).shape[0]) // idx2.tile_n
+    _, found = idx2.search(db[3000:3100], 1, interpret=True, p_tiles=p_all,
+                           tile_q=16)
+    self_hit = float((found[:, 0] == np.arange(before, before + 100)).mean())
+    assert self_hit >= 0.95, self_hit
+
+
 def test_aniso_pq_index_end_to_end(data, tmp_path):
     """aniso_eta>1 trains score-aware codebooks; the index must stay a
     correct index (full-coverage recall in the plain index's range), the
