@@ -51,10 +51,12 @@ def _build_luts(q, codebooks, metric: str):
     jax.jit, static_argnames=("k", "nprobe", "cap", "metric", "residual")
 )
 def _ivfpq_scan_search(
-    q, centroids, codes, ids, offsets, lens, codebooks,
+    q, centroids, codes, offsets, lens, codebooks,
     *, k, nprobe, cap, metric, residual,
 ):
-    """Probe-scan ADC search. codes (N, m) uint8; returns (B,k) scores/ids.
+    """Probe-scan ADC search. codes (N, m) uint8; returns (B,k) scores and
+    ARENA ROW positions (callers map rows → global ids; the refine stage
+    needs rows to recover each candidate's list for the centroid term).
 
     Probe SELECTION always ranks centroids by L2 — the metric that assigned
     vectors to lists. Ranking by IP mis-probes badly when centroid norms vary
@@ -135,12 +137,12 @@ def _ivfpq_scan_search(
         kk = min(k, cap)
         tv, tp = lax.top_k(s, kk)
         trows = jnp.take_along_axis(rows_c, tp, axis=1)
-        tids = ids[trows]
         if kk < k:
             pad = k - kk
             tv = jnp.concatenate([tv, jnp.full((bq, pad), NEG_INF)], axis=1)
-            tids = jnp.concatenate([tids, jnp.zeros((bq, pad), tids.dtype)], axis=1)
-        return merge_topk(best_v, best_i, tv, tids, k), None
+            trows = jnp.concatenate(
+                [trows, jnp.zeros((bq, pad), trows.dtype)], axis=1)
+        return merge_topk(best_v, best_i, tv, trows, k), None
 
     starts = offsets[probe_lists]
     ll = lens[probe_lists]
@@ -153,6 +155,53 @@ def _ivfpq_scan_search(
     )
     (best_v, best_i), _ = lax.scan(probe_step, init, xs)
     return best_v, best_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "refine_residual")
+)
+def _refine_rescore(
+    q_rot, q_raw, v, rows, ids, refine_rows, centroids, offsets_full,
+    refine_scale,
+    *, k, metric, refine_residual,
+):
+    """Exact int8 rescore of scan candidates (probe-scan family, r3 port of
+    the band family's residual refine — ivf_band._pq_tiles_plan_search).
+
+    rows (B, k_cand) are ARENA positions; the refine store is keyed by
+    GLOBAL id (ids[row]) so it survives arena re-sorts without a permute.
+    refine_residual: rows hold int8 residuals in ROTATED space — the exact
+    centroid term rides q·centroids (one small matmul) gathered per
+    candidate through its list (searchsorted over the arena offsets).
+    Whole-row mode scores UNrotated rows against the raw queries."""
+    NEG = NEG_INF
+    valid = v > NEG
+    rows_c = jnp.clip(rows, 0, ids.shape[0] - 1)
+    gid = jnp.clip(ids[rows_c], 0, refine_rows.shape[0] - 1)
+    r8 = refine_rows[gid].astype(jnp.float32) * refine_scale  # (B, kc, D)
+    if refine_residual:
+        assign = jnp.clip(
+            jnp.searchsorted(offsets_full, rows_c, side="right") - 1,
+            0, centroids.shape[0] - 1)
+        if metric == "ip":
+            dots = jax.lax.dot_general(
+                q_rot, centroids, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ex = (jnp.einsum("bd,brd->br", q_rot, r8)
+                  + jnp.take_along_axis(dots, assign, axis=1))
+        else:
+            xhat = centroids[assign] + r8
+            diff = q_rot[:, None, :] - xhat
+            ex = -jnp.sum(diff * diff, axis=2)
+    else:
+        if metric == "ip":
+            ex = jnp.einsum("bd,brd->br", q_raw, r8)
+        else:
+            diff = q_raw[:, None, :] - r8
+            ex = -jnp.sum(diff * diff, axis=2)
+    ex = jnp.where(valid, ex, NEG)
+    v2, pos = lax.top_k(ex, k)
+    return v2, jnp.take_along_axis(rows_c, pos, axis=1)
 
 
 class IVFPQIndex(Index):
@@ -193,7 +242,16 @@ class IVFPQIndex(Index):
         # ADC top-R — PQ recall@10 is reconstruction-limited; a second-stage
         # int8 rescore recovers it (BASELINE configs #3/#4 memory budgets
         # allow int8 raw; 1B-scale (#5) runs PQ-only or sharded).
+        #
+        # Residual refine (r3, ported from the band family): when the PQ is
+        # residual-encoded, refine rows store int8 RESIDUALS (x_rot − its
+        # list centroid) — same bytes, ~3–4× finer quantization — and the
+        # exact centroid term q·c_list is added back at rescore from a full
+        # q·centroids matrix (one small matmul + a scalar gather). Measured
+        # on the band family at 10M×768: whole-row int8 rescoring ceilings
+        # recall at 0.860; residual rows reach 0.875+ at the same cost.
         self.refine = refine
+        self._refine_residual = residual and refine == "int8"
         self._refine_rows = np.zeros((0, dim), np.int8)
         self._refine_scale = 1e-12
         self._next_id = 0
@@ -248,6 +306,7 @@ class IVFPQIndex(Index):
         a sharded wrapper assign global ids across shards)."""
         assert self.is_trained, "call train() before add()"
         vectors = np.asarray(vectors, np.float32)
+        raw_vectors = vectors  # pre-rotation: whole-row refine stores these
         if self.opq_matrix is not None:
             vectors = self._rotate(vectors)
         n = vectors.shape[0]
@@ -262,7 +321,12 @@ class IVFPQIndex(Index):
         enc_input = xv - jnp.asarray(self.centroids)[assign] if self.residual else xv
         codes = np.asarray(pq_encode(enc_input, jnp.asarray(self.codebooks)))
         if self.refine == "int8":
-            self._store_refine(vectors, ids)
+            # residual mode stores the (rotated-space) residuals themselves;
+            # whole-row mode keeps UNrotated rows (scored vs raw queries)
+            if self._refine_residual:
+                self._store_refine(np.asarray(enc_input), ids)
+            else:
+                self._store_refine(raw_vectors, ids)
         self._pending.append(codes, ids, np.asarray(assign))
         if self._pending.size > max(4096, 0.1 * self._arena.size):
             self.merge_pending()
@@ -300,6 +364,7 @@ class IVFPQIndex(Index):
                 codes=jnp.asarray(ar.payload),
                 ids=jnp.asarray(ar.ids, jnp.int32),
                 offsets=jnp.asarray(ar.offsets[:-1], jnp.int32),
+                offsets_full=jnp.asarray(ar.offsets, jnp.int32),
                 lens=jnp.asarray(ar.list_lens, jnp.int32),
                 codebooks=jnp.asarray(self.codebooks),
                 cap=max(8, ar.max_list_len),
@@ -324,34 +389,63 @@ class IVFPQIndex(Index):
         outs_v, outs_i = [], []
         for s in range(0, queries.shape[0], batch):
             qb = jnp.asarray(queries[s : s + batch])
-            v, i = _ivfpq_scan_search(
-                qb, st["centroids"], st["codes"], st["ids"], st["offsets"],
+            v, rows_a = _ivfpq_scan_search(
+                qb, st["centroids"], st["codes"], st["offsets"],
                 st["lens"], st["codebooks"],
                 k=kk, nprobe=nprobe, cap=st["cap"], metric=self.metric,
                 residual=self.residual,
             )
             if do_refine:
-                # exact re-score of the candidates (refine rows are stored
-                # UNrotated, so score against the raw queries). Unfilled ADC
-                # slots sit at (NEG_INF, id 0) when probed lists hold fewer
-                # than k_cand rows — mask them or id 0 gets rescored exactly
-                # and displaces real results.
-                valid = v > NEG_INF
-                qraw = jnp.asarray(raw_queries[s : s + batch])
-                rows = st["refine"][jnp.clip(i, 0, st["refine"].shape[0] - 1)]
-                rows = rows.astype(jnp.float32) * self._refine_scale
-                if self.metric == "ip":
-                    ex = jnp.einsum("bd,brd->br", qraw, rows)
-                else:
-                    diff = qraw[:, None, :] - rows
-                    ex = -jnp.sum(diff * diff, axis=2)
-                ex = jnp.where(valid, ex, NEG_INF)
-                v2, pos = lax.top_k(ex, k)
-                i2 = jnp.take_along_axis(i, pos, axis=1)
-                v, i = v2, i2
+                # exact re-score of the candidates. Unfilled ADC slots sit at
+                # (NEG_INF, row 0) when probed lists hold fewer than k_cand
+                # rows — mask them or row 0 gets rescored exactly and
+                # displaces real results.
+                v, rows_a = _refine_rescore(
+                    qb, jnp.asarray(raw_queries[s : s + batch]), v, rows_a,
+                    st["ids"], st["refine"], st["centroids"],
+                    st["offsets_full"],
+                    k=k, metric=self.metric,
+                    refine_scale=self._refine_scale,
+                    refine_residual=self._refine_residual,
+                )
+            rows_c = jnp.clip(rows_a, 0, st["ids"].shape[0] - 1)
+            i = st["ids"][rows_c]
             outs_v.append(np.asarray(v))
             outs_i.append(np.asarray(i))
         return np.concatenate(outs_v), np.concatenate(outs_i)
+
+    def reconstruct(self, ids) -> np.ndarray:
+        """Near-exact rows (ORIGINAL space) for the given global ids: the
+        int8 refine store when present (residual rows get their list
+        centroid back), else PQ decode. Un-rotates OPQ output. API parity
+        with the band family (ivf_band.py reconstruct)."""
+        self.merge_pending()
+        ids = np.asarray(ids)
+        ar = self._arena
+        pos = np.full(max(self._next_id, int(ar.ids.max(initial=-1)) + 1),
+                      -1, np.int64)
+        pos[ar.ids] = np.arange(ar.size)
+        rows = pos[ids]
+        assert (rows >= 0).all(), "unknown id"
+        lists = np.searchsorted(ar.offsets, rows, side="right") - 1
+        rotated_space = True  # whether `out` needs the OPQ un-rotation
+        if self.refine == "int8" and self._refine_rows.shape[0]:
+            out = (self._refine_rows[ids].astype(np.float32)
+                   * self._refine_scale)
+            if self._refine_residual:
+                out = out + self.centroids[lists]
+            else:
+                rotated_space = False  # whole-row store is UNrotated
+        else:
+            codes = np.asarray(ar.payload)[rows]  # (n, m)
+            cb = self.codebooks
+            out = np.concatenate(
+                [cb[j][codes[:, j]] for j in range(self.m)], axis=1)
+            if self.residual:
+                out = out + self.centroids[lists]
+        if self.opq_matrix is not None and rotated_space:
+            out = out @ self.opq_matrix  # rotated → original
+        return out
 
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):
@@ -376,6 +470,7 @@ class IVFPQIndex(Index):
             "pq_train_iters": self.pq_train_iters, "seed": self.seed,
             "next_id": self._next_id, "opq": self.opq_matrix is not None,
             "refine": self.refine, "refine_scale": self._refine_scale,
+            "refine_residual": self._refine_residual,
         }
 
     @classmethod
@@ -390,6 +485,8 @@ class IVFPQIndex(Index):
         if "refine_rows" in arrays:
             idx._refine_rows = np.asarray(arrays["refine_rows"])
             idx._refine_scale = m.get("refine_scale", 1e-12)
+        # pre-r3 artifacts stored whole-row refine regardless of residual
+        idx._refine_residual = m.get("refine_residual", False)
         idx.centroids = arrays["centroids"]
         idx.codebooks = arrays["codebooks"]
         idx._arena.payload = arrays["payload"]

@@ -89,10 +89,11 @@ def main():
     print(f"fetch rtt {rtt*1000:.0f} ms", flush=True)
     for nprobe in (16,):
         def run(noise):
-            v, i = _ivfpq_scan_search(
-                q + noise, cent_d, arena_d, ids_d, off_d, lens_d, cb_d,
+            v, rows = _ivfpq_scan_search(
+                q + noise, cent_d, arena_d, off_d, lens_d, cb_d,
                 k=K, nprobe=nprobe, cap=cap, metric="ip", residual=True,
             )
+            i = ids_d[rows]  # arena rows → global ids (r3 signature)
             return v, i, float(jnp.sum(v))
         v, i, _ = run(0.0)  # compile
         r = recall_at_k(jax.device_get(i), gt)

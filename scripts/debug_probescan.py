@@ -37,14 +37,14 @@ def main():
     outs = {}
     for name, dev in (("tpu", tpu), ("cpu", cpu)):
         put = lambda x: jax.device_put(jnp.asarray(x), dev)  # noqa: E731
-        v, i = _ivfpq_scan_search(
+        v, rows = _ivfpq_scan_search(
             put(q), put(idx.centroids), put(idx._arena.payload),
-            put(idx._arena.ids.astype(np.int32)),
             put(idx._arena.offsets[:-1].astype(np.int32)),
             put(idx._arena.list_lens.astype(np.int32)),
             put(idx.codebooks), **args,
         )
-        outs[name] = (jax.device_get(v), jax.device_get(i))
+        i = idx._arena.ids[jax.device_get(rows)]  # rows → global ids (r3)
+        outs[name] = (jax.device_get(v), i)
         r = recall_at_k(outs[name][1], gt)
         print(f"{name}: recall@10={r:.4f}  ids[0]={outs[name][1][0][:5]}  "
               f"v[0]={np.round(outs[name][0][0][:5], 3)}", flush=True)

@@ -40,14 +40,13 @@ def main():
     for dev_name, dev in (("cpu", jax.devices("cpu")[0]), ("tpu", jax.devices()[0])):
         put = lambda x: jax.device_put(jnp.asarray(x), dev)  # noqa: E731
         for npb in (8, 32):
-            v, i = _ivfpq_scan_search(
+            v, rows = _ivfpq_scan_search(
                 put(q), put(idx.centroids), put(ar.payload),
-                put(ar.ids.astype(np.int32)),
                 put(ar.offsets[:-1].astype(np.int32)),
                 put(ar.list_lens.astype(np.int32)),
                 put(idx.codebooks), **args(npb),
             )
-            r = recall_at_k(jax.device_get(i), gt)
+            r = recall_at_k(ar.ids[jax.device_get(rows)], gt)
             print(f"{dev_name} nprobe={npb}: recall {r:.4f}", flush=True)
 
 

@@ -124,10 +124,11 @@ def main():
     qb = qj[:256]
     for nprobe in (16, 64):
         def run2(noise):
-            v, i = _ivfpq_scan_search(
-                qb + noise, centroids, arena, ids_d, off_d, lens_d, codebooks,
+            v, rows_a = _ivfpq_scan_search(
+                qb + noise, centroids, arena, off_d, lens_d, codebooks,
                 k=160, nprobe=nprobe, cap=cap, metric="ip", residual=True,
             )
+            i = ids_d[rows_a]  # arena rows → global ids (r3 signature)
             # refine: exact int8 rescore of the ADC top-160
             rows = refine_rows[jnp.clip(i, 0, refine_rows.shape[0] - 1)]
             ex = jnp.einsum("bd,brd->br", qb + noise,

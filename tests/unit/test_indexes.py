@@ -111,6 +111,44 @@ def test_ivf_pq_refine_save_load(tmp_path, data):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_ivf_pq_residual_refine_quantization(data):
+    """r3: residual-PQ indexes store RESIDUAL int8 refine rows (band-family
+    port). The reconstruction through reconstruct() must stay near-exact,
+    and the l2 + opq paths must agree with the exact oracle ranking."""
+    db, q, gt = data
+    idx = IVFPQIndex.build(db, nlist=16, m=8, nbits=6, metric="ip",
+                           kmeans_iters=8, pq_train_iters=8, refine="int8",
+                           residual=True)
+    assert idx._refine_residual
+    # residual rows (≪ row norm) quantize much finer than whole rows:
+    # reconstruction error through the refine store stays tiny
+    rec = idx.reconstruct(np.arange(64))
+    err = np.abs(rec - db[:64]).max()
+    assert err < 0.05, err
+    _, i_r = idx.search(q, K, nprobe=16, refine_factor=16)
+    assert recall_at_k(i_r, gt["ip"]) >= 0.9
+    # l2 metric exercises the centroid-reconstruction branch
+    idx2 = IVFPQIndex.build(db, nlist=16, m=8, nbits=6, metric="l2",
+                            kmeans_iters=8, pq_train_iters=8, refine="int8",
+                            residual=True)
+    _, i_l = idx2.search(q, K, nprobe=16, refine_factor=16)
+    assert recall_at_k(i_l, gt["l2"]) >= 0.9
+
+
+def test_ivf_pq_opq_refine_consistent(data):
+    """OPQ + whole-row refine: rows are stored UNrotated and scored against
+    raw queries (r2 stored rotated rows but scored raw — wrong under OPQ)."""
+    from cloudvectordb_tpu.index.opq import train_opq
+
+    db, q, gt = data
+    R, _ = train_opq(db[:2000], 8, 6, outer_iters=2, pq_iters=4, seed=0)
+    idx = IVFPQIndex.build(db, nlist=16, m=8, nbits=6, metric="ip",
+                           kmeans_iters=8, pq_train_iters=8, refine="int8",
+                           residual=False, opq_matrix=R)
+    _, i_r = idx.search(q, K, nprobe=16, refine_factor=16)
+    assert recall_at_k(i_r, gt["ip"]) >= 0.9
+
+
 def test_ivf_pq_residual_beats_plain(data):
     db, q, gt = data
     kw = dict(nlist=16, m=8, nbits=4, metric="l2", kmeans_iters=8, pq_train_iters=8)
