@@ -23,8 +23,39 @@ _KINDS = {
 
 
 def build_index(vectors, cfg: IndexConfig) -> Index:
-    """Build any index kind from vectors + config (trains quantizers inline)."""
+    """Build any index kind from vectors + config (trains quantizers inline).
+
+    cfg.nshards > 0 builds the row-partitioned SHARDED wrapper over a 1-D
+    'shard' mesh of that many devices (band_ivf and ivf_pq kinds) — the
+    config-#4 serving topology, reachable from the CLI build stage."""
     vectors = np.asarray(vectors, np.float32)
+    if cfg.nshards > 0:
+        from cloudvectordb_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.nshards, axis_name="shard")
+        nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
+        if cfg.kind == "band_ivf":
+            from cloudvectordb_tpu.parallel.dist_band import ShardedBandIndex
+
+            dtype = cfg.dtype if cfg.dtype != "float32" else "int8"
+            resid = cfg.residual and dtype == "int8"
+            return ShardedBandIndex.build(
+                vectors, nlist, mesh=mesh, train_sample=cfg.train_sample,
+                dtype=dtype, residual=resid,
+                slack=(cfg.slack if resid else 0.0),
+                kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
+            )
+        if cfg.kind == "ivf_pq":
+            from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
+
+            return ShardedIVFPQIndex.build(
+                vectors, nlist, m=cfg.m, mesh=mesh, nbits=cfg.nbits,
+                metric=cfg.metric, refine=cfg.refine,
+                train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
+                pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
+            )
+        raise ValueError(
+            f"nshards>0 supports kinds band_ivf | ivf_pq, got {cfg.kind!r}")
     if cfg.kind == "flat":
         return FlatIndex.build(vectors, metric=cfg.metric, dtype=cfg.dtype)
     nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
@@ -67,7 +98,22 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
     raise ValueError(f"unknown index kind {cfg.kind!r}")
 
 
-def load_index(path: str | Path, mmap: bool = True) -> Index:
+def load_index(path: str | Path, mmap: bool = True, mesh=None) -> Index:
+    """Polymorphic load: single-index artifacts dispatch on the manifest
+    kind; sharded artifacts (parallel/persist.py layout) reconstruct their
+    wrapper against ``mesh`` (default: a fresh 1-D 'shard' mesh sized from
+    the saved shard count)."""
+    from cloudvectordb_tpu.parallel.persist import (
+        is_sharded_artifact, read_sharded_manifest)
+
+    if is_sharded_artifact(path):
+        from cloudvectordb_tpu.parallel.dist_band import ShardedBandIndex
+        from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
+
+        kind = read_sharded_manifest(path)["kind"]
+        cls = {"sharded_band_ivf": ShardedBandIndex,
+               "sharded_ivf_pq": ShardedIVFPQIndex}[kind]
+        return cls.load(path, mesh=mesh, mmap=mmap)
     manifest = Index.read_manifest(path)
     arrays = Index.load_arrays(path, mmap=mmap)
     cls = _KINDS[manifest["kind"]]

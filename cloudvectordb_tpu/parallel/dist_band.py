@@ -300,6 +300,43 @@ class ShardedBandIndex:
             self._dev["valid_end"] = stage_row_sharded(ve_piece, s, self.mesh)
         return self._dev
 
+    # -- persistence ------------------------------------------------------
+    kind = "sharded_band_ivf"
+
+    def save(self, path, extra_meta: dict | None = None) -> None:
+        """Persist every shard (atomic single-index artifacts) + a top-level
+        manifest under ONE directory — see parallel/persist.py. Device-
+        resident shard arenas are fetched to the host once by each shard's
+        ``_state_arrays`` (a PCIe copy on real hardware)."""
+        from cloudvectordb_tpu.parallel.persist import save_sharded
+
+        save_sharded(
+            path,
+            {"kind": self.kind, "scale": self._scale, "kw": self.kw,
+             **(extra_meta or {})},
+            self._shards,
+        )
+
+    @classmethod
+    def load(cls, path, mesh: Mesh | None = None,
+             mmap: bool = True) -> "ShardedBandIndex":
+        """Rebuild the wrapper from a saved artifact. ``mesh`` defaults to a
+        fresh 1-D 'shard' mesh; its 'shard' extent must equal the saved shard
+        count (rows re-stage onto devices lazily on the first search)."""
+        from cloudvectordb_tpu.parallel.persist import (
+            load_shards, read_sharded_manifest)
+
+        man = read_sharded_manifest(path)
+        assert man["kind"] == cls.kind, man["kind"]
+        if mesh is None:
+            mesh = make_mesh(man["nshards"], axis_name="shard")
+        idx = cls(mesh, **man.get("kw", {}))
+        assert idx.nshards == man["nshards"], (
+            f"mesh has {idx.nshards} shards, artifact has {man['nshards']}")
+        idx._shards = load_shards(path, man, mmap=mmap)
+        idx._scale = man["scale"]
+        return idx
+
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
                interpret: bool | None = None, scoring: str = "hybrid"):
         if interpret is None:

@@ -31,40 +31,43 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
     jax.jit,
     static_argnames=(
         "k", "k_cand", "nprobe", "cap", "metric", "residual", "mesh",
-        "refine_scale",
+        "refine_scale", "refine_residual",
     ),
 )
 def _sharded_ivfpq_search(
     q, centroids, codebooks, codes, ids, offsets, lens, refine_rows,
     *, k, k_cand, nprobe, cap, metric, residual, mesh, refine_scale: float,
+    refine_residual: bool = False,
 ):
     """codes (S·maxn, m) row-sharded; offsets/lens/ids/refine_rows sharded on
     axis 0. Refinement rescoring runs SHARD-LOCALLY (each shard holds the
-    int8 rows for its partition) before the tiny all_gather merge. On a 2-D
-    ('replica', 'shard') mesh the query batch additionally splits across
-    replicas (each replica column holds a full index copy)."""
+    int8 rows for its partition, staged ARENA-ordered) before the tiny
+    all_gather merge. refine_residual: rows are rotated-space residuals —
+    the centroid term is recovered exactly via _refine_rescore (r3 port of
+    the band family's residual refine). On a 2-D ('replica', 'shard') mesh
+    the query batch additionally splits across replicas (each replica
+    column holds a full index copy)."""
+    from cloudvectordb_tpu.index.ivf_pq import _refine_rescore
+
     qs = P("replica") if "replica" in mesh.axis_names else P()
 
     def local(qb, c, cb, codes_l, ids_l, off_l, lens_l, rr):
         v, i = _ivfpq_scan_search(
-            qb, c, codes_l, jnp.arange(codes_l.shape[0], dtype=jnp.int32),
-            off_l[0], lens_l[0], cb,
+            qb, c, codes_l, off_l[0], lens_l[0], cb,
             k=k_cand, nprobe=nprobe, cap=cap, metric=metric, residual=residual,
         )
         if refine_scale > 0:
-            # unfilled ADC slots are (NEG_INF, row 0): mask before the exact
-            # rescore or shard-local row 0 is resurrected into results
-            valid = v > float("-inf")
-            rows_l = jnp.clip(i, 0, rr.shape[0] - 1)
-            cand = rr[rows_l].astype(jnp.float32) * refine_scale
-            if metric == "ip":
-                ex = jnp.einsum("bd,brd->br", qb, cand)
-            else:
-                diff = qb[:, None, :] - cand
-                ex = -jnp.sum(diff * diff, axis=2)
-            ex = jnp.where(valid, ex, float("-inf"))
-            v, pos = lax.top_k(ex, k)
-            i = jnp.take_along_axis(i, pos, axis=1)
+            # refine rows are arena-ordered per shard → the row itself is
+            # the store key (identity id table). The arena is contiguous,
+            # so full offsets = offsets[:-1] ++ [offsets[-1] + last len].
+            off_full = jnp.concatenate(
+                [off_l[0], off_l[0][-1:] + lens_l[0][-1:]])
+            v, i = _refine_rescore(
+                qb, qb, v, i,
+                jnp.arange(rr.shape[0], dtype=jnp.int32), rr, c, off_full,
+                refine_scale,
+                k=k, metric=metric, refine_residual=refine_residual,
+            )
         else:
             v = v[:, :k]
             i = i[:, :k]
@@ -97,9 +100,16 @@ class ShardedIVFPQIndex:
         self.mesh = mesh or make_mesh(axis_name="shard")
         ivfpq_kw.pop("refine", None)  # refinement lives in the wrapper: rows
         self.kw = ivfpq_kw            # stay shard-local and arena-ordered
+        # the wrapper's query path never rotates: OPQ belongs to the band
+        # family's sharded build (ShardedBandIndex/BandIVFPQIndex)
+        assert ivfpq_kw.get("opq_matrix") is None, (
+            "ShardedIVFPQIndex does not support OPQ")
         self.refine = refine
         self.metric = ivfpq_kw.get("metric", "ip")
         self.residual = ivfpq_kw.get("residual", True)
+        # residual refine (r3): rows store int8 RESIDUALS (x − list
+        # centroid) — centroid term recovered exactly at rescore
+        self._refine_residual = self.residual and refine == "int8"
         self._shards: list[IVFPQIndex] = []
         # per-shard int8 refine rows in INSERTION order + their global ids;
         # arena order changes on every add+merge, so rows are permuted to
@@ -118,6 +128,15 @@ class ShardedIVFPQIndex:
     @property
     def ntotal(self) -> int:
         return sum(s.ntotal for s in self._shards)
+
+    @staticmethod
+    def _refine_src(vectors, centroids) -> np.ndarray:
+        """Residuals of ``vectors`` vs their assigned list centroid — the
+        residual-refine store's source rows (device assign, host result)."""
+        xv = jnp.asarray(vectors, jnp.float32)
+        cdev = jnp.asarray(centroids)
+        a, _ = assign_clusters(xv, cdev)
+        return np.asarray(xv - cdev[a])
 
     @classmethod
     def build(
@@ -138,8 +157,10 @@ class ShardedIVFPQIndex:
         # contiguous row partition; each shard reuses the shared quantizers
         # and stores GLOBAL ids directly in its arena.
         if idx.refine == "int8":
-            rms = float(np.sqrt(np.mean(vectors.astype(np.float64) ** 2)))
-            amax = float(np.abs(vectors).max())
+            src = (idx._refine_src(vectors[sel], proto.centroids)
+                   if idx._refine_residual else vectors)
+            rms = float(np.sqrt(np.mean(src.astype(np.float64) ** 2)))
+            amax = float(np.abs(src).max())
             idx._refine_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
         bounds = np.linspace(0, vectors.shape[0], s + 1).astype(int)
         for si in range(s):
@@ -153,9 +174,11 @@ class ShardedIVFPQIndex:
             idx._refine_rows_ins.append([])
             idx._refine_gids_ins.append([])
             if idx.refine == "int8":
+                block = vectors[bounds[si] : bounds[si + 1]]
+                if idx._refine_residual:
+                    block = idx._refine_src(block, proto.centroids)
                 idx._refine_rows_ins[si].append(
-                    np.clip(np.round(vectors[bounds[si] : bounds[si + 1]]
-                                     / idx._refine_scale), -127, 127
+                    np.clip(np.round(block / idx._refine_scale), -127, 127
                             ).astype(np.int8)
                 )
                 idx._refine_gids_ins[si].append(gids)
@@ -190,20 +213,25 @@ class ShardedIVFPQIndex:
                 proto.train(np.asarray(chunk[:ns]))
                 cdev = jnp.asarray(proto.centroids)
                 cbdev = jnp.asarray(proto.codebooks)
-                if idx.refine == "int8":
-                    rms = float(jnp.sqrt(jnp.mean(chunk * chunk)))
-                    amax = float(jnp.max(jnp.abs(chunk)))
-                    idx._refine_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
             a, _ = assign_clusters(chunk, cdev)
             enc_in = chunk - cdev[a] if idx.residual else chunk
             codes = pq_encode(enc_in, cbdev)
+            if idx.refine == "int8":
+                rsrc = enc_in if idx._refine_residual else chunk
+                if idx._refine_scale == 0.0:  # first chunk sets the scale
+                    rms = float(jnp.sqrt(jnp.mean(rsrc * rsrc)))
+                    amax = float(jnp.max(jnp.abs(rsrc)))
+                    idx._refine_scale = max(min(amax, 4.0 * rms) / 127.0,
+                                            1e-12)
+                rows8_h = np.asarray(jnp.clip(
+                    jnp.round(rsrc / idx._refine_scale), -127, 127
+                ).astype(jnp.int8))
+            else:
+                rows8_h = None
             codes_h, a_h = np.asarray(codes), np.asarray(a)
             b = codes_h.shape[0]
             ids_h = np.arange(next_id, next_id + b, dtype=np.int64)
             next_id += b
-            rows8_h = (np.asarray(jnp.clip(
-                jnp.round(chunk / idx._refine_scale), -127, 127
-            ).astype(jnp.int8)) if idx.refine == "int8" else None)
             for si, sl in enumerate(np.array_split(np.arange(b), s)):
                 if not sl.size:
                     continue
@@ -245,8 +273,10 @@ class ShardedIVFPQIndex:
         self._shards[si].merge_pending()
         if self.refine == "int8":
             # the scale is fixed at build time; out-of-range rows clip
+            src = (self._refine_src(vectors, self._shards[si].centroids)
+                   if self._refine_residual else vectors)
             self._refine_rows_ins[si].append(
-                np.clip(np.round(vectors / self._refine_scale), -127, 127
+                np.clip(np.round(src / self._refine_scale), -127, 127
                         ).astype(np.int8)
             )
             self._refine_gids_ins[si].append(ids)
@@ -312,6 +342,62 @@ class ShardedIVFPQIndex:
         )
         return self._dev
 
+    # -- persistence ------------------------------------------------------
+    kind = "sharded_ivf_pq"
+
+    def save(self, path, extra_meta: dict | None = None) -> None:
+        """One atomic directory: per-shard IVF-PQ artifacts + the wrapper's
+        insertion-order refine stores (rows keyed by global id — re-permuted
+        to arena order at device staging, so they survive future merges)."""
+        from cloudvectordb_tpu.parallel.persist import save_sharded
+
+        def cat(chunks):
+            return np.concatenate(chunks) if chunks else None
+
+        extras = None
+        if self.refine == "int8":
+            extras = {
+                "refine_rows": [cat(c) for c in self._refine_rows_ins],
+                "refine_gids": [cat(c) for c in self._refine_gids_ins],
+            }
+        save_sharded(
+            path,
+            {
+                "kind": self.kind, "kw": self.kw, "refine": self.refine,
+                "refine_scale": self._refine_scale, "next_id": self._next_id,
+                **(extra_meta or {}),
+            },
+            self._shards,
+            extras_per_shard=extras,
+        )
+
+    @classmethod
+    def load(cls, path, mesh: Mesh | None = None,
+             mmap: bool = True) -> "ShardedIVFPQIndex":
+        from cloudvectordb_tpu.parallel.persist import (
+            load_extras, load_shards, read_sharded_manifest)
+
+        man = read_sharded_manifest(path)
+        assert man["kind"] == cls.kind, man["kind"]
+        if mesh is None:
+            mesh = make_mesh(man["nshards"], axis_name="shard")
+        idx = cls(mesh, refine=man["refine"], **man.get("kw", {}))
+        assert idx.nshards == man["nshards"], (
+            f"mesh has {idx.nshards} shards, artifact has {man['nshards']}")
+        idx._shards = load_shards(path, man, mmap=mmap)
+        idx._refine_scale = man["refine_scale"]
+        idx._next_id = man["next_id"]
+        rows = load_extras(path, man, "refine_rows", mmap=mmap)
+        gids = load_extras(path, man, "refine_gids", mmap=mmap)
+        idx._refine_rows_ins = [[r] if r is not None else []
+                                for r in (rows or [None] * idx.nshards)]
+        idx._refine_gids_ins = [[g] if g is not None else []
+                                for g in (gids or [None] * idx.nshards)]
+        if not rows:  # refine='none' artifacts carry no extras
+            idx._refine_rows_ins = [[] for _ in range(idx.nshards)]
+            idx._refine_gids_ins = [[] for _ in range(idx.nshards)]
+        return idx
+
     def search(self, queries, k: int, nprobe: int = 8, batch: int = 256,
                refine_factor: int = 16):
         queries = np.asarray(queries, np.float32)
@@ -336,6 +422,7 @@ class ShardedIVFPQIndex:
                 k=k, k_cand=k_cand, nprobe=nprobe, cap=st["cap"],
                 metric=self.metric, residual=self.residual, mesh=self.mesh,
                 refine_scale=self._refine_scale if do_refine else 0.0,
+                refine_residual=self._refine_residual,
             )
             outs_v.append(np.asarray(v)[:real])
             outs_i.append(np.asarray(i)[:real])

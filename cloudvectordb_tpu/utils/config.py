@@ -145,6 +145,9 @@ class IndexConfig(_ConfigBase):
     train_sample: int = 262_144    # vectors sampled for k-means / PQ training
     seed: int = 0
     dtype: str = "float32"         # stored vector dtype for flat / ivf_flat
+    nshards: int = 0               # >0: row-partitioned sharded index over a
+                                   # 1-D 'shard' device mesh (config #4) —
+                                   # band_ivf | ivf_pq kinds (r3)
 
 
 @dataclass
