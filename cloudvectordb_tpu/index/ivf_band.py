@@ -121,9 +121,13 @@ def _pq_tiles_plan_search(
             cand = refine_rows[rb].astype(jnp.float32) * refine_scale
             return jnp.einsum("bd,brd->br", qb, cand)
 
-        # largest divisor of b ≤ 512 (a non-divisible fallback to ONE batch
-        # would re-create the 12.9 GB gather this chunking exists to avoid)
-        sub = max(d for d in range(1, min(512, b) + 1) if b % d == 0)
+        # largest divisor of b ≤ cap (a non-divisible fallback to ONE batch
+        # would re-create the 12.9 GB gather this chunking exists to avoid);
+        # cap scales inversely with k_cand so the gathered (sub, k_cand, D)
+        # temp stays ≲1.6 GB — at k_cand=4096 a 512-query sub-batch peaked
+        # ~5 GB and OOMed next to a 10M refined index (r3, measured)
+        cap = max(1, min(512, (1 << 20) // max(k_cand, 1)))
+        sub = max(d for d in range(1, min(cap, b) + 1) if b % d == 0)
         nb = b // sub
         ex = jax.lax.map(rescore, (
             q_s.reshape(nb, b // nb, q_s.shape[1]),
@@ -224,6 +228,49 @@ def _next_pow2(x: int) -> int:
     while p < x:
         p *= 2
     return p
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pq2_rescore(q, v, gids, codes2, codebooks2, *, k):
+    """Tier-2 ADC correction (refine='pq2'): candidates' tier-1 kernel score
+    v already contains centroid + tier-1 decode; the tier-2 codebooks encode
+    the tier-1 reconstruction ERROR, so the refined score is simply
+    v + q·decode2(code2) — one (B, k_cand, m2) uint8 gather + LUT take, no
+    dim-byte row traffic. codes2 is keyed by GLOBAL id (merge-invariant)."""
+    NEG = float("-inf")
+    b = q.shape[0]
+    m2, c2n, dsub2 = codebooks2.shape
+    valid = v > NEG
+    g = jnp.clip(gids, 0, codes2.shape[0] - 1)
+    c2 = codes2[g].astype(jnp.int32)  # (B, kc, m2)
+    lut = jnp.einsum(
+        "bmd,mcd->bmc", q.reshape(b, m2, dsub2), codebooks2,
+        preferred_element_type=jnp.float32)  # (B, m2, C)
+    corr = jnp.sum(
+        jnp.take_along_axis(jnp.transpose(lut, (0, 2, 1)), c2, axis=1),
+        axis=2)
+    ex = jnp.where(valid, v + corr, NEG)
+    v2, pos = jax.lax.top_k(ex, k)
+    return v2, jnp.take_along_axis(gids, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _host_rescore(q, v, gids, r8, assign, centroids, scale, *, k):
+    """Exact rescore of host-gathered int8 residual rows (refine='host'):
+    r8 (B, k_cand, D) int8 shipped from host RAM for just the shortlist;
+    centroid term recovered from q·centroids via each candidate's list."""
+    NEG = float("-inf")
+    valid = v > NEG
+    dots = jax.lax.dot_general(
+        q, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ex = scale * jnp.einsum(
+        "bd,brd->br", q.astype(jnp.bfloat16), r8.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    ex = ex + jnp.take_along_axis(dots, assign, axis=1)
+    ex = jnp.where(valid, ex, NEG)
+    v2, pos = jax.lax.top_k(ex, k)
+    return v2, jnp.take_along_axis(gids, pos, axis=1)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1078,10 +1125,30 @@ class BandIVFPQIndex(BandIVFIndex):
         residual: bool = True,
         opq_matrix: np.ndarray | None = None,
         aniso_eta: float = 0.0,
+        m2: int = 32,
+        nbits2: int = 8,
     ):
+        """refine tiers (r3 adds the two 1B-scale options):
+
+        - 'int8'  — residual-int8 rows in HBM (dim bytes/row): near-exact,
+                    fits ≤ ~16M rows/chip at 768-d.
+        - 'pq2'   — SECOND-tier PQ (m2 bytes/row, default 32) trained on the
+                    tier-1 reconstruction ERROR, codes in HBM keyed by
+                    global id. Rescore adds a tier-2 ADC correction to the
+                    kernel's tier-1 candidate score: ~1.5× the per-row code
+                    bits at +m2/m HBM — the config-#5 refine that still fits
+                    at 125M rows/chip (8 GB tier-1 + 4 GB tier-2).
+        - 'host'  — int8 residual rows in HOST memory (keyed by global id),
+                    exact rescore of the candidate shortlist. Per batch the
+                    host link carries B·k_cand·dim bytes (B=4096, k=512,
+                    768-d → 1.6 GB ≈ 60–160 ms on real PCIe3/4 — overlaps
+                    with the next batch's scan; through this dev tunnel it
+                    is minutes, so at-scale QPS is quoted for PCIe).
+        """
         super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
                          seed=seed, tile_n=tile_n, tile_q=tile_q)
-        assert dim % m == 0 and refine in ("none", "int8")
+        assert dim % m == 0 and refine in ("none", "int8", "pq2", "host")
+        assert dim % m2 == 0
         self.opq_matrix = opq_matrix  # x' = x @ Rᵀ before coarse+PQ
         self.m = m
         self.nbits = nbits
@@ -1092,6 +1159,13 @@ class BandIVFPQIndex(BandIVFIndex):
         # list byte needed to recover the centroid term already exists)
         self._refine_residual = residual and refine == "int8"
         self.pq_train_iters = pq_train_iters
+        self.m2 = m2                  # tier-2 PQ (refine='pq2')
+        self.nbits2 = nbits2
+        self.codebooks2: np.ndarray | None = None
+        self._codes2 = None           # (N_cap, m2) uint8 keyed by GLOBAL id
+        self._host_rows = None        # (N_cap, dim) int8 host, by global id
+        self._host_assign = None      # (N_cap,) int32 list id, by global id
+        self._host_scale = 0.0
         self.codebooks: np.ndarray | None = None
         self._codes_cm = None  # (m[+1], N_pad) uint8, arena-ordered, device
         self._refine_rows = None  # (N_pad, dim) int8, arena-ordered
@@ -1100,6 +1174,9 @@ class BandIVFPQIndex(BandIVFIndex):
         # ROTATED space for the exact pending scan; PQ codes ride alongside
         # in the same chunk order for the eventual arena merge.
         self._pending_codes: list[np.ndarray] = []
+        self._codes2_pending: list[np.ndarray] = []     # gid-ordered appends
+        self._host_pending_rows: list[np.ndarray] = []
+        self._host_pending_assign: list[np.ndarray] = []
         self._pending_scale = 0.0
         self._codes_row_major = False  # device-resident builds store (N, m+1)
 
@@ -1218,6 +1295,58 @@ class BandIVFPQIndex(BandIVFIndex):
                                    eta=self.aniso_eta)
         return pq_encode(enc_in, codebooks)
 
+    def _codes2_device(self):
+        """Tier-2 code table (gid-keyed) with any pending appends folded."""
+        if self._codes2_pending:
+            parts = ([jnp.asarray(self._codes2)]
+                     if self._codes2 is not None else [])
+            parts.append(jnp.asarray(np.concatenate(self._codes2_pending)))
+            self._codes2 = (jnp.concatenate(parts) if len(parts) > 1
+                            else parts[0])
+            self._codes2_pending = []
+        return jnp.asarray(self._codes2)
+
+    def _host_store(self):
+        """(rows, assign) host arrays (gid-keyed) with pending folded."""
+        if self._host_pending_rows:
+            base_r = ([self._host_rows] if self._host_rows is not None
+                      else [])
+            base_a = ([self._host_assign] if self._host_assign is not None
+                      else [])
+            self._host_rows = np.concatenate(
+                base_r + self._host_pending_rows)
+            self._host_assign = np.concatenate(
+                base_a + self._host_pending_assign)
+            self._host_pending_rows = []
+            self._host_pending_assign = []
+        return self._host_rows, self._host_assign
+
+    def _train_tier2(self, enc_sample, xdir) -> None:
+        """Tier-2 codebooks (refine='pq2') on the tier-1 reconstruction
+        error of the training sample — additive residual PQ."""
+        from cloudvectordb_tpu.index.pq import pq_decode, train_pq
+
+        codes = self._pq_encode_rows(enc_sample, xdir,
+                                     jnp.asarray(self.codebooks))
+        err = jnp.asarray(enc_sample) - pq_decode(
+            codes, jnp.asarray(self.codebooks))
+        self.codebooks2 = np.asarray(train_pq(
+            err, self.m2, self.nbits2, iters=self.pq_train_iters,
+            seed=self.seed + 1))
+
+    def _encode_tier2(self, enc_in, codes):
+        """Tier-2 codes for rows whose tier-1 codes are ``codes``."""
+        from cloudvectordb_tpu.index.pq import pq_decode, pq_encode
+
+        err = jnp.asarray(enc_in) - pq_decode(
+            jnp.asarray(codes), jnp.asarray(self.codebooks))
+        return pq_encode(err, jnp.asarray(self.codebooks2))
+
+    def _set_host_scale(self, enc_sample) -> None:
+        rms = float(jnp.sqrt(jnp.mean(enc_sample * enc_sample)))
+        amax = float(jnp.max(jnp.abs(enc_sample)))
+        self._host_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+
     @classmethod
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
               opq: bool = False, **kw) -> "BandIVFPQIndex":
@@ -1246,6 +1375,10 @@ class BandIVFPQIndex(BandIVFIndex):
             a_s, _ = assign_clusters(train_vecs, jnp.asarray(idx.centroids))
             train_vecs = train_vecs - jnp.asarray(idx.centroids)[a_s]
         idx.codebooks = idx._train_pq_codebooks(train_vecs, xdir)
+        if idx.refine == "pq2":
+            idx._train_tier2(train_vecs, xdir)
+        elif idx.refine == "host":
+            idx._set_host_scale(train_vecs)
         idx._populate(vectors)
         return idx
 
@@ -1297,6 +1430,10 @@ class BandIVFPQIndex(BandIVFIndex):
                     rms = float(jnp.sqrt(jnp.mean(src * src)))
                     amax = float(jnp.max(jnp.abs(src)))
                     scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+                elif idx.refine == "pq2":
+                    idx._train_tier2(train_vecs, tr[:ns])
+                elif idx.refine == "host":
+                    idx._set_host_scale(train_vecs)
             else:
                 rot = (jnp.asarray(idx.opq_matrix).T
                        if idx.opq_matrix is not None else None)
@@ -1311,6 +1448,15 @@ class BandIVFPQIndex(BandIVFIndex):
                 rsrc = enc_in if idx._refine_residual else tr
                 refine_chunks.append(np.asarray(
                     jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)))
+            elif idx.refine == "pq2":  # gid = insertion order: plain append
+                idx._codes2_pending.append(
+                    np.asarray(idx._encode_tier2(enc_in, codes)))
+            elif idx.refine == "host":
+                idx._host_pending_rows.append(np.asarray(jnp.clip(
+                    jnp.round(enc_in / idx._host_scale), -127, 127
+                ).astype(jnp.int8)))
+                idx._host_pending_assign.append(
+                    np.asarray(a).astype(np.int32))
         assert idx is not None, "empty stream"
         codes_all = np.concatenate(code_chunks)
         assigns = np.concatenate(assign_chunks)
@@ -1397,6 +1543,10 @@ class BandIVFPQIndex(BandIVFIndex):
                     rms = float(jnp.sqrt(jnp.mean(src * src)))
                     amax = float(jnp.max(jnp.abs(src)))
                     idx._scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
+                elif idx.refine == "pq2":
+                    idx._train_tier2(train_vecs, tr[:ns])
+                elif idx.refine == "host":
+                    idx._set_host_scale(train_vecs)
             else:
                 rot = (jnp.asarray(idx.opq_matrix).T
                        if idx.opq_matrix is not None else None)
@@ -1454,20 +1604,34 @@ class BandIVFPQIndex(BandIVFIndex):
             idx._local_rm = None
             idx._centroid_tiles = None
         do_refine = idx.refine == "int8"
+        do_pq2 = idx.refine == "pq2"
+        do_host = idx.refine == "host"
         assert not (do_refine and segmented), (
-            "int8 refine rows at segmented scale exceed HBM by construction")
+            "int8 refine rows at segmented scale exceed HBM by construction"
+            " — use refine='pq2' (in-HBM tier-2) or 'host' at this scale")
         refine = (jnp.zeros((n_pad, idx.dim), jnp.int8) if do_refine
                   else jnp.zeros((1, idx.dim), jnp.int8))
+        # tier-2 codes keyed by GLOBAL id (= source row index): insertion-
+        # order slots, gathered by gid at rescore — merge-invariant
+        codes2 = jnp.zeros((n if do_pq2 else 1, idx.m2), jnp.uint8)
+        if do_host:
+            idx._host_rows = np.empty((n, idx.dim), np.int8)
+            idx._host_assign = assign_all.astype(np.int32)
         cbdev = jnp.asarray(idx.codebooks)
+        cb2dev = jnp.asarray(idx.codebooks2) if do_pq2 else None
         rot_dev = (jnp.asarray(idx.opq_matrix).T
                    if idx.opq_matrix is not None else None)
         resid = idx.residual
         scale = idx._scale if do_refine else 0.0
+        host_scale = idx._host_scale
 
         import jax
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def encode_scatter(codes_ar, refine_ar, chunk, d, a, c, cb):
+        from cloudvectordb_tpu.index.pq import pq_decode, pq_encode
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def encode_scatter(codes_ar, refine_ar, codes2_ar, chunk, d, gid,
+                           a, c, cb):
             tr = chunk @ rot_dev if rot_dev is not None else chunk
             enc_in = tr - c[a] if resid else tr
             codes = idx._pq_encode_rows(enc_in, tr, cb)  # (b, m)
@@ -1485,21 +1649,32 @@ class BandIVFPQIndex(BandIVFIndex):
                 rsrc = enc_in if idx._refine_residual else tr
                 r8 = jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)
                 refine_ar = refine_ar.at[d].set(r8)
-            return codes_ar, refine_ar
+            host_r8 = None
+            if do_pq2:
+                err = enc_in - pq_decode(codes, cb)
+                codes2_ar = codes2_ar.at[gid].set(pq_encode(err, cb2dev))
+            if do_host:
+                host_r8 = jnp.clip(jnp.round(enc_in / host_scale),
+                                   -127, 127).astype(jnp.int8)
+            return codes_ar, refine_ar, codes2_ar, host_r8
 
         base = 0
         for ci in range(n_chunks):
             chunk = chunk_fn(ci)
             d = jnp.asarray(dest[base : base + sizes[ci]].astype(np.int32))
+            gid = jnp.arange(base, base + sizes[ci], dtype=jnp.int32)
             a_dev = jnp.asarray(assigns[ci].astype(np.int32))
-            codes_rm, refine = encode_scatter(
-                codes_rm, refine, chunk, d, a_dev, cdev, cbdev)
+            codes_rm, refine, codes2, host_r8 = encode_scatter(
+                codes_rm, refine, codes2, chunk, d, gid, a_dev, cdev, cbdev)
+            if do_host:  # per-chunk host fetch (PCIe copy on real hardware)
+                idx._host_rows[base : base + sizes[ci]] = np.asarray(host_r8)
             base += sizes[ci]
-            chunk = d = a_dev = None  # free HBM refs before the next gen
+            chunk = d = a_dev = host_r8 = None  # free HBM refs per iter
         idx._codes_cm = list(codes_rm) if segmented else codes_rm
         idx._codes_row_major = True
         idx._payload = idx._codes_cm
         idx._refine_rows = refine
+        idx._codes2 = codes2 if do_pq2 else None
         if not do_refine:
             idx._scale = 0.0
         idx._dev = None
@@ -1561,6 +1736,23 @@ class BandIVFPQIndex(BandIVFIndex):
         else:
             self._refine_rows = jnp.zeros((1, self.dim), jnp.int8)
             self._scale = 0.0
+            if self.refine == "pq2":
+                # tier-2 codes keyed by GLOBAL id: row i of enc_in (arena
+                # order) is global id order[i]
+                c2_sorted = self._encode_tier2(enc_in, codes)
+                self._codes2 = (
+                    jnp.zeros((n, self.m2), jnp.uint8)
+                    .at[jnp.asarray(order)].set(c2_sorted))
+            elif self.refine == "host":
+                if self._host_scale == 0.0:
+                    self._set_host_scale(enc_in)
+                r8 = np.asarray(jnp.clip(
+                    jnp.round(enc_in / self._host_scale), -127, 127
+                ).astype(jnp.int8))
+                host = np.empty((n, self.dim), np.int8)
+                host[order] = r8
+                self._host_rows = host
+                self._host_assign = a_np.astype(np.int32)
         self._codes_cm = codes_cm
         self._payload = codes_cm  # satisfies base-class bookkeeping
         self._ids = order.astype(np.int32)
@@ -1602,6 +1794,16 @@ class BandIVFPQIndex(BandIVFIndex):
         ).astype(jnp.int8)
         b = int(vectors.shape[0])
         ids = np.arange(self.ntotal, self.ntotal + b, dtype=np.int64)
+        # tier-2 stores are gid-keyed: sequential ids → in-order appends
+        if self.refine == "pq2" and self.codebooks2 is not None:
+            self._codes2_pending.append(
+                np.asarray(self._encode_tier2(enc_in, codes)))
+        elif self.refine == "host" and self._host_rows is not None:
+            self._host_pending_rows.append(np.asarray(jnp.clip(
+                jnp.round(enc_in / self._host_scale), -127, 127
+            ).astype(jnp.int8)))
+            self._host_pending_assign.append(
+                np.asarray(a).astype(np.int32))
         self._pending.append(np.asarray(rows8), ids, np.asarray(a))
         self._pending_codes.append(np.asarray(codes))
         self._pending_dev = None
@@ -1774,9 +1976,30 @@ class BandIVFPQIndex(BandIVFIndex):
             )
         return self._dev
 
+    def _refine_scan_state(self):
+        """Device aux for serving DIRECTLY from the residual-int8 refine
+        arena (serve_from='refine'): the refine rows share the code arena's
+        layout (arena-ordered, same offsets), so the residual tiles kernel
+        (ops/pallas_band.py) can scan them with a per-tile-list valid_end
+        mask — no per-candidate gather at all."""
+        assert self.refine == "int8" and self._refine_residual, (
+            "serve_from='refine' needs residual-int8 refine rows")
+        assert not self._segmented, "refined indexes are single-segment"
+        st = self._device_state()
+        if "refine_local" not in st:
+            lens = np.diff(self._offsets)
+            tw = self._tile_window
+            ve = (self._offsets[:-1][tw] + lens[tw]).astype(np.int32)
+            st["refine_valid_end"] = jnp.asarray(ve)
+            if self._codes_row_major:
+                st["refine_local"] = st["local_rm"]
+            else:
+                st["refine_local"] = st["codes"][self.m][None, :]
+        return st
+
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                p_tiles: int = 0, refine_factor: int = 16, n_pools: int = 0,
-               tile_q: int | None = None, **_):
+               tile_q: int | None = None, serve_from: str = "pq", **_):
         """n_pools=0 (auto): enough independent kernel candidate pools to hold
         k_cand = k·refine_factor slots, within a VMEM slot budget that scales
         inversely with the query tile — deep refine_factor (≥ tile_n/k) only
@@ -1789,7 +2012,17 @@ class BandIVFPQIndex(BandIVFIndex):
         value → one extra kernel compile). Smaller tiles make the shared
         tile table per-group more specific — the lever for small/diverse
         batches (see _auto_p_tiles; measured at 2M, B=512: tile_q 128→32
-        lifts recall 0.57→0.93 at the same scanned-tile count)."""
+        lifts recall 0.57→0.93 at the same scanned-tile count).
+
+        serve_from='refine' (r3, residual-int8 refine only): score the
+        REFINE arena directly with the residual tiles kernel instead of
+        PQ-decode + per-candidate gather-rescore. TPU reality (measured,
+        DESIGN.md §11): decode-by-matmul PQ costs ~16k one-hot VPU ops per
+        scanned row per query group vs 768 int8 MXU MACs for the direct
+        scan — whenever the int8 rows fit in HBM (≤ ~16M rows/chip at
+        768-d) the direct scan is BOTH more accurate (no PQ candidate
+        ceiling) and ~10–50× faster. PQ codes remain the memory format for
+        scales where refine rows cannot fit (config #5)."""
         assert self._n, "empty index"
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -1797,6 +2030,25 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.opq_matrix is not None:
             queries = queries @ self.opq_matrix.T
         nq = queries.shape[0]
+        if serve_from == "refine":
+            st = self._refine_scan_state()
+            n_tiles = self._n_pad_rows // self.tile_n
+            tq = tile_q or self.tile_q
+            if p_tiles <= 0:
+                p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
+            q_pad = -(-nq // tq) * tq
+            qp = queries if q_pad == nq else np.concatenate(
+                [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
+            v, gids = _tiles_resid_plan_search(
+                jnp.asarray(qp), st["centroids"], st["refine"],
+                st["refine_local"], st["centroid_tiles"], self._scale,
+                st["ids"], st["tile_window"], st["refine_valid_end"],
+                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
+                interpret=interpret,
+            )
+            v = np.asarray(v)[:nq]
+            gids = np.asarray(gids)[:nq].astype(np.int64)
+            return self._merge_pending_topk(v, gids, queries[:nq], k)
         st = self._device_state()
         n_tiles = self._n_pad_rows // self.tile_n
         tq = tile_q or self.tile_q
@@ -1806,7 +2058,15 @@ class BandIVFPQIndex(BandIVFIndex):
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
         )
-        k_cand = min(max(k * refine_factor, 32), self._n) if self.refine == "int8" else k
+        two_stage = (self.refine == "int8"
+                     or (self.refine == "pq2"
+                         and self.codebooks2 is not None
+                         and (self._codes2 is not None
+                              or bool(self._codes2_pending)))
+                     or (self.refine == "host"
+                         and (self._host_rows is not None
+                              or bool(self._host_pending_rows))))
+        k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
         # scratch+output VMEM ≈ 16·tq·slots bytes; stay under ~4 MB
         slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
         if n_pools <= 0:
@@ -1816,16 +2076,34 @@ class BandIVFPQIndex(BandIVFIndex):
         k_cand = min(k_cand, n_pools * l_buckets)
         nv = (self._seg_n_valid() if self._segmented
               else jnp.asarray(self._n, jnp.int32))
+        qp_dev = jnp.asarray(qp)
+        # for 'pq2'/'host' the kernel stage returns the k_cand-candidate set
+        # (tier-1 scores, refine_scale 0) for the tier-2 rescore below
+        k_stage1 = k if self.refine == "int8" else (k_cand if two_stage else k)
         v, gids = _pq_tiles_plan_search(
-            jnp.asarray(qp), st["centroids"], st["codes"], st["codebooks"],
+            qp_dev, st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
             nv, st.get("local_rm"),
-            k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
+            k=k_stage1, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=tq, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
             l_buckets=l_buckets, refine_residual=self._refine_residual,
         )
+        if two_stage and self.refine == "pq2":
+            v, gids = _pq2_rescore(
+                qp_dev, v, gids, self._codes2_device(),
+                jnp.asarray(self.codebooks2), k=k)
+        elif two_stage and self.refine == "host":
+            host_rows, host_assign = self._host_store()
+            gids_h = np.asarray(gids)
+            g = np.clip(gids_h, 0, host_rows.shape[0] - 1)
+            r8 = host_rows[g]                # host RAM gather (shortlist)
+            assign = host_assign[g].astype(np.int32)
+            v, gids = _host_rescore(
+                qp_dev, v, jnp.asarray(gids_h), jnp.asarray(r8),
+                jnp.asarray(assign), st["centroids"],
+                jnp.float32(self._host_scale), k=k)
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
         return self._merge_pending_topk(v, gids, queries[:nq], k)
@@ -1845,6 +2123,15 @@ class BandIVFPQIndex(BandIVFIndex):
         }
         if self.refine == "int8":
             out["refine_rows"] = np.asarray(self._refine_rows)
+        if self.refine == "pq2" and (self._codes2 is not None
+                                     or self._codes2_pending):
+            out["codes2"] = np.asarray(self._codes2_device())
+            out["codebooks2"] = self.codebooks2
+        if self.refine == "host" and (self._host_rows is not None
+                                      or self._host_pending_rows):
+            rows_h, assign_h = self._host_store()
+            out["host_rows"] = rows_h
+            out["host_assign"] = assign_h
         if self.opq_matrix is not None:
             out["opq_matrix"] = np.asarray(self.opq_matrix)
         return out
@@ -1857,7 +2144,9 @@ class BandIVFPQIndex(BandIVFIndex):
                      "residual": self.residual,
                      "aniso_eta": self.aniso_eta,
                      "refine_residual": self._refine_residual,
-                     "codes_row_major": self._codes_row_major})
+                     "codes_row_major": self._codes_row_major,
+                     "m2": self.m2, "nbits2": self.nbits2,
+                     "host_scale": self._host_scale})
         return meta
 
     @classmethod
@@ -1866,9 +2155,18 @@ class BandIVFPQIndex(BandIVFIndex):
         idx = cls(manifest["dim"], m["nlist"], m["m"], m["nbits"], m["refine"],
                   m["pq_train_iters"], m["kmeans_iters"], m["seed"],
                   m["tile_n"], m["tile_q"], residual=m.get("residual", False),
-                  aniso_eta=m.get("aniso_eta", 0.0))
+                  aniso_eta=m.get("aniso_eta", 0.0),
+                  m2=m.get("m2", 32), nbits2=m.get("nbits2", 8))
         # older manifests carry whole-row refine rows regardless of mode
         idx._refine_residual = m.get("refine_residual", False)
+        idx._host_scale = m.get("host_scale", 0.0)
+        if "codes2" in arrays:
+            idx._codes2 = np.asarray(arrays["codes2"])
+            idx.codebooks2 = np.asarray(arrays["codebooks2"])
+        if "host_rows" in arrays:
+            idx._host_rows = np.asarray(arrays["host_rows"])
+            idx._host_assign = np.array(arrays["host_assign"], np.int32,
+                                        copy=True)
         idx.centroids = np.asarray(arrays["centroids"])
         idx.codebooks = np.asarray(arrays["codebooks"])
         idx._codes_cm = np.asarray(arrays["codes_cm"])

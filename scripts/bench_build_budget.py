@@ -113,24 +113,28 @@ def main():
         return q / jnp.linalg.norm(q, axis=1, keepdims=True)
 
     queries = gen_queries(jax.random.PRNGKey(7777), B)
+    q_raw = np.asarray(queries)  # pre-rotation copy (idx.search rotates)
     q_gt = queries[:NQ_GT]
 
-    # --- exact ground truth --------------------------------------------------
+    # --- exact ground truth (top-128: rows 10.. feed the refine-ceiling
+    # decomposition — a perfect candidate set for the int8 rescore) --------
+    K_CEIL = 128
     t0 = time.perf_counter()
-    best_v = jnp.full((NQ_GT, K), -jnp.inf)
-    best_i = jnp.zeros((NQ_GT, K), jnp.int32)
+    best_v = jnp.full((NQ_GT, K_CEIL), -jnp.inf)
+    best_i = jnp.zeros((NQ_GT, K_CEIL), jnp.int32)
 
     @jax.jit
     def gt_merge(bv, bi, cv, ci, base):
         av = jnp.concatenate([bv, cv], axis=1)
         ai = jnp.concatenate([bi, ci + base], axis=1)
-        v, p = jax.lax.top_k(av, K)
+        v, p = jax.lax.top_k(av, K_CEIL)
         return v, jnp.take_along_axis(ai, p, axis=1)
 
     for ci in range(n_chunks):
-        cv, cidx = tiled_topk(chunk_fn(ci), q_gt, K, tile=8192)
+        cv, cidx = tiled_topk(chunk_fn(ci), q_gt, K_CEIL, tile=8192)
         best_v, best_i = gt_merge(best_v, best_i, cv, cidx, ci * CHUNK)
-    gt = jax.device_get(best_i)
+    gt128 = jax.device_get(best_i)
+    gt = gt128[:, :K]
     print(f"[gt] {time.perf_counter() - t0:.0f} s (not part of the build)",
           flush=True)
 
@@ -153,6 +157,102 @@ def main():
     st = idx._device_state()
     rtt = measure_fetch_rtt()
     nv = jnp.asarray(idx._n, jnp.int32)
+    # the index lives in OPQ-ROTATED space: rotate queries before planning/
+    # scoring, exactly as BandIVFPQIndex.search does. (r2 ran this eval on
+    # UNrotated queries — every r2 config-#3 recall number was depressed by
+    # scoring raw queries against a rotated index.)
+    if idx.opq_matrix is not None:
+        queries = queries @ jnp.asarray(idx.opq_matrix).T
+    # --- serve_from='refine' (r3): residual-int8 scan of the refine arena —
+    # the regime-correct serving mode at ≤ ~16M rows/chip: no PQ candidate
+    # ceiling, no per-candidate gather (see BandIVFPQIndex.search doc) ------
+    for cfg_s in os.environ.get("RF_CFGS", "0:64,512:64,768:64").split(","):
+        p_rf, tq_rf = [int(x) for x in cfg_s.split(":")]
+        p_eff = min(p_rf, n_tiles) if p_rf else 0
+        try:
+            _, f_rf = idx.search(q_raw, K, p_tiles=p_eff, tile_q=tq_rf,
+                                 serve_from="refine")
+            r_rf = recall_at_k(f_rf[:NQ_GT], gt)
+            reps = 8
+            t0 = time.perf_counter()
+            for it in range(reps):  # np outputs fence each call
+                idx.search(np.roll(q_raw, it + 1, axis=0), K, p_tiles=p_eff,
+                           tile_q=tq_rf, serve_from="refine")
+            raw_t = (time.perf_counter() - t0) / reps
+            dt = raw_t if raw_t - rtt < 0.05 * raw_t else raw_t - rtt
+            print(f"[refine-scan] p={p_eff or 'auto'} tq={tq_rf}: "
+                  f"recall@10={r_rf:.4f}  {B/dt:9.0f} qps/chip", flush=True)
+        except Exception as e:
+            print(f"[refine-scan] {cfg_s}: FAILED {type(e).__name__} "
+                  f"{str(e)[:160]}", flush=True)
+
+    # --- decomposition: where does the PQ+gather path lose recall? ---------
+    # (1) refine ceiling: int8-residual rescore of PERFECT (exact top-128)
+    #     candidates — the best any candidate generator could achieve;
+    # (2) PQ candidate recall@k_cand — how much of gt@10 the PQ stage keeps;
+    # (3) PQ-only ranking (no refine) for reference.
+    try:
+        ids_np = np.asarray(idx._ids, np.int64)
+        inv = np.empty(n, np.int64)
+        inv[ids_np[: idx._n]] = np.arange(idx._n)
+        rows128 = inv[gt128]  # (NQ_GT, 128) arena rows of exact candidates
+        assign128 = (np.searchsorted(idx._offsets, rows128, side="right")
+                     - 1).astype(np.int32)
+        qr = queries[:NQ_GT]  # rotated
+        st2 = idx._device_state()
+
+        @jax.jit
+        def ceil_rescore(qrj, rows_d, assign_d):
+            r8 = st2["refine"][rows_d].astype(jnp.float32) * idx._scale
+            dots = qrj @ st2["centroids"].T  # (nq, nlist)
+            ex = (jnp.einsum("bd,brd->br", qrj, r8)
+                  + jnp.take_along_axis(dots, assign_d, axis=1))
+            _, pos = jax.lax.top_k(ex, K)
+            return pos
+
+        pos = jax.device_get(ceil_rescore(
+            qr, jnp.asarray(rows128.astype(np.int32)),
+            jnp.asarray(assign128)))
+        ceil_ids = np.take_along_axis(gt128, pos, axis=1)
+        print(f"[decomp] refine ceiling (int8 rescore of exact top-128): "
+              f"recall@10={recall_at_k(ceil_ids, gt):.4f}", flush=True)
+
+        for k_cand, n_pools, tqd in ((1024, 1, 128), (4096, 4, 64)):
+            lb = idx._derive_l_buckets(k_cand, n_pools)
+            kc = min(k_cand, n_pools * lb)
+            p_d = idx._auto_p_tiles(B, 32, n_tiles, tile_q=tqd)
+            v, g = _pq_tiles_plan_search(
+                queries, st["centroids"], st["codes"], st["codebooks"],
+                st["refine"], st["ids"], st["tile_window"],
+                st["centroid_tiles"], nv, st.get("local_rm"),
+                k=kc, k_cand=kc, p_tiles=p_d, tile_n=idx.tile_n, tile_q=tqd,
+                interpret=False, refine_scale=0.0,  # raw candidates
+                row_major=idx._codes_row_major, n_pools=n_pools,
+                l_buckets=lb, refine_residual=False,
+            )
+            cand = jax.device_get(g)[:NQ_GT]
+            hit = np.zeros(gt.shape, bool)
+            for b_ in range(NQ_GT):
+                hit[b_] = np.isin(gt[b_], cand[b_])
+            print(f"[decomp] PQ candidate recall@{kc} (pools={n_pools} "
+                  f"tq={tqd} p={p_d}): {hit.mean():.4f}", flush=True)
+
+        v10, g10 = _pq_tiles_plan_search(
+            queries, st["centroids"], st["codes"], st["codebooks"],
+            st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
+            nv, st.get("local_rm"),
+            k=K, k_cand=K, p_tiles=idx._auto_p_tiles(B, 32, n_tiles,
+                                                     tile_q=64),
+            tile_n=idx.tile_n, tile_q=64, interpret=False, refine_scale=0.0,
+            row_major=idx._codes_row_major, n_pools=1,
+            l_buckets=idx._derive_l_buckets(K, 1), refine_residual=False,
+        )
+        print(f"[decomp] PQ-only ranking: "
+              f"recall@10={recall_at_k(jax.device_get(g10)[:NQ_GT], gt):.4f}",
+              flush=True)
+    except Exception as e:
+        print(f"[decomp] FAILED {type(e).__name__} {str(e)[:200]}", flush=True)
+
     cfg_list = (sys.argv[2].split(",") if len(sys.argv) > 2
                 else ["0:1024:1:128", "0:4096:4:64", "512:4096:4:64"])
     for cfg_s in cfg_list:

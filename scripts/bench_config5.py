@@ -1,15 +1,19 @@
 """BASELINE config #5 per-chip share: 1B/8 = 125M×768 OPQ+IVF-PQ (m=64),
-PQ-only serving (refine='none' — int8 refine rows for 125M would need 96 GB),
 device-resident streaming build + incremental updates.
 
 Usage: python scripts/bench_config5.py [N_millions=125] [nlist=16384] [p_tiles]
+Env:   REFINE=pq2|none|host (default pq2), M2=32, ANISO_ETA, BENCH_TILE_N
 
-The PQ codes for 125M rows are 8.1 GB — they are built and served entirely
-in HBM (build_device_streaming). Recall is measured against exact streamed
-f32 ground truth; PQ-only recall is reconstruction-ceiling-limited by design
-(DESIGN.md §1 — the 1B config trades recall ceiling for 12× memory), so the
-numbers here demonstrate CAPACITY + build pipeline + QPS at the full
-config-#5 per-chip scale, with the known ceiling stated honestly.
+The PQ codes for 125M rows are 8.1 GB — built and served entirely in HBM
+(build_device_streaming). refine='pq2' (r3) adds an in-HBM tier-2 PQ
+(+m2 bytes/row, 4 GB at m2=32) trained on the tier-1 reconstruction error:
+candidates from the tile kernel are re-ranked by tier-1 score + tier-2 ADC
+correction — the refine tier that still fits at 125M rows/chip where int8
+rows (96 GB) cannot. refine='host' (int8 residual rows in host RAM, exact
+rescore) is supported by the index but not benched here: building it ships
+96 GB device→host, which is a ~10 s PCIe copy on real hardware but hours
+through this dev tunnel (bandwidth math in ivf_band.py __init__ doc).
+Recall is measured against exact streamed f32 ground truth.
 """
 
 import functools
@@ -41,11 +45,14 @@ def main():
     # at 122k+ tiles the (n_qt, p) scalar-prefetch table hits the SMEM
     # ceiling near p=4096 — coarser tiles halve the table at equal coverage
     tile_n = int(os.environ.get("BENCH_TILE_N", "1024"))
+    refine = os.environ.get("REFINE", "pq2")
+    m2 = int(os.environ.get("M2", "32"))
     n = int(n_m * 1e6)
     n_chunks = -(-n // CHUNK)
     sizes = [CHUNK] * (n // CHUNK) + ([n % CHUNK] if n % CHUNK else [])
-    print(f"config#5 slice: N={n} D={D} m=64 nbits=8 OPQ refine=none "
-          f"nlist={nlist} chunks={n_chunks} aniso_eta={aniso_eta}", flush=True)
+    print(f"config#5 slice: N={n} D={D} m=64 nbits=8 OPQ refine={refine} "
+          f"m2={m2} nlist={nlist} chunks={n_chunks} aniso_eta={aniso_eta}",
+          flush=True)
 
     kw, kc = jax.random.split(jax.random.PRNGKey(1000))
     w = jax.random.normal(kw, (LATENT, D), jnp.float32) / (LATENT ** 0.5)
@@ -94,15 +101,16 @@ def main():
     t0 = time.perf_counter()
     idx = BandIVFPQIndex.build_device_streaming(
         chunk_fn, n_chunks, nlist=nlist, m=64, nbits=8, opq=True,
-        refine="none", kmeans_iters=8, pq_train_iters=6,
-        aniso_eta=aniso_eta, tile_n=tile_n,
+        refine=refine, kmeans_iters=8, pq_train_iters=6,
+        aniso_eta=aniso_eta, tile_n=tile_n, m2=m2,
     )
     build_s = time.perf_counter() - t0
     n_tiles = idx._n_pad_rows // idx.tile_n
     codes_gb = (sum(s.size for s in idx._codes_cm) if idx._segmented
                 else idx._codes_cm.size) / 1e9
-    print(f"[build] {build_s:.0f} s; codes in HBM: {codes_gb:.1f} GB; "
-          f"n_tiles={n_tiles}", flush=True)
+    c2_gb = (idx._codes2.size / 1e9 if idx._codes2 is not None else 0.0)
+    print(f"[build] {build_s:.0f} s; HBM: tier-1 codes {codes_gb:.1f} GB"
+          f" + tier-2 {c2_gb:.1f} GB; n_tiles={n_tiles}", flush=True)
 
     # --- recall + fenced QPS ----------------------------------------------------
     st = idx._device_state()
@@ -140,8 +148,35 @@ def main():
             acc = acc + jnp.sum(vv)
         float(acc)
         dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        print(f"[eval] p_tiles={p_tiles:6d} ({p_tiles/n_tiles:5.1%}): "
-              f"recall@10={r:.4f}  {B*reps/dt:8.0f} qps/chip", flush=True)
+        print(f"[eval] tier1-only p_tiles={p_tiles:6d} "
+              f"({p_tiles/n_tiles:5.1%}): recall@10={r:.4f}  "
+              f"{B*reps/dt:8.0f} qps/chip", flush=True)
+
+        if refine == "pq2":  # two-stage: tier-1 candidates + tier-2 rescore
+            # tile_q stays 128: at p=4096 the (n_qt, p) scalar-prefetch
+            # table sits at the 512 KB SMEM edge already (see module doc)
+            for rf, npool, tq2 in ((102, 2, 128), (205, 4, 128)):
+                try:
+                    qn = np.asarray(queries)
+                    _, g2 = idx.search(qn, K, p_tiles=p_tiles,
+                                       refine_factor=rf, n_pools=npool,
+                                       tile_q=tq2)
+                    r2 = recall_at_k(g2[:NQ_GT], gt)
+                    reps2 = 4
+                    t0 = time.perf_counter()
+                    for it in range(reps2):  # np outputs fence each call
+                        idx.search(np.roll(qn, it + 1, axis=0), K,
+                                   p_tiles=p_tiles, refine_factor=rf,
+                                   n_pools=npool, tile_q=tq2)
+                    raw_t = (time.perf_counter() - t0) / reps2
+                    dt2 = (raw_t if raw_t - rtt < 0.05 * raw_t
+                           else raw_t - rtt)
+                    print(f"[eval] pq2 p={p_tiles} k_cand={rf*K} "
+                          f"pools={npool} tq={tq2}: recall@10={r2:.4f}  "
+                          f"{B/dt2:8.0f} qps/chip", flush=True)
+                except Exception as e:
+                    print(f"[eval] pq2 rf={rf}: FAILED {type(e).__name__} "
+                          f"{str(e)[:160]}", flush=True)
 
     # --- incremental updates (config #5 requirement) ---------------------------
     extra = gen(jax.random.PRNGKey(999_999), 8192)

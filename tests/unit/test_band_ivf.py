@@ -351,6 +351,82 @@ def test_pq_multi_pool_scores_match_reconstruction(data):
         np.testing.assert_allclose(s[row], ip, rtol=2e-2, atol=2e-2)
 
 
+def test_pq_serve_from_refine(data):
+    """r3: serve_from='refine' scans the residual-int8 refine arena with the
+    tiles kernel — recall must at least match the PQ+gather-refine path at
+    the same coverage (it removes the PQ candidate-generation ceiling)."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, refine="int8", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16, residual=True,
+    )
+    p_all = idx._n_pad_rows // idx.tile_n
+    _, f_pq = idx.search(q, 10, interpret=True, p_tiles=p_all, tile_q=16)
+    _, f_rf = idx.search(q, 10, interpret=True, p_tiles=p_all, tile_q=16,
+                         serve_from="refine")
+    r_pq, r_rf = recall_at_k(f_pq, gt), recall_at_k(f_rf, gt)
+    assert r_rf >= max(0.9, r_pq - 0.01), (r_pq, r_rf)
+    # OPQ path: queries rotate before planning; still near-exact
+    idx2 = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, refine="int8", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16, residual=True, opq=True,
+    )
+    _, f_o = idx2.search(q, 10, interpret=True, p_tiles=p_all, tile_q=16,
+                         serve_from="refine")
+    assert recall_at_k(f_o, gt) >= 0.9
+
+
+def test_pq2_and_host_refine_tiers(data, tmp_path):
+    """r3 config-#5 refine tiers: 'pq2' (in-HBM tier-2 ADC correction) must
+    beat PQ-only ranking; 'host' (exact int8 rescore of the shortlist from
+    host RAM) must be at least as good as pq2. Both survive add()+merge and
+    save/load."""
+    from cloudvectordb_tpu.index import load_index
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    kw = dict(nlist=16, m=8, nbits=4, kmeans_iters=6, pq_train_iters=6,
+              tile_n=256, tile_q=16)
+    base = BandIVFPQIndex.build(db, refine="none", **kw)
+    pq2 = BandIVFPQIndex.build(db, refine="pq2", m2=16, **kw)
+    host = BandIVFPQIndex.build(db, refine="host", **kw)
+    p_all = pq2._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, f0 = base.search(q, 10, **skw)
+    _, f2 = pq2.search(q, 10, **skw)
+    _, fh = host.search(q, 10, **skw)
+    r0 = recall_at_k(f0, gt)
+    r2 = recall_at_k(f2, gt)
+    rh = recall_at_k(fh, gt)
+    assert r2 >= r0 + 0.02, (r0, r2)   # tier-2 adds real information
+    assert rh >= r2 - 0.01, (r2, rh)   # exact rescore ≥ tier-2 PQ
+    assert rh >= 0.9, rh
+
+    # adds: tier-2 stores are gid-keyed → survive the pending/merge cycle
+    for idx in (pq2, host):
+        before = idx.ntotal
+        idx.add(db[:50])
+        assert idx.ntotal == before + 50
+        _, fs = idx.search(db[:8], 1, **skw)
+        assert ((fs[:, 0] == np.arange(8)) | (fs[:, 0] >= before)).all()
+        idx.merge_pending()
+        _, fs2 = idx.search(db[:8], 1, **skw)
+        assert ((fs2[:, 0] == np.arange(8)) | (fs2[:, 0] >= before)).all()
+
+    # save/load round-trip keeps the tier-2 stores
+    pq2.save(tmp_path / "pq2")
+    host.save(tmp_path / "host")
+    l2, lh = load_index(tmp_path / "pq2"), load_index(tmp_path / "host")
+    assert l2.codebooks2 is not None and l2._codes2 is not None
+    assert lh._host_rows is not None and lh._host_scale > 0
+    _, g2 = l2.search(q, 10, **skw)
+    _, gh = lh.search(q, 10, **skw)
+    assert recall_at_k(g2, gt) >= r2 - 0.03
+    assert recall_at_k(gh, gt) >= rh - 0.03
+
+
 def test_slack_build_parity_and_masking(data):
     """slack>0 changes arena LAYOUT only: same rows, same quantizer, same
     scores — full-coverage results must match the compact build. Hole slots
