@@ -1,0 +1,92 @@
+"""Op-point auto-tuner (SURVEY.md §7.1 M8; round-3 VERDICT item 5).
+
+``Index.tune(queries, target_recall)`` replaces hand-carried env knobs
+(p_tiles / tile_q / k_cand / n_pools / nprobe): each index family supplies a
+cost-ordered candidate ladder (``Index._tune_candidates``) and a max-effort
+reference config (``Index._tune_reference_kw``); the engine here walks the
+ladder cheapest-first, measures recall@k of each candidate against the
+reference (or a caller-supplied exact ground truth), stops at the first
+config meeting the target, and times that config honestly (distinct inputs
+per rep, relay RTT subtracted — eval/qps.py rules). The chosen op point is
+stored on the index (``_op_point``) where ``search()`` picks it up for any
+knob the caller leaves at its sentinel default, and persisted in the
+artifact manifest so a loaded index serves tuned out of the box.
+
+Recall semantics: with ``gt=None`` the reference is the index's OWN
+max-effort configuration, so recall is relative to the index's ceiling
+(quantizer loss excluded) — the right objective for knob tuning. Pass an
+exact ``gt`` (brute-force ids) to tune against absolute recall instead.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from cloudvectordb_tpu.eval.recall import recall_at_k
+
+
+def _time_search(index, queries, k: int, kw: dict, iters: int = 3) -> dict:
+    """Honest wall-clock of index.search: numpy outputs fence every call;
+    distinct inputs per rep defeat the relay's result cache; RTT subtracted
+    unless it dominates (then the raw rate is reported as a lower bound)."""
+    from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
+
+    rtt = measure_fetch_rtt()
+    t0 = time.perf_counter()
+    for it in range(iters):
+        index.search(np.roll(queries, it + 1, axis=0), k, **kw)
+    raw = (time.perf_counter() - t0) / iters
+    rtt_bound = raw - rtt < 0.05 * raw
+    dt = raw if rtt_bound else raw - rtt
+    return {
+        "qps": queries.shape[0] / dt,
+        "qps_raw": queries.shape[0] / raw,
+        "rtt_bound": bool(rtt_bound),
+        "latency_ms": 1000.0 * dt,
+    }
+
+
+def tune_index(
+    index,
+    queries,
+    k: int = 10,
+    target_recall: float = 0.95,
+    gt: np.ndarray | None = None,
+    time_iters: int = 3,
+    verbose: bool = False,
+) -> dict:
+    """Walk the index's candidate ladder; return the chosen op point.
+
+    Returns ``{"op": dict, "recall": float, "met": bool, "qps": float,
+    "qps_raw": float, "rtt_bound": bool, "latency_ms": float,
+    "tried": [...]}. ``met=False`` means no candidate reached the target
+    and ``op`` is the best-recall candidate instead (its recall is
+    reported). The ladder is cost-ordered, so the first hit is the
+    cheapest serving config at the target."""
+    queries = np.asarray(queries, np.float32)
+    nq = queries.shape[0]
+    if gt is None:
+        _, gt = index.search(queries, k, **index._tune_reference_kw(nq))
+    candidates = index._tune_candidates(nq)
+    assert candidates, "index supplied an empty tune ladder"
+    tried = []
+    best = None  # (recall, cfg) fallback when nothing meets target
+    chosen = None
+    for cfg in candidates:
+        _, found = index.search(queries, k, **cfg)
+        r = float(recall_at_k(found, gt))
+        tried.append({**cfg, "recall": r})
+        if verbose:
+            print(f"[tune] {cfg}: recall@{k}={r:.4f}", flush=True)
+        if best is None or r > best[0]:
+            best = (r, cfg)
+        if r >= target_recall:
+            chosen = (r, cfg)
+            break
+    met = chosen is not None
+    recall, op = chosen if met else best
+    timing = _time_search(index, queries, k, op, iters=time_iters)
+    return {"op": dict(op), "recall": recall, "met": met, **timing,
+            "tried": tried}

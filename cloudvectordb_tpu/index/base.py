@@ -27,6 +27,10 @@ class Index(abc.ABC):
     kind: str = "abstract"
     metric: str = "ip"
     dim: int = 0
+    #: tuned serving knobs (eval/tune.py) — search() uses these for any
+    #: parameter the caller leaves at its sentinel default; persisted in
+    #: the manifest so loaded indexes serve tuned without re-sweeping
+    _op_point: dict | None = None
 
     @property
     @abc.abstractmethod
@@ -40,6 +44,29 @@ class Index(abc.ABC):
     @abc.abstractmethod
     def search(self, queries, k: int, **kw) -> tuple[np.ndarray, np.ndarray]:
         """Return (scores (Q, k), ids (Q, k)); larger score is better."""
+
+    # -- op-point tuning (eval/tune.py) -----------------------------------
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        """Cost-ordered ladder of search() kwarg dicts for the tuner."""
+        raise NotImplementedError(f"{self.kind} does not support tune()")
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        """Max-effort search() kwargs — the tuner's self-relative reference
+        when no exact ground truth is supplied."""
+        raise NotImplementedError
+
+    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
+             gt: np.ndarray | None = None, time_iters: int = 3,
+             verbose: bool = False) -> dict:
+        """Pick the cheapest serving config meeting ``target_recall`` on
+        ``queries`` and make it this index's default op point (also saved
+        in the manifest). Returns the tune report — see eval/tune.py."""
+        from cloudvectordb_tpu.eval.tune import tune_index
+
+        report = tune_index(self, queries, k, target_recall, gt,
+                            time_iters=time_iters, verbose=verbose)
+        self._op_point = report["op"]
+        return report
 
     # -- persistence ------------------------------------------------------
     @abc.abstractmethod
@@ -70,6 +97,7 @@ class Index(abc.ABC):
                 "dim": self.dim,
                 "ntotal": self.ntotal,
                 "meta": self._state_meta(),
+                "op_point": self._op_point,
                 **(extra_meta or {}),
             }
             manifest["arrays"] = sorted(arrays)

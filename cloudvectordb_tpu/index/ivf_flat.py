@@ -166,9 +166,12 @@ class IVFFlatIndex(Index):
             )
         return self._dev
 
-    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256):
+    def search(self, queries, k: int, nprobe: int | None = None,
+               batch: int = 256):
         assert self.is_trained
         queries = np.asarray(queries, np.float32)
+        if nprobe is None:  # tuned op point (Index.tune), else default 8
+            nprobe = (self._op_point or {}).get("nprobe", 8)
         nprobe = min(nprobe, self.nlist)
         st = self._device_state()
         outs_v, outs_i = [], []
@@ -211,6 +214,18 @@ class IVFFlatIndex(Index):
             outs_v.append(np.asarray(v))
             outs_i.append(np.asarray(i))
         return np.concatenate(outs_v), np.concatenate(outs_i)
+
+    # -- op-point tuning (eval/tune.py) -----------------------------------
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        p, out = 1, []
+        while p < self.nlist:
+            out.append({"nprobe": p})
+            p *= 2
+        out.append({"nprobe": self.nlist})
+        return out
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        return {"nprobe": self.nlist}  # ≡ exhaustive scan (recall ceiling)
 
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):

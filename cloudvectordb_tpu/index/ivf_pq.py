@@ -373,15 +373,22 @@ class IVFPQIndex(Index):
             )
         return self._dev
 
-    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256,
-               refine_factor: int = 16):
+    def search(self, queries, k: int, nprobe: int | None = None,
+               batch: int = 256, refine_factor: int | None = None):
         """With refine enabled, the ADC stage retrieves refine_factor·k
         candidates which are exactly re-scored from the int8 store — PQ
-        becomes the candidate generator, recall is refine-limited."""
+        becomes the candidate generator, recall is refine-limited.
+        nprobe/refine_factor default to the tuned op point (Index.tune)
+        when one is set, else 8 / 16."""
         assert self.is_trained
         self.merge_pending()  # pending rows are PQ codes; simplest correct path
         raw_queries = np.asarray(queries, np.float32)
         queries = self._rotate(raw_queries) if self.opq_matrix is not None else raw_queries
+        op = self._op_point or {}
+        if nprobe is None:
+            nprobe = op.get("nprobe", 8)
+        if refine_factor is None:
+            refine_factor = op.get("refine_factor", 16)
         nprobe = min(nprobe, self.nlist)
         do_refine = self.refine == "int8" and self._refine_rows.shape[0]
         kk = min(max(k * refine_factor, 32), self.ntotal) if do_refine else k
@@ -413,6 +420,35 @@ class IVFPQIndex(Index):
             outs_v.append(np.asarray(v))
             outs_i.append(np.asarray(i))
         return np.concatenate(outs_v), np.concatenate(outs_i)
+
+    # -- op-point tuning (eval/tune.py) -----------------------------------
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        """nprobe ladder × refine depth. Cost ∝ nprobe (scan) + rf·k
+        (gather-rescore): walk nprobe at the cheap depth first, escalating
+        refine_factor only where candidate generation stops being the
+        bottleneck (deep refine without coverage is wasted gathers)."""
+        rfs = (16, 64) if self.refine == "int8" else (None,)
+        out = []
+        p = 1
+        while p < self.nlist:
+            for rf in rfs:
+                out.append({"nprobe": p} if rf is None
+                           else {"nprobe": p, "refine_factor": rf})
+            p *= 2
+        for rf in rfs:
+            out.append({"nprobe": self.nlist} if rf is None
+                       else {"nprobe": self.nlist, "refine_factor": rf})
+        out.sort(key=lambda c: c["nprobe"] * (1 + c.get("refine_factor", 0)
+                                              / 64.0))
+        return out
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        # full probe + deep refine ≈ the index's recall ceiling (exact when
+        # refine='int8'; PQ-reconstruction-limited otherwise)
+        kw = {"nprobe": self.nlist}
+        if self.refine == "int8":
+            kw["refine_factor"] = 64
+        return kw
 
     def reconstruct(self, ids) -> np.ndarray:
         """Near-exact rows (ORIGINAL space) for the given global ids: the

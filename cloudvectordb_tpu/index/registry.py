@@ -117,4 +117,7 @@ def load_index(path: str | Path, mmap: bool = True, mesh=None) -> Index:
     manifest = Index.read_manifest(path)
     arrays = Index.load_arrays(path, mmap=mmap)
     cls = _KINDS[manifest["kind"]]
-    return cls._from_state(manifest, arrays)
+    idx = cls._from_state(manifest, arrays)
+    if manifest.get("op_point"):  # tuned serving knobs (eval/tune.py)
+        idx._op_point = dict(manifest["op_point"])
+    return idx
