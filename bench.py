@@ -124,6 +124,23 @@ def main() -> None:
         idx = BandIVFIndex.build_device_streaming(
             chunk_fn, n_chunks, nlist=NLIST, kmeans_iters=10, residual=True,
         )
+        if os.environ.get("BENCH_TUNE"):
+            # r3: no hand-set knobs — Index.tune picks the op point against
+            # the index's own full-coverage ceiling, then search() serves it
+            import numpy as np
+
+            q_np = np.asarray(queries)
+            report = idx.tune(q_np, k=K, target_recall=0.95, time_iters=4,
+                              verbose=True)
+            op = report["op"]
+            _, g = idx.search(q_np, K)
+            recall = recall_at_k(g[:NQ_GT], gt)  # vs EXACT gt, not ceiling
+            n_tiles = idx._tune_n_tiles()
+            return (
+                f"resid8_tiles_TUNED_qps_{n}x{D}_k{K}_p{op['p_tiles']}"
+                f"of{n_tiles}_tq{op['tile_q']}_recall{recall:.3f}",
+                report["qps"],
+            )
         st = idx._device_state()
         n_tiles = int(idx._payload.shape[0]) // idx.tile_n
         p_tiles = min(P_TILES, n_tiles)

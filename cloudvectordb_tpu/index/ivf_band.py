@@ -298,6 +298,36 @@ def _pending_scan(q, rows, scale, n_valid, *, k):
     return jax.lax.top_k(s, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "resid"))
+def _annex_scan(q, rows8, assign, centroids, scale, n_valid, *, k, resid):
+    """Exact top-k over the device ANNEX arena (int8 rows folded from
+    pending — see _fold_pending): one bf16 matmul over the annex + the
+    exact centroid term for residual rows. Scores are dequantized IP,
+    merge-comparable with both the arena kernel and the pending scan."""
+    ex = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), rows8.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+    if resid:
+        dots = jax.lax.dot_general(
+            q, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ex = ex + dots[:, assign]
+    mask = jnp.arange(rows8.shape[0]) < n_valid
+    ex = jnp.where(mask[None, :], ex, -jnp.inf)
+    return jax.lax.top_k(ex, k)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _annex_append(rows, assign, new_rows, new_assign, start):
+    """Donated in-place append into the annex capacity buffers. new_rows is
+    padded to a power-of-2 row count so repeat folds reuse the executable;
+    callers guarantee start + new_rows.shape[0] <= capacity (no clamp)."""
+    rows = jax.lax.dynamic_update_slice(rows, new_rows, (start, 0))
+    assign = jax.lax.dynamic_update_slice(assign, new_assign, (start,))
+    return rows, assign
+
+
 class BandIVFIndex(Index):
     kind = "band_ivf"
 
@@ -367,6 +397,9 @@ class BandIVFIndex(Index):
         self._pending = PendingBuffer(dim, np_dt)
         self._pending_dev = None
         self.merge_threshold = 0.05  # merge when pending > 5% of arena
+        # device ANNEX arena: pending folds here when the MAIN arena is
+        # device-resident (r3 — _fold_pending; rows/assign jnp, ids host np)
+        self._annex: dict | None = None
 
     @property
     def _n_valid(self) -> int:
@@ -378,7 +411,8 @@ class BandIVFIndex(Index):
 
     @property
     def ntotal(self) -> int:
-        return self._n_valid + self._pending.size
+        ax = self._annex["n"] if self._annex is not None else 0
+        return self._n_valid + self._pending.size + ax
 
     @classmethod
     def build(
@@ -750,14 +784,14 @@ class BandIVFIndex(Index):
                 if self._pending.size > max(
                         self.merge_threshold * self._n_valid,
                         4 * self.tile_n):
-                    self.merge_pending()
+                    self._fold_pending()
             return
         payload = self._quantize_rows(vectors, a)
         self._pending.append(np.asarray(payload), ids, np.asarray(a))
         self._pending_dev = None
         if self._pending.size > max(self.merge_threshold * self._n,
                                     4 * self.tile_n):
-            self.merge_pending()
+            self._fold_pending()
 
     def _quantize_rows(self, vectors, assigns):
         """f32 device rows → arena payload dtype under the existing scale.
@@ -771,12 +805,80 @@ class BandIVFIndex(Index):
             ).astype(jnp.int8)
         return vectors.astype(jnp.float32)
 
-    def merge_pending(self) -> None:
-        """Fold pending rows into the arena: one native counting sort of the
-        union (no re-quantization — scales are already unified)."""
+    def _fold_pending(self) -> None:
+        """Threshold-triggered pending fold. Device-resident int8 arenas
+        fold into the device ANNEX (r3, VERDICT item 6): the 12.5M/chip
+        arena is 9.6 GB — the full-compact host round-trip
+        (merge_pending) costs ~GB-scale PCIe traffic and CANNOT run
+        device-side either, since HBM won't hold two arena copies for a
+        re-sort. The annex keeps merged adds device-resident and exactly
+        searchable (one small matmul per query batch, _annex_scan);
+        merge_pending (save/compact) folds it back through the host."""
+        if (isinstance(self._payload, jax.Array)
+                and self.dtype == "int8"):
+            self._fold_pending_annex()
+        else:
+            self.merge_pending()
+
+    def _fold_pending_annex(self) -> None:
         if self._pending.size == 0:
             return
-        p, pids, passign = self._pending.drain()
+        rows8, pids, passign = self._pending.drain()
+        self._pending_dev = None
+        n_new = rows8.shape[0]
+        npad = _next_pow2(max(n_new, 1024))
+        if self._annex is None:
+            cap = max(npad, 8192)
+            self._annex = dict(
+                rows=jnp.zeros((cap, self.dim), jnp.int8),
+                assign=jnp.zeros((cap,), jnp.int32),
+                ids=np.full(cap, -1, np.int64), n=0)
+        ax = self._annex
+        cap = ax["ids"].shape[0]
+        if ax["n"] + npad > cap:  # grow ×pow2 (annex-only device copy)
+            cap = _next_pow2(ax["n"] + npad)
+            ax["rows"] = (jnp.zeros((cap, self.dim), jnp.int8)
+                          .at[: ax["rows"].shape[0]].set(ax["rows"]))
+            ax["assign"] = (jnp.zeros((cap,), jnp.int32)
+                            .at[: ax["assign"].shape[0]].set(ax["assign"]))
+            ids2 = np.full(cap, -1, np.int64)
+            ids2[: ax["n"]] = ax["ids"][: ax["n"]]
+            ax["ids"] = ids2
+        pad_rows = np.zeros((npad, self.dim), np.int8)
+        pad_rows[:n_new] = rows8
+        pad_assign = np.zeros(npad, np.int32)
+        pad_assign[:n_new] = passign
+        ax["rows"], ax["assign"] = _annex_append(
+            ax["rows"], ax["assign"], jnp.asarray(pad_rows),
+            jnp.asarray(pad_assign), ax["n"])
+        ax["ids"][ax["n"] : ax["n"] + n_new] = pids
+        ax["n"] += n_new
+
+    def merge_pending(self) -> None:
+        """Fold pending (and any device annex) into the arena: one native
+        counting sort of the union (no re-quantization — scales are already
+        unified). For device-resident arenas this is the COMPACT path (the
+        payload crosses to the host once); serving-path folds use
+        _fold_pending instead."""
+        ax = self._annex if (self._annex is not None
+                             and self._annex["n"]) else None
+        if self._pending.size == 0 and ax is None:
+            return
+        if self._pending.size:
+            p, pids, passign = self._pending.drain()
+        else:
+            p = np.zeros((0, self.dim),
+                         np.int8 if self.dtype == "int8" else np.float32)
+            pids = np.zeros(0, np.int64)
+            passign = np.zeros(0, np.int64)
+        if ax is not None:
+            axn = ax["n"]
+            p = np.concatenate(
+                [p, np.asarray(ax["rows"][:axn]).astype(p.dtype)])
+            pids = np.concatenate([pids, ax["ids"][:axn]])
+            passign = np.concatenate(
+                [passign, np.asarray(ax["assign"][:axn], passign.dtype)])
+            self._annex = None
         self._pending_dev = None
         if self._n:
             cap_assign = np.repeat(
@@ -827,20 +929,32 @@ class BandIVFIndex(Index):
         return self._scale if self.dtype == "int8" else 1.0
 
     def _merge_pending_topk(self, v, gids, queries, k):
-        """Merge arena top-k (host np) with an exact device scan of pending."""
+        """Merge arena top-k (host np) with exact device scans of the
+        pending buffer and (if present) the device annex arena."""
+        extra_v, extra_i = [], []
         pdev = self._pending_device()
-        if pdev is None:
+        if pdev is not None:
+            rows_dev, pids, n_pend = pdev
+            scale = self._pending_scan_scale()
+            pv, pi = _pending_scan(
+                jnp.asarray(queries, jnp.float32), rows_dev, scale, n_pend,
+                k=min(k, n_pend),
+            )
+            extra_v.append(np.asarray(pv))
+            extra_i.append(pids[np.asarray(pi)])
+        ax = self._annex
+        if ax is not None and ax["n"]:
+            av, ap = _annex_scan(
+                jnp.asarray(queries, jnp.float32), ax["rows"], ax["assign"],
+                jnp.asarray(self.centroids), self._scale, ax["n"],
+                k=min(k, ax["n"]), resid=self._resid8,
+            )
+            extra_v.append(np.asarray(av))
+            extra_i.append(ax["ids"][np.asarray(ap)])
+        if not extra_v:
             return v, gids
-        rows_dev, pids, n_pend = pdev
-        scale = self._pending_scan_scale()
-        kp = min(k, n_pend)
-        pv, pi = _pending_scan(
-            jnp.asarray(queries, jnp.float32), rows_dev, scale, n_pend, k=kp
-        )
-        pv = np.asarray(pv)
-        pgid = pids[np.asarray(pi)]
-        all_v = np.concatenate([v, pv], axis=1)
-        all_i = np.concatenate([gids, pgid], axis=1)
+        all_v = np.concatenate([v, *extra_v], axis=1)
+        all_i = np.concatenate([gids, *extra_i], axis=1)
         sel = np.argsort(-all_v, axis=1, kind="stable")[:, :k]
         return (np.take_along_axis(all_v, sel, 1),
                 np.take_along_axis(all_i, sel, 1))
@@ -865,11 +979,24 @@ class BandIVFIndex(Index):
                 dec = dec + self.centroids[assign]
             out[arena_mask] = dec
         if (~arena_mask).any():
-            assert snap is not None, "id not in arena and no pending rows"
-            p_rows, p_ids, p_assign = snap
+            p_rows = np.zeros((0, self.dim), np.float32)
+            p_ids = np.zeros(0, np.int64)
+            p_assign = np.zeros(0, np.int64)
+            if snap is not None:
+                p_rows, p_ids, p_assign = snap
+            if self._annex is not None and self._annex["n"]:
+                axn = self._annex["n"]
+                p_rows = np.concatenate(
+                    [np.asarray(p_rows), np.asarray(self._annex["rows"][:axn])])
+                p_ids = np.concatenate([p_ids, self._annex["ids"][:axn]])
+                p_assign = np.concatenate(
+                    [p_assign, np.asarray(self._annex["assign"][:axn],
+                                          np.int64)])
+            assert p_rows.shape[0], "id not in arena and no pending rows"
             ppos = np.full(self.ntotal, -1, np.int64)
             ppos[p_ids] = np.arange(p_rows.shape[0])
             sel = ppos[ids[~arena_mask]]
+            assert (sel >= 0).all(), "unknown id"
             dec = p_rows[sel].astype(np.float32) * scale
             if self._resid8:
                 dec = dec + self.centroids[p_assign[sel]]
@@ -911,6 +1038,11 @@ class BandIVFIndex(Index):
         if interpret is None:  # Mosaic only exists on TPU; interpret elsewhere
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
+        op = self._op_point or {}  # tuned knobs fill sentinel defaults
+        if p_tiles <= 0:
+            p_tiles = op.get("p_tiles", 0)
+        if tile_q is None:
+            tile_q = op.get("tile_q")
         if strategy == "tiles":
             return self._search_tiles(queries, k, nprobe, p_tiles, interpret,
                                       scoring, tile_q)
@@ -975,6 +1107,44 @@ class BandIVFIndex(Index):
         span = min(self.nlist * g / max(nq, 1), float(g) * nprobe)
         margin = max(8.0, nprobe * max(r, 0.25))
         return int(min(n_tiles, max(8, int(np.ceil(span * r + margin)))))
+
+    # -- op-point tuning (eval/tune.py) -----------------------------------
+    def _tune_tile_qs(self, nq: int) -> list[int]:
+        """Query-tile sizes worth trying: smaller tiles make the shared
+        tile table per-group more specific (the small/diverse-batch lever,
+        see _auto_p_tiles) at more planning work. Bucketed to the values
+        the benches use so kernel compiles stay cache-warm."""
+        cand = {self.tile_q, 32, 64, 128}
+        return sorted(t for t in cand if t <= max(32, nq))
+
+    def _tune_n_tiles(self) -> int:
+        n_rows = getattr(self, "_n_pad_rows", None)
+        if n_rows is None:  # base band arena: padded payload rows
+            n_rows = int(self._payload.shape[0])
+        return n_rows // self.tile_n
+
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        n_tiles = self._tune_n_tiles()
+        seen, out = set(), []
+        for tq in self._tune_tile_qs(nq):
+            base = self._auto_p_tiles(nq, 32, n_tiles, tile_q=tq)
+            for mult in (1.0, 1.5, 2.5, 4.0, 7.0, 12.0):
+                # bucket to multiples of 32: distinct p_tiles values are
+                # distinct kernel compiles through the remote tunnel
+                p = min(n_tiles, max(32, int(base * mult) // 32 * 32))
+                if (p, tq) not in seen:
+                    seen.add((p, tq))
+                    out.append({"p_tiles": p, "tile_q": tq})
+                if p >= n_tiles:
+                    break
+        # scan cost ∝ p_tiles · query-groups; prefer larger tile_q at equal
+        # coverage (fewer groups, one shared table each)
+        out.sort(key=lambda c: (c["p_tiles"], -c["tile_q"]))
+        return out
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        # full tile coverage ≡ an exact scan up to arena quantization
+        return {"p_tiles": self._tune_n_tiles()}
 
     def _search_band(self, queries, k: int, nprobe: int, interpret: bool):
         nq = queries.shape[0]
@@ -1997,9 +2167,55 @@ class BandIVFPQIndex(BandIVFIndex):
                 st["refine_local"] = st["codes"][self.m][None, :]
         return st
 
+    # -- op-point tuning (eval/tune.py) -----------------------------------
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        """When residual-int8 refine rows are resident, the direct refine
+        scan dominates the PQ path on BOTH axes (search() doc) — its ladder
+        goes first. Otherwise walk the PQ path over coverage × refine depth
+        (deep refine_factor needs pools — auto via n_pools=0)."""
+        can_refine_scan = (self.refine == "int8" and self._refine_residual
+                           and not self._segmented)
+        n_tiles = self._tune_n_tiles()
+        out = []
+        for tq in self._tune_tile_qs(nq):
+            base = self._auto_p_tiles(nq, 32, n_tiles, tile_q=tq)
+            for mult in (1.0, 1.5, 2.5, 4.0, 7.0, 12.0):
+                p = min(n_tiles, max(32, int(base * mult) // 32 * 32))
+                if can_refine_scan:
+                    out.append({"p_tiles": p, "tile_q": tq,
+                                "serve_from": "refine"})
+                else:
+                    two_stage = self.refine in ("int8", "pq2", "host")
+                    for rf in ((16, 64, 102) if two_stage else (None,)):
+                        cfg = {"p_tiles": p, "tile_q": tq}
+                        if rf is not None:
+                            cfg["refine_factor"] = rf
+                        out.append(cfg)
+                if p >= n_tiles:
+                    break
+        seen = set()
+        out = [c for c in out
+               if (key := tuple(sorted(c.items()))) not in seen
+               and not seen.add(key)]
+        out.sort(key=lambda c: (c["p_tiles"]
+                                * (1 + c.get("refine_factor", 0) / 256.0),
+                                -c["tile_q"]))
+        return out
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        n_tiles = self._tune_n_tiles()
+        if (self.refine == "int8" and self._refine_residual
+                and not self._segmented):
+            return {"p_tiles": n_tiles, "serve_from": "refine"}
+        kw = {"p_tiles": n_tiles}
+        if self.refine in ("int8", "pq2", "host"):
+            kw["refine_factor"] = 102  # ~1024 candidates at k=10
+        return kw
+
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
-               p_tiles: int = 0, refine_factor: int = 16, n_pools: int = 0,
-               tile_q: int | None = None, serve_from: str = "pq", **_):
+               p_tiles: int = 0, refine_factor: int | None = None,
+               n_pools: int = 0, tile_q: int | None = None,
+               serve_from: str | None = None, **_):
         """n_pools=0 (auto): enough independent kernel candidate pools to hold
         k_cand = k·refine_factor slots, within a VMEM slot budget that scales
         inversely with the query tile — deep refine_factor (≥ tile_n/k) only
@@ -2030,6 +2246,17 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.opq_matrix is not None:
             queries = queries @ self.opq_matrix.T
         nq = queries.shape[0]
+        op = self._op_point or {}  # tuned knobs fill sentinel defaults
+        if serve_from is None:
+            serve_from = op.get("serve_from", "pq")
+        if refine_factor is None:
+            refine_factor = op.get("refine_factor", 16)
+        if p_tiles <= 0:
+            p_tiles = op.get("p_tiles", 0)
+        if tile_q is None:
+            tile_q = op.get("tile_q")
+        if n_pools <= 0:
+            n_pools = op.get("n_pools", 0)
         if serve_from == "refine":
             st = self._refine_scan_state()
             n_tiles = self._n_pad_rows // self.tile_n

@@ -305,6 +305,50 @@ def test_residual_int8_device_streaming(data):
     assert recall_at_k(f, gt) >= 0.9
 
 
+def test_device_annex_fold(data):
+    """r3 (VERDICT item 6): threshold-triggered folds on a DEVICE-resident
+    arena go to the device annex (_fold_pending), never round-tripping the
+    payload through the host. Annexed rows stay exactly searchable, the
+    arena buffer object is untouched, and merge_pending() compacting the
+    annex preserves results."""
+    import jax.numpy as jnp
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 3000, 1000)]
+    idx = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 3, nlist=16, train_sample=1000, residual=True,
+        kmeans_iters=6, tile_n=128, tile_q=16,  # fold floor = 4·tile_n = 512
+    )
+    payload_before = idx._payload  # device buffer identity
+    extra = db[3000:4000]
+    for s in range(0, 1000, 250):
+        idx.add(extra[s : s + 250])
+    # threshold (5% of 3000 = 150) crossed → annex holds the folded rows
+    assert idx._annex is not None and idx._annex["n"] > 0
+    assert idx._payload is payload_before  # no arena rebuild, no host trip
+    assert idx.ntotal == 4000
+    p_all = idx._payload.shape[0] // idx.tile_n
+    _, f = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    r_annex = recall_at_k(f, gt)
+    assert r_annex >= 0.9, r_annex
+    # every annexed row is retrievable as its own nearest neighbor
+    _, self_hit = idx.search(extra[:16], 1, interpret=True, p_tiles=p_all)
+    match = (self_hit[:, 0] == np.arange(3000, 3016))
+    dup_ok = np.array([  # identical twins elsewhere in db tie-break
+        np.allclose(db[h], extra[i], atol=1e-6)
+        for i, h in enumerate(self_hit[:, 0])])
+    assert (match | dup_ok).all()
+    # reconstruct covers annexed ids
+    rec = idx.reconstruct(np.arange(3000, 3016))
+    assert np.abs(rec - extra[:16]).max() < 0.25
+    # compaction folds the annex into the arena with identical results
+    idx.merge_pending()
+    assert idx._annex is None and idx.ntotal == 4000
+    p_all2 = idx._payload.shape[0] // idx.tile_n
+    _, f2 = idx.search(q, 10, interpret=True, p_tiles=p_all2)
+    assert recall_at_k(f2, gt) >= r_annex - 0.01
+
+
 def test_pq_multi_pool_candidates(data):
     """n_pools > 1 splits probed tiles across independent kernel candidate
     pools: deeper k_cand (beyond one pool's l_buckets slots) and n_pools×
