@@ -201,16 +201,20 @@ def main():
         qr = queries[:NQ_GT]  # rotated
         st2 = idx._device_state()
 
+        # refine/centroids ride as ARGUMENTS: closing over the 7.5 GB
+        # device array inlines it as an MLIR constant — the remote-compile
+        # tunnel then ships the whole arena to the compiler (observed hang)
         @jax.jit
-        def ceil_rescore(qrj, rows_d, assign_d):
-            r8 = st2["refine"][rows_d].astype(jnp.float32) * idx._scale
-            dots = qrj @ st2["centroids"].T  # (nq, nlist)
+        def ceil_rescore(refine_d, cent_d, qrj, rows_d, assign_d):
+            r8 = refine_d[rows_d].astype(jnp.float32) * idx._scale
+            dots = qrj @ cent_d.T  # (nq, nlist)
             ex = (jnp.einsum("bd,brd->br", qrj, r8)
                   + jnp.take_along_axis(dots, assign_d, axis=1))
             _, pos = jax.lax.top_k(ex, K)
             return pos
 
         pos = jax.device_get(ceil_rescore(
+            st2["refine"], st2["centroids"],
             qr, jnp.asarray(rows128.astype(np.int32)),
             jnp.asarray(assign128)))
         ceil_ids = np.take_along_axis(gt128, pos, axis=1)

@@ -47,8 +47,10 @@ def main():
     print(f"  → 1M wiki passages in {1e6/enc_ps:,.0f} s/chip; "
           f"100M on v5e-8 in {1e8/(8*enc_ps)/60:,.1f} min", flush=True)
 
-    # full train step (anchor+pos+neg stacked = 3B fwd + bwd)
-    tcfg = TrainConfig(encoder=cfg, batch_size=128, total_steps=1)
+    # full train step (anchor+pos+neg stacked = 3B fwd + bwd) at MiniLM-L6
+    # scale — B from TRAIN_B (default 512 per BASELINE's MS MARCO config)
+    tb = int(os.environ.get("TRAIN_B", "512"))
+    tcfg = TrainConfig(encoder=cfg, batch_size=tb, total_steps=1)
     trainer = Trainer(tcfg)
     state = trainer.init_state()
     import numpy as np
@@ -72,11 +74,20 @@ def main():
         state, m = step(state, trainer.place_batch(mk_train(i + 1)))
     float(m["loss"])
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    tps = tcfg.batch_size * iters / dt
+    # step-time MFU: 6·N_nonembed FLOPs per trained token (fwd 2N + bwd 4N),
+    # 3 encoder legs per triplet, vs the v5e bf16 peak (197 TFLOP/s)
+    n_params = sum(int(x.size) for x in jax.tree.util.tree_leaves(params))
+    n_embed = cfg.vocab_size * cfg.hidden_dim + cfg.max_len * cfg.hidden_dim
+    flops_step = 6 * (n_params - n_embed) * 3 * tcfg.batch_size * cfg.max_len
+    mfu = flops_step / (dt / iters) / 197e12
     print(
-        f"train step (B={tcfg.batch_size} triplets, L={cfg.max_len}): "
-        f"{tcfg.batch_size*iters/dt:,.0f} triplets/s/chip "
-        f"({dt/iters*1000:.0f} ms/step)", flush=True,
+        f"train step (B={tcfg.batch_size} triplets, L={cfg.max_len}, "
+        f"{n_params/1e6:.1f}M params): {tps:,.0f} triplets/s/chip "
+        f"({dt/iters*1000:.0f} ms/step, MFU {mfu:.1%})", flush=True,
     )
+    print(f"  → MS MARCO-size epoch (500k triplets): {5e5/tps/60:.1f} "
+          f"min/chip; {5e5/(8*tps)/60:.1f} min on v5e-8 DP", flush=True)
 
 
 if __name__ == "__main__":
