@@ -1799,9 +1799,8 @@ class BandIVFPQIndex(BandIVFIndex):
 
         from cloudvectordb_tpu.index.pq import pq_decode, pq_encode
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def encode_scatter(codes_ar, refine_ar, codes2_ar, chunk, d, gid,
-                           a, c, cb):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def encode_scatter(codes_ar, refine_ar, chunk, d, a, c, cb):
             tr = chunk @ rot_dev if rot_dev is not None else chunk
             enc_in = tr - c[a] if resid else tr
             codes = idx._pq_encode_rows(enc_in, tr, cb)  # (b, m)
@@ -1820,26 +1819,47 @@ class BandIVFPQIndex(BandIVFIndex):
                 r8 = jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)
                 refine_ar = refine_ar.at[d].set(r8)
             host_r8 = None
-            if do_pq2:
-                err = enc_in - pq_decode(codes, cb)
-                codes2_ar = codes2_ar.at[gid].set(pq_encode(err, cb2dev))
             if do_host:
                 host_r8 = jnp.clip(jnp.round(enc_in / host_scale),
                                    -127, 127).astype(jnp.int8)
-            return codes_ar, refine_ar, codes2_ar, host_r8
+            return codes_ar, refine_ar, host_r8, codes
+
+        # tier-2 encode runs as a SECOND jit per chunk (enc_in recomputed —
+        # one matmul) so the pq_decode/err temps never coexist with the
+        # tier-1 encode peak; sub-batched via lax.map to bound them. At 125M
+        # a fused single-jit version needed 21.3 GB HBM (observed OOM):
+        # 8.1 GB tier-1 arena + 4 GB tier-2 table + all temps live at once.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def tier2_scatter(codes2_ar, chunk, codes_b, gid, a, c, cb, cb2):
+            def sub(args):
+                ch_b, c_b, a_b = args
+                tr = ch_b @ rot_dev if rot_dev is not None else ch_b
+                enc = tr - c[a_b] if resid else tr
+                err = enc - pq_decode(c_b, cb)
+                return pq_encode(err, cb2)
+
+            b = chunk.shape[0]
+            nsub = 4 if b % 4 == 0 else 1
+            c2 = jax.lax.map(sub, (chunk.reshape(nsub, b // nsub, -1),
+                                   codes_b.reshape(nsub, b // nsub, m),
+                                   a.reshape(nsub, b // nsub)))
+            return codes2_ar.at[gid].set(c2.reshape(b, idx.m2))
 
         base = 0
         for ci in range(n_chunks):
             chunk = chunk_fn(ci)
             d = jnp.asarray(dest[base : base + sizes[ci]].astype(np.int32))
-            gid = jnp.arange(base, base + sizes[ci], dtype=jnp.int32)
             a_dev = jnp.asarray(assigns[ci].astype(np.int32))
-            codes_rm, refine, codes2, host_r8 = encode_scatter(
-                codes_rm, refine, codes2, chunk, d, gid, a_dev, cdev, cbdev)
+            codes_rm, refine, host_r8, codes_b = encode_scatter(
+                codes_rm, refine, chunk, d, a_dev, cdev, cbdev)
+            if do_pq2:
+                gid = jnp.arange(base, base + sizes[ci], dtype=jnp.int32)
+                codes2 = tier2_scatter(codes2, chunk, codes_b, gid, a_dev,
+                                       cdev, cbdev, cb2dev)
             if do_host:  # per-chunk host fetch (PCIe copy on real hardware)
                 idx._host_rows[base : base + sizes[ci]] = np.asarray(host_r8)
             base += sizes[ci]
-            chunk = d = a_dev = host_r8 = None  # free HBM refs per iter
+            chunk = d = a_dev = host_r8 = codes_b = None  # free HBM refs
         idx._codes_cm = list(codes_rm) if segmented else codes_rm
         idx._codes_row_major = True
         idx._payload = idx._codes_cm

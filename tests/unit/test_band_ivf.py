@@ -471,6 +471,35 @@ def test_pq2_and_host_refine_tiers(data, tmp_path):
     assert recall_at_k(gh, gt) >= rh - 0.03
 
 
+def test_pq2_host_device_streaming(data):
+    """r3: the config-#5 build path (build_device_streaming) with the
+    pq2/host refine tiers — tier-2 codes are written by a SEPARATE
+    sub-batched jit (tier2_scatter) so its decode temps never stack on the
+    tier-1 encode peak (observed 21.3 GB OOM at 125M fused)."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 4000, 1000)]
+    kw = dict(nlist=16, m=8, nbits=4, kmeans_iters=6, pq_train_iters=6,
+              tile_n=256, tile_q=16, train_sample=1000)
+    i_pq2 = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 4, refine="pq2", m2=16, **kw)
+    i_none = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 4, refine="none", **kw)
+    i_host = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 4, refine="host", **kw)
+    p_all = i_pq2._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, f2 = i_pq2.search(q, 10, **skw)
+    _, f0 = i_none.search(q, 10, **skw)
+    _, fh = i_host.search(q, 10, **skw)
+    r2, r0, rh = (recall_at_k(f, gt) for f in (f2, f0, fh))
+    assert r2 >= r0 + 0.02, (r0, r2)   # tier-2 adds real information
+    assert rh >= r2 - 0.01, (r2, rh)   # exact host rescore ≥ tier-2 PQ
+
+
 def test_slack_build_parity_and_masking(data):
     """slack>0 changes arena LAYOUT only: same rows, same quantizer, same
     scores — full-coverage results must match the compact build. Hole slots
