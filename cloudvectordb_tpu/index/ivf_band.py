@@ -1465,9 +1465,16 @@ class BandIVFPQIndex(BandIVFIndex):
                                    eta=self.aniso_eta)
         return pq_encode(enc_in, codebooks)
 
-    def _codes2_device(self):
-        """Tier-2 code table (gid-keyed) with any pending appends folded."""
-        if self._codes2_pending:
+    def _codes2_device(self, fold: bool = True):
+        """Tier-2 code table (gid-keyed). fold=True folds pending appends
+        (a full-table concat — required before pending rows enter the
+        ARENA, i.e. at merge_pending/save). The serving path passes
+        fold=False: kernel candidates are arena rows only (pending rows are
+        scored by the exact pending scan), so their gids never reach the
+        pending tail — and the 4 GB concat per post-add search at 125M is
+        skipped. A None table always folds (fresh host-streaming builds
+        carry the whole gid-ordered table in pending)."""
+        if (fold or self._codes2 is None) and self._codes2_pending:
             parts = ([jnp.asarray(self._codes2)]
                      if self._codes2 is not None else [])
             parts.append(jnp.asarray(np.concatenate(self._codes2_pending)))
@@ -2009,6 +2016,12 @@ class BandIVFPQIndex(BandIVFIndex):
             return
         from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
 
+        if self.refine == "pq2" and self._codes2_pending:
+            # pending rows become ARENA rows below; the serving path gathers
+            # tier-2 codes for arena gids without folding (fold=False), so
+            # their codes must land in the table here
+            self._codes2_device()
+
         rows8, pids, passign = self._pending.drain()
         pcodes = np.concatenate(self._pending_codes)
         self._pending_codes = []
@@ -2339,7 +2352,7 @@ class BandIVFPQIndex(BandIVFIndex):
         )
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(
-                qp_dev, v, gids, self._codes2_device(),
+                qp_dev, v, gids, self._codes2_device(fold=False),
                 jnp.asarray(self.codebooks2), k=k)
         elif two_stage and self.refine == "host":
             host_rows, host_assign = self._host_store()

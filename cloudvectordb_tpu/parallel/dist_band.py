@@ -313,7 +313,7 @@ class ShardedBandIndex:
         save_sharded(
             path,
             {"kind": self.kind, "scale": self._scale, "kw": self.kw,
-             **(extra_meta or {})},
+             "op_point": self._op_point, **(extra_meta or {})},
             self._shards,
         )
 
@@ -335,7 +335,37 @@ class ShardedBandIndex:
             f"mesh has {idx.nshards} shards, artifact has {man['nshards']}")
         idx._shards = load_shards(path, man, mmap=mmap)
         idx._scale = man["scale"]
+        if man.get("op_point"):
+            idx._op_point = dict(man["op_point"])
         return idx
+
+    # -- op-point tuning (eval/tune.py; duck-typed like Index.tune) --------
+    _op_point: dict | None = None
+
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        n_tiles = int(self._device_state()["n_tiles"])
+        base = self._shards[0]._auto_p_tiles(nq, 32, n_tiles)
+        out = []
+        for mult in (1.0, 1.5, 2.5, 4.0, 7.0, 12.0):
+            p = min(n_tiles, max(32, int(base * mult) // 32 * 32))
+            out.append({"p_tiles": p})
+            if p >= n_tiles:
+                break
+        return out
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        return {"p_tiles": int(self._device_state()["n_tiles"])}
+
+    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
+             gt=None, time_iters: int = 3, verbose: bool = False) -> dict:
+        """Cheapest per-shard tile budget meeting the recall target; the
+        op point becomes search()'s default and persists via save()."""
+        from cloudvectordb_tpu.eval.tune import tune_index
+
+        report = tune_index(self, queries, k, target_recall, gt,
+                            time_iters=time_iters, verbose=verbose)
+        self._op_point = report["op"]
+        return report
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
                interpret: bool | None = None, scoring: str = "hybrid"):
@@ -343,6 +373,8 @@ class ShardedBandIndex:
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
+        if p_tiles <= 0:  # tuned op point fills the sentinel
+            p_tiles = (self._op_point or {}).get("p_tiles", 0)
         st = self._device_state()
         sh0 = self._shards[0]
         # each replica's query slice must itself be a tile_q multiple

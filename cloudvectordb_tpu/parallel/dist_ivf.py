@@ -365,7 +365,7 @@ class ShardedIVFPQIndex:
             {
                 "kind": self.kind, "kw": self.kw, "refine": self.refine,
                 "refine_scale": self._refine_scale, "next_id": self._next_id,
-                **(extra_meta or {}),
+                "op_point": self._op_point, **(extra_meta or {}),
             },
             self._shards,
             extras_per_shard=extras,
@@ -396,12 +396,52 @@ class ShardedIVFPQIndex:
         if not rows:  # refine='none' artifacts carry no extras
             idx._refine_rows_ins = [[] for _ in range(idx.nshards)]
             idx._refine_gids_ins = [[] for _ in range(idx.nshards)]
+        if man.get("op_point"):
+            idx._op_point = dict(man["op_point"])
         return idx
 
-    def search(self, queries, k: int, nprobe: int = 8, batch: int = 256,
-               refine_factor: int = 16):
+    # -- op-point tuning (eval/tune.py; duck-typed like Index.tune) --------
+    _op_point: dict | None = None
+
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        nlist = self.kw["nlist"]
+        rfs = (16, 64) if self.refine == "int8" else (None,)
+        out, p = [], 1
+        while p <= nlist:
+            for rf in rfs:
+                out.append({"nprobe": min(p, nlist)} if rf is None else
+                           {"nprobe": min(p, nlist), "refine_factor": rf})
+            if p == nlist:
+                break
+            p = min(p * 2, nlist)
+        out.sort(key=lambda c: c["nprobe"] * (1 + c.get("refine_factor", 0)
+                                              / 64.0))
+        return out
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        kw = {"nprobe": self.kw["nlist"]}
+        if self.refine == "int8":
+            kw["refine_factor"] = 64
+        return kw
+
+    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
+             gt=None, time_iters: int = 3, verbose: bool = False) -> dict:
+        from cloudvectordb_tpu.eval.tune import tune_index
+
+        report = tune_index(self, queries, k, target_recall, gt,
+                            time_iters=time_iters, verbose=verbose)
+        self._op_point = report["op"]
+        return report
+
+    def search(self, queries, k: int, nprobe: int | None = None,
+               batch: int = 256, refine_factor: int | None = None):
         queries = np.asarray(queries, np.float32)
         st = self._device_state()
+        op = self._op_point or {}  # tuned knobs fill sentinel defaults
+        if nprobe is None:
+            nprobe = op.get("nprobe", 8)
+        if refine_factor is None:
+            refine_factor = op.get("refine_factor", 16)
         nprobe = min(nprobe, self.kw["nlist"])
         do_refine = self.refine == "int8" and any(self._refine_rows_ins)
         per_shard = max(sh.ntotal for sh in self._shards)

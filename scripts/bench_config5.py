@@ -111,6 +111,10 @@ def main():
     c2_gb = (idx._codes2.size / 1e9 if idx._codes2 is not None else 0.0)
     print(f"[build] {build_s:.0f} s; HBM: tier-1 codes {codes_gb:.1f} GB"
           f" + tier-2 {c2_gb:.1f} GB; n_tiles={n_tiles}", flush=True)
+    ms = jax.local_devices()[0].memory_stats() or {}
+    print(f"[hbm] in_use={ms.get('bytes_in_use', 0)/1e9:.1f} GB "
+          f"limit={ms.get('bytes_limit', 0)/1e9:.1f} GB "
+          f"peak={ms.get('peak_bytes_in_use', 0)/1e9:.1f} GB", flush=True)
 
     # --- recall + fenced QPS ----------------------------------------------------
     st = idx._device_state()

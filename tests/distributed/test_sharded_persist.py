@@ -100,6 +100,38 @@ def test_build_index_nshards_config(tmp_path):
     assert recall_at_k(found, gt) >= 0.85
 
 
+def test_sharded_tune_and_op_point_roundtrip(tmp_path):
+    """r3: sharded wrappers expose tune(); the op point fills search()'s
+    sentinel knobs and round-trips through the sharded manifest."""
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=210, normalize=True)
+    q = queries_from(db, 48, seed=211, normalize=True)
+    _, gt = brute_force_topk(db, q, 10, metric="ip")
+    mesh = make_mesh(axis_name="shard")
+    band = ShardedBandIndex.build(
+        db, nlist=16, mesh=mesh, dtype="int8", kmeans_iters=6,
+        tile_n=128, tile_q=16, seed=5, residual=True,
+    )
+    rep = band.tune(q, k=10, target_recall=0.9, gt=gt)
+    assert rep["met"], rep
+    _, f = band.search(q, 10)  # op point serves by default
+    assert recall_at_k(f, gt) >= 0.9
+    band.save(tmp_path / "tuned_band")
+    loaded = ShardedBandIndex.load(tmp_path / "tuned_band", mesh=mesh)
+    assert loaded._op_point == rep["op"]
+    _, f2 = loaded.search(q, 10)
+    assert recall_at_k(f2, gt) >= 0.9
+
+    pq = ShardedIVFPQIndex.build(
+        db, nlist=16, m=8, mesh=mesh, refine="int8", kmeans_iters=6,
+        pq_train_iters=4, seed=3,
+    )
+    rep2 = pq.tune(q, k=10, target_recall=0.9, gt=gt)
+    assert rep2["met"], rep2
+    assert {"nprobe"} <= set(rep2["op"])
+    _, g2 = pq.search(q, 10)
+    assert recall_at_k(g2, gt) >= 0.9
+
+
 def test_sharded_ivfpq_save_load_no_refine(tmp_path):
     db = clustered_vectors(2048, 64, n_clusters=16, seed=206, normalize=True)
     q = queries_from(db, 16, seed=207, normalize=True)
