@@ -48,7 +48,11 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int):
     order = jnp.argsort(top1)
     q_s = q[order]
     g_max = coarse[order].reshape(n_qt, tile_q, -1).max(axis=1)
-    ts = jnp.max(g_max[:, tile_window], axis=-1)  # (n_qt, n_tiles)
+    # gather with n_tiles as the MINOR dim: (n_qt, W, n_tiles). The
+    # (n_qt, n_tiles, W) form puts W (≤16) minor, and the TPU lane pad
+    # W→128 inflates the temp ~16× — 2.0 GB at 61k tiles/64 groups, which
+    # OOMs config #5 serving next to 13.5 GB of resident arenas.
+    ts = jnp.max(g_max[:, tile_window.T], axis=1)  # (n_qt, n_tiles)
     _, tile_table = jax.lax.top_k(ts, p_tiles)
     return q_s, order, dots, tile_table
 
@@ -230,28 +234,53 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _rescore_nsub(b: int, kc: int, m2: int, budget: int = 1 << 25) -> int:
+    """Query-chunk count bounding _pq2_rescore's (b/nsub, kc, m2) gather
+    temps to ~`budget` elements (int32+f32 ≈ 8 B/elt → 256 MB default)."""
+    nsub = 1
+    while b % (nsub * 2) == 0 and (b // nsub) * kc * m2 > budget:
+        nsub *= 2
+    return nsub
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _pq2_rescore(q, v, gids, codes2, codebooks2, *, k):
     """Tier-2 ADC correction (refine='pq2'): candidates' tier-1 kernel score
     v already contains centroid + tier-1 decode; the tier-2 codebooks encode
     the tier-1 reconstruction ERROR, so the refined score is simply
     v + q·decode2(code2) — one (B, k_cand, m2) uint8 gather + LUT take, no
-    dim-byte row traffic. codes2 is keyed by GLOBAL id (merge-invariant)."""
+    dim-byte row traffic. codes2 is keyed by GLOBAL id (merge-invariant).
+    The batch is sub-chunked (lax.map) so the (b, k_cand, m2) int32 gather
+    + f32 take temps stay ≲0.5 GB — at B=4096/k_cand=2048/m2=32 the fused
+    form needs >2 GB of HLO temps, which OOMs next to 12 GB of resident
+    code tables at 125M rows/chip."""
     NEG = float("-inf")
     b = q.shape[0]
+    kc = v.shape[1]
     m2, c2n, dsub2 = codebooks2.shape
-    valid = v > NEG
-    g = jnp.clip(gids, 0, codes2.shape[0] - 1)
-    c2 = codes2[g].astype(jnp.int32)  # (B, kc, m2)
-    lut = jnp.einsum(
-        "bmd,mcd->bmc", q.reshape(b, m2, dsub2), codebooks2,
-        preferred_element_type=jnp.float32)  # (B, m2, C)
-    corr = jnp.sum(
-        jnp.take_along_axis(jnp.transpose(lut, (0, 2, 1)), c2, axis=1),
-        axis=2)
-    ex = jnp.where(valid, v + corr, NEG)
-    v2, pos = jax.lax.top_k(ex, k)
-    return v2, jnp.take_along_axis(gids, pos, axis=1)
+
+    def body(args):
+        qb, vb, gb = args
+        valid = vb > NEG
+        g = jnp.clip(gb, 0, codes2.shape[0] - 1)
+        c2 = codes2[g].astype(jnp.int32)  # (bs, kc, m2)
+        lut = jnp.einsum(
+            "bmd,mcd->bmc", qb.reshape(qb.shape[0], m2, dsub2), codebooks2,
+            preferred_element_type=jnp.float32)  # (bs, m2, C)
+        corr = jnp.sum(
+            jnp.take_along_axis(jnp.transpose(lut, (0, 2, 1)), c2, axis=1),
+            axis=2)
+        ex = jnp.where(valid, vb + corr, NEG)
+        v2, pos = jax.lax.top_k(ex, k)
+        return v2, jnp.take_along_axis(gb, pos, axis=1)
+
+    nsub = _rescore_nsub(b, kc, m2)
+    if nsub == 1:
+        return body((q, v, gids))
+    v2, g2 = jax.lax.map(body, (q.reshape(nsub, b // nsub, -1),
+                                v.reshape(nsub, b // nsub, kc),
+                                gids.reshape(nsub, b // nsub, kc)))
+    return v2.reshape(b, k), g2.reshape(b, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -78,6 +78,7 @@ def main():
         kn2, (B, D), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
     q_gt = queries[:NQ_GT]
+    base = sel = None  # 768 MB chunk must not stay resident at the HBM edge
 
     # --- exact ground truth ---------------------------------------------------
     t0 = time.perf_counter()
@@ -95,6 +96,7 @@ def main():
         cv, cidx = tiled_topk(chunk_fn(ci), q_gt, K, tile=8192)
         best_v, best_i = gt_merge(best_v, best_i, cv, cidx, ci * CHUNK)
     gt = jax.device_get(best_i)
+    best_v = best_i = None
     print(f"[gt] {time.perf_counter() - t0:.0f} s", flush=True)
 
     # --- device-resident OPQ+IVF-PQ build --------------------------------------
@@ -111,10 +113,21 @@ def main():
     c2_gb = (idx._codes2.size / 1e9 if idx._codes2 is not None else 0.0)
     print(f"[build] {build_s:.0f} s; HBM: tier-1 codes {codes_gb:.1f} GB"
           f" + tier-2 {c2_gb:.1f} GB; n_tiles={n_tiles}", flush=True)
-    ms = jax.local_devices()[0].memory_stats() or {}
-    print(f"[hbm] in_use={ms.get('bytes_in_use', 0)/1e9:.1f} GB "
-          f"limit={ms.get('bytes_limit', 0)/1e9:.1f} GB "
-          f"peak={ms.get('peak_bytes_in_use', 0)/1e9:.1f} GB", flush=True)
+    # memory_stats() returns nothing through the axon relay — account the
+    # resident device state by hand so OOM headroom is visible in the log
+    stt = idx._device_state()
+
+    def _gb(x):
+        if x is None:
+            return 0.0
+        parts = x if isinstance(x, (tuple, list)) else [x]
+        return sum(p.size * p.dtype.itemsize for p in parts) / 1e9
+
+    sizes_gb = {k2: _gb(v2) for k2, v2 in stt.items()}
+    print("[hbm-resident] " + "  ".join(
+        f"{k2}={v2:.2f}GB" for k2, v2 in sorted(
+            sizes_gb.items(), key=lambda kv: -kv[1]) if v2 >= 0.01)
+        + f"  total={sum(sizes_gb.values()):.2f}GB", flush=True)
 
     # --- recall + fenced QPS ----------------------------------------------------
     st = idx._device_state()

@@ -798,3 +798,56 @@ def test_segmented_refine_growth_raises_cleanly(data):
     idx.add(db[1000:])  # crosses the 1024-row cap at merge
     with pytest.raises(NotImplementedError):
         idx.merge_pending()
+
+
+def test_pq2_rescore_chunking_parity():
+    """r3: _pq2_rescore sub-chunks the query batch (lax.map) when the
+    (b, k_cand, m2) gather temps exceed the element budget — at 125M/chip
+    the fused form's >2 GB of HLO temps OOM next to 12 GB of resident code
+    tables. Chunked and fused forms must agree exactly."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import _pq2_rescore, _rescore_nsub
+
+    # budget policy: headline shape chunks, unit-test shapes don't
+    assert _rescore_nsub(4096, 2048, 32) == 8
+    assert _rescore_nsub(4096, 1020, 32) > 1   # odd kc still chunks on b
+    assert _rescore_nsub(256, 256, 16) == 1
+    assert _rescore_nsub(1, 4096, 32) == 1     # b=1 cannot split
+
+    rng = np.random.default_rng(11)
+    b, kc, m2, c2n, dsub2, nrows = 64, 96, 8, 16, 4, 500
+    q = rng.standard_normal((b, m2 * dsub2)).astype(np.float32)
+    v = rng.standard_normal((b, kc)).astype(np.float32)
+    v[:, -3:] = -np.inf  # invalid slots stay invalid
+    gids = rng.integers(0, nrows, (b, kc)).astype(np.int32)
+    codes2 = rng.integers(0, c2n, (nrows, m2)).astype(np.uint8)
+    cb2 = rng.standard_normal((m2, c2n, dsub2)).astype(np.float32)
+    v2, g2 = _pq2_rescore(jnp.asarray(q), jnp.asarray(v), jnp.asarray(gids),
+                          jnp.asarray(codes2), jnp.asarray(cb2), k=10)
+    # numpy oracle: full decode of the tier-2 correction
+    lut = np.einsum("bmd,mcd->bmc", q.reshape(b, m2, dsub2), cb2)
+    corr = np.take_along_axis(np.transpose(lut, (0, 2, 1)),
+                              codes2[gids].astype(np.int64), axis=1).sum(2)
+    ex = np.where(v > -np.inf, v + corr, -np.inf)
+    ref_v = np.sort(ex, axis=1)[:, ::-1][:, :10]
+    assert np.allclose(np.asarray(v2), ref_v, atol=1e-3)
+    # force the chunked path on the same data (tiled to a chunking shape)
+    rep = 64  # 4096 queries, kc=96, m2=8 -> 3.1M elts; shrink budget instead
+    v2c, g2c = None, None
+    import functools as _ft
+    import jax as _jax
+
+    from cloudvectordb_tpu.index import ivf_band as _band
+    orig = _band._rescore_nsub
+    _band._rescore_nsub = _ft.partial(orig, budget=1 << 12)
+    try:
+        # new jit trace sees the patched chunk count
+        v2c, g2c = _jax.jit(
+            _band._pq2_rescore.__wrapped__, static_argnames=("k",)
+        )(jnp.asarray(q), jnp.asarray(v), jnp.asarray(gids),
+          jnp.asarray(codes2), jnp.asarray(cb2), k=10)
+    finally:
+        _band._rescore_nsub = orig
+    assert np.allclose(np.asarray(v2c), np.asarray(v2), atol=1e-5)
+    assert (np.asarray(g2c) == np.asarray(g2)).all()
