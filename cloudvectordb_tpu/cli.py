@@ -2,7 +2,7 @@
 [REF README.md:2], with each stage independently invocable (SURVEY.md §2.5).
 
     python -m cloudvectordb_tpu pipeline --config cfg.json [--set a.b=v ...]
-    python -m cloudvectordb_tpu {mine,train,encode,build,eval} ...
+    python -m cloudvectordb_tpu {mine,train,encode,build,eval,tune} ...
     python -m cloudvectordb_tpu search --workdir W --query "text" -k 10
 """
 
@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("pipeline", "mine", "train", "encode", "build", "eval"):
         _add_common(sub.add_parser(name))
+    tp = sub.add_parser("tune")
+    _add_common(tp)
+    tp.add_argument("--target-recall", type=float, default=0.95,
+                    help="recall@k the tuner must reach (eval/tune.py)")
     sp = sub.add_parser("search")
     _add_common(sp)
     sp.add_argument("--query", required=True)
@@ -93,6 +97,8 @@ def main(argv=None) -> int:
             pipe.stage_build()
         elif args.cmd == "eval":
             print(json.dumps(pipe.stage_eval()))
+        elif args.cmd == "tune":
+            print(json.dumps(pipe.stage_tune(args.target_recall)))
         elif args.cmd == "search":
             from cloudvectordb_tpu.index import load_index
             from cloudvectordb_tpu.models.embed import text_encoder

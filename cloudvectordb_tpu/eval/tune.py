@@ -27,6 +27,36 @@ import numpy as np
 from cloudvectordb_tpu.eval.recall import recall_at_k
 
 
+class TunableMixin:
+    """``tune()`` + tuned-op-point storage, shared by single indexes
+    (index/base.py) and the sharded wrappers (parallel/dist_*.py) so the
+    tune contract lives in exactly one place. Subclasses supply
+    ``_tune_candidates(nq)`` (cost-ordered ladder of search() kwargs) and
+    ``_tune_reference_kw(nq)`` (max-effort config)."""
+
+    #: tuned serving knobs — search() uses these for any parameter the
+    #: caller leaves at its sentinel default; persisted in the manifest
+    _op_point: dict | None = None
+
+    def _tune_candidates(self, nq: int) -> list[dict]:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support tune()")
+
+    def _tune_reference_kw(self, nq: int) -> dict:
+        raise NotImplementedError
+
+    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
+             gt: np.ndarray | None = None, time_iters: int = 3,
+             verbose: bool = False) -> dict:
+        """Pick the cheapest serving config meeting ``target_recall`` on
+        ``queries`` and make it this index's default op point (also saved
+        in the manifest). Returns the tune report — see tune_index."""
+        report = tune_index(self, queries, k, target_recall, gt,
+                            time_iters=time_iters, verbose=verbose)
+        self._op_point = report["op"]
+        return report
+
+
 def _time_search(index, queries, k: int, kw: dict, iters: int = 3) -> dict:
     """Honest wall-clock of index.search: numpy outputs fence every call;
     distinct inputs per rep defeat the relay's result cache; RTT subtracted
@@ -75,7 +105,15 @@ def tune_index(
     best = None  # (recall, cfg) fallback when nothing meets target
     chosen = None
     for cfg in candidates:
-        _, found = index.search(queries, k, **cfg)
+        try:
+            _, found = index.search(queries, k, **cfg)
+        except Exception as e:  # noqa: BLE001 — a single config must not
+            # abort the ladder: deep-pool/large-p combos can exceed VMEM or
+            # the SMEM prefetch-table cap (remote-compile HTTP 500) at scale
+            tried.append({**cfg, "error": f"{type(e).__name__}: {e}"[:160]})
+            if verbose:
+                print(f"[tune] {cfg}: FAILED {type(e).__name__}", flush=True)
+            continue
         r = float(recall_at_k(found, gt))
         tried.append({**cfg, "recall": r})
         if verbose:
@@ -86,6 +124,8 @@ def tune_index(
             chosen = (r, cfg)
             break
     met = chosen is not None
+    if best is None:
+        raise RuntimeError(f"every tune candidate failed: {tried}")
     recall, op = chosen if met else best
     timing = _time_search(index, queries, k, op, iters=time_iters)
     return {"op": dict(op), "recall": recall, "met": met, **timing,

@@ -16,21 +16,22 @@ from pathlib import Path
 
 import numpy as np
 
+from cloudvectordb_tpu.eval.tune import TunableMixin
+
 MANIFEST = "manifest.json"
 ARRAYS = "arrays.npz"
 FORMAT_VERSION = 1
 
 
-class Index(abc.ABC):
-    """Build/add/search/save/load surface shared by Flat, IVF-Flat, IVF-PQ."""
+class Index(TunableMixin, abc.ABC):
+    """Build/add/search/save/load surface shared by Flat, IVF-Flat, IVF-PQ.
+
+    Tuning (``tune()``/``_op_point``) comes from eval/tune.py's
+    TunableMixin — one implementation shared with the sharded wrappers."""
 
     kind: str = "abstract"
     metric: str = "ip"
     dim: int = 0
-    #: tuned serving knobs (eval/tune.py) — search() uses these for any
-    #: parameter the caller leaves at its sentinel default; persisted in
-    #: the manifest so loaded indexes serve tuned without re-sweeping
-    _op_point: dict | None = None
 
     @property
     @abc.abstractmethod
@@ -44,29 +45,6 @@ class Index(abc.ABC):
     @abc.abstractmethod
     def search(self, queries, k: int, **kw) -> tuple[np.ndarray, np.ndarray]:
         """Return (scores (Q, k), ids (Q, k)); larger score is better."""
-
-    # -- op-point tuning (eval/tune.py) -----------------------------------
-    def _tune_candidates(self, nq: int) -> list[dict]:
-        """Cost-ordered ladder of search() kwarg dicts for the tuner."""
-        raise NotImplementedError(f"{self.kind} does not support tune()")
-
-    def _tune_reference_kw(self, nq: int) -> dict:
-        """Max-effort search() kwargs — the tuner's self-relative reference
-        when no exact ground truth is supplied."""
-        raise NotImplementedError
-
-    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
-             gt: np.ndarray | None = None, time_iters: int = 3,
-             verbose: bool = False) -> dict:
-        """Pick the cheapest serving config meeting ``target_recall`` on
-        ``queries`` and make it this index's default op point (also saved
-        in the manifest). Returns the tune report — see eval/tune.py."""
-        from cloudvectordb_tpu.eval.tune import tune_index
-
-        report = tune_index(self, queries, k, target_recall, gt,
-                            time_iters=time_iters, verbose=verbose)
-        self._op_point = report["op"]
-        return report
 
     # -- persistence ------------------------------------------------------
     @abc.abstractmethod
@@ -106,11 +84,22 @@ class Index(abc.ABC):
             # payloads for staged host→HBM upload (SURVEY.md §2.2 persistence)
             for name, arr in arrays.items():
                 np.save(tmp / f"{name}.npy", np.asarray(arr))
+            # move the old artifact ASIDE before the swap (never delete it
+            # first): a crash between rmtree and rename would destroy the
+            # only copy of a multi-minute build. Worst case after a crash
+            # here: the new artifact is at `path` or in tmp, the old one in
+            # the .idx_old_ dir — something complete always exists on disk.
+            old = None
             if path.exists():
+                old = Path(
+                    tempfile.mkdtemp(dir=path.parent, prefix=".idx_old_")
+                ) / "prev"
+                os.rename(path, old)
+            os.rename(tmp, path)
+            if old is not None:
                 import shutil
 
-                shutil.rmtree(path)
-            os.rename(tmp, path)
+                shutil.rmtree(old.parent, ignore_errors=True)
         finally:
             if tmp.exists():
                 import shutil

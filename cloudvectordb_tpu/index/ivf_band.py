@@ -283,20 +283,25 @@ def _pq2_rescore(q, v, gids, codes2, codebooks2, *, k):
     return v2.reshape(b, k), g2.reshape(b, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _host_rescore(q, v, gids, r8, assign, centroids, scale, *, k):
-    """Exact rescore of host-gathered int8 residual rows (refine='host'):
-    r8 (B, k_cand, D) int8 shipped from host RAM for just the shortlist;
-    centroid term recovered from q·centroids via each candidate's list."""
+@functools.partial(jax.jit, static_argnames=("k", "resid"))
+def _host_rescore(q, v, gids, r8, assign, centroids, scale, *, k,
+                  resid: bool = True):
+    """Exact rescore of host-gathered int8 rows (refine='host'): r8
+    (B, k_cand, D) int8 shipped from host RAM for just the shortlist.
+    resid=True (residual PQ): rows store residuals and the centroid term
+    is recovered from q·centroids via each candidate's list; resid=False:
+    rows store WHOLE rows and no centroid term may be added (adding it
+    inflated non-residual scores by q·c — review finding, r3)."""
     NEG = float("-inf")
     valid = v > NEG
-    dots = jax.lax.dot_general(
-        q, centroids, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
     ex = scale * jnp.einsum(
         "bd,brd->br", q.astype(jnp.bfloat16), r8.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32)
-    ex = ex + jnp.take_along_axis(dots, assign, axis=1)
+    if resid:
+        dots = jax.lax.dot_general(
+            q, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ex = ex + jnp.take_along_axis(dots, assign, axis=1)
     ex = jnp.where(valid, ex, NEG)
     v2, pos = jax.lax.top_k(ex, k)
     return v2, jnp.take_along_axis(gids, pos, axis=1)
@@ -1510,7 +1515,12 @@ class BandIVFPQIndex(BandIVFIndex):
             self._codes2 = (jnp.concatenate(parts) if len(parts) > 1
                             else parts[0])
             self._codes2_pending = []
-        return jnp.asarray(self._codes2)
+        # identity-keyed device cache: a disk-loaded (numpy/mmap) table
+        # must not re-cross the host link per search (4 GB at 125M/m2=32)
+        if getattr(self, "_codes2_dev_src", None) is not self._codes2:
+            self._codes2_dev = jnp.asarray(self._codes2)
+            self._codes2_dev_src = self._codes2
+        return self._codes2_dev
 
     def _host_store(self):
         """(rows, assign) host arrays (gid-keyed) with pending folded."""
@@ -2024,7 +2034,11 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.refine == "pq2" and self.codebooks2 is not None:
             self._codes2_pending.append(
                 np.asarray(self._encode_tier2(enc_in, codes)))
-        elif self.refine == "host" and self._host_rows is not None:
+        elif self.refine == "host" and self._host_scale > 0:
+            # gate on the SCALE, not _host_rows: after build_streaming the
+            # whole store is still in _host_pending_rows (_host_rows None)
+            # and gating on it silently dropped every add from the
+            # gid-keyed store, misaligning all later appends (review, r3)
             self._host_pending_rows.append(np.asarray(jnp.clip(
                 jnp.round(enc_in / self._host_scale), -127, 127
             ).astype(jnp.int8)))
@@ -2129,6 +2143,15 @@ class BandIVFPQIndex(BandIVFIndex):
                         np.searchsorted(self._offsets, rows, side="right") - 1
                     )
                     rec = rec + self.centroids[assign]
+                out[arena_mask] = rec
+            elif self.refine == "host" and (self._host_rows is not None
+                                            or self._host_pending_rows):
+                # gid-keyed near-exact int8 store beats PQ decode (r3)
+                rows_h, assign_h = self._host_store()
+                g = ids[arena_mask]
+                rec = rows_h[g].astype(np.float32) * self._host_scale
+                if self.residual:  # rows store residuals
+                    rec = rec + self.centroids[assign_h[g]]
                 out[arena_mask] = rec
             else:
                 if self._segmented:
@@ -2392,7 +2415,7 @@ class BandIVFPQIndex(BandIVFIndex):
             v, gids = _host_rescore(
                 qp_dev, v, jnp.asarray(gids_h), jnp.asarray(r8),
                 jnp.asarray(assign), st["centroids"],
-                jnp.float32(self._host_scale), k=k)
+                jnp.float32(self._host_scale), k=k, resid=self.residual)
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
         return self._merge_pending_topk(v, gids, queries[:nq], k)

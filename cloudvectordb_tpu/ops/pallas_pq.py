@@ -149,11 +149,18 @@ def _pq_tiles_kernel(
 
     @pl.when(live)
     def _body():
+        # codes block is ALWAYS (rows, tile_n) code-major in VMEM: the
+        # row-major (N_pad, m) arena is passed TRANSPOSED by the wrapper —
+        # a zero-copy bitcast of its compact {0,1} HBM layout. Feeding
+        # (tile_n, m) blocks instead forces XLA to relayout every segment
+        # row-major-padded (64→128 lanes) before the custom call: 1.88 GB
+        # of HLO temps PER SEGMENT at 125M rows/chip (measured — the
+        # config-#5 serving OOM), plus the copy traffic per search.
         codes = codes_ref[:]
-        tile_sz = codes.shape[0] if row_major else codes.shape[1]
+        tile_sz = codes.shape[1]
 
         def code_row(sub):
-            return codes[:, sub] if row_major else codes[sub, :]
+            return codes[sub, :]
 
         code_iota = lax.broadcasted_iota(jnp.int32, (ncode, tile_sz), 0)
         for sub in range(m):
@@ -320,13 +327,11 @@ def pq_tiles_topk_pallas(
     nv = jnp.full((1,), n, jnp.int32) if n_valid is None else (
         jnp.asarray(n_valid, jnp.int32).reshape(1)
     )
-    codes_spec = (
-        pl.BlockSpec((tile_n, m), lambda i, j, tt, nv: (tt[i, j], 0),
-                     memory_space=pltpu.VMEM)
-        if row_major else
-        pl.BlockSpec((code_rows, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
-                     memory_space=pltpu.VMEM)
-    )
+    # codes always dispatch as code-major (rows, tile_n) blocks; row-major
+    # arenas are transposed below (bitcast — see kernel doc on layouts)
+    codes_spec = pl.BlockSpec(
+        ((m if row_major else code_rows), tile_n),
+        lambda i, j, tt, nv: (0, tt[i, j]), memory_space=pltpu.VMEM)
     in_specs_head = [
         pl.BlockSpec((tile_q, d), lambda i, j, tt, nv: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -370,7 +375,8 @@ def pq_tiles_topk_pallas(
         w_lists=w_lists, row_major=row_major, n_pools=n_pools,
         n_live_tiles=n_live_tiles,
     )
-    args = [tile_table.astype(jnp.int32), nv, qp, codes_cm]
+    args = [tile_table.astype(jnp.int32), nv, qp,
+            codes_cm.T if row_major else codes_cm]
     if row_major and residual:
         args.append(local_ids)
     args += [cbt, centroid_tiles.astype(jnp.bfloat16)]
@@ -382,6 +388,12 @@ def pq_tiles_topk_pallas(
             jax.ShapeDtypeStruct((n_pools, nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
+        # deep-pool configs (n_pools·l_buckets·tile_q slots + the (d, tile_n)
+        # decode scratch) exceed XLA's 16 MB default scoped-vmem budget by
+        # ~1 MB at tile_q=128/l_buckets=512/n_pools=2 (measured: 17.16 MB,
+        # config #5 two-stage). v5e has 128 MB VMEM/core — raise the kernel
+        # budget instead of shrinking the op point.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*args)
 
     # pools side by side: (nq, n_pools·l_buckets) candidate slots per query

@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cloudvectordb_tpu.index.ivf_band import BandIVFIndex, _tiles_plan_search
 from cloudvectordb_tpu.index.kmeans import train_kmeans
+from cloudvectordb_tpu.eval.tune import TunableMixin
 from cloudvectordb_tpu.ops.pallas_band import order_centroids
 from cloudvectordb_tpu.parallel.mesh import make_mesh
 
@@ -97,7 +98,7 @@ def _sharded_band_search(
     )(q, centroids, payload, ids, tile_window, n_valid)
 
 
-class ShardedBandIndex:
+class ShardedBandIndex(TunableMixin):
     """Row-partitioned BandIVFIndex with a shared coarse quantizer."""
 
     def __init__(self, mesh: Mesh | None = None, **band_kw):
@@ -339,10 +340,10 @@ class ShardedBandIndex:
             idx._op_point = dict(man["op_point"])
         return idx
 
-    # -- op-point tuning (eval/tune.py; duck-typed like Index.tune) --------
-    _op_point: dict | None = None
-
+    # -- op-point tuning: tune()/_op_point from TunableMixin ---------------
     def _tune_candidates(self, nq: int) -> list[dict]:
+        """Cheapest per-shard tile budget meeting the recall target; the
+        op point becomes search()'s default and persists via save()."""
         n_tiles = int(self._device_state()["n_tiles"])
         base = self._shards[0]._auto_p_tiles(nq, 32, n_tiles)
         out = []
@@ -355,17 +356,6 @@ class ShardedBandIndex:
 
     def _tune_reference_kw(self, nq: int) -> dict:
         return {"p_tiles": int(self._device_state()["n_tiles"])}
-
-    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
-             gt=None, time_iters: int = 3, verbose: bool = False) -> dict:
-        """Cheapest per-shard tile budget meeting the recall target; the
-        op point becomes search()'s default and persists via save()."""
-        from cloudvectordb_tpu.eval.tune import tune_index
-
-        report = tune_index(self, queries, k, target_recall, gt,
-                            time_iters=time_iters, verbose=verbose)
-        self._op_point = report["op"]
-        return report
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
                interpret: bool | None = None, scoring: str = "hybrid"):

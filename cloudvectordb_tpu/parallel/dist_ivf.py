@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex, _ivfpq_scan_search
 from cloudvectordb_tpu.index.kmeans import train_kmeans
+from cloudvectordb_tpu.eval.tune import TunableMixin
 from cloudvectordb_tpu.index.pq import pq_encode, train_pq
 from cloudvectordb_tpu.ops.assign import assign_clusters
 from cloudvectordb_tpu.parallel.mesh import make_mesh
@@ -93,7 +94,7 @@ def _sharded_ivfpq_search(
     )(q, centroids, codebooks, codes, ids, offsets, lens, refine_rows)
 
 
-class ShardedIVFPQIndex:
+class ShardedIVFPQIndex(TunableMixin):
     """Row-partitioned IVF-PQ with replicated quantizers."""
 
     def __init__(self, mesh: Mesh | None = None, refine: str = "none", **ivfpq_kw):
@@ -400,38 +401,14 @@ class ShardedIVFPQIndex:
             idx._op_point = dict(man["op_point"])
         return idx
 
-    # -- op-point tuning (eval/tune.py; duck-typed like Index.tune) --------
-    _op_point: dict | None = None
-
+    # -- op-point tuning: tune()/_op_point from TunableMixin; the ladder is
+    # the single-index family's (same nprobe/refine_factor search kwargs,
+    # same nlist/refine config) — delegate instead of re-implementing
     def _tune_candidates(self, nq: int) -> list[dict]:
-        nlist = self.kw["nlist"]
-        rfs = (16, 64) if self.refine == "int8" else (None,)
-        out, p = [], 1
-        while p <= nlist:
-            for rf in rfs:
-                out.append({"nprobe": min(p, nlist)} if rf is None else
-                           {"nprobe": min(p, nlist), "refine_factor": rf})
-            if p == nlist:
-                break
-            p = min(p * 2, nlist)
-        out.sort(key=lambda c: c["nprobe"] * (1 + c.get("refine_factor", 0)
-                                              / 64.0))
-        return out
+        return self._shards[0]._tune_candidates(nq)
 
     def _tune_reference_kw(self, nq: int) -> dict:
-        kw = {"nprobe": self.kw["nlist"]}
-        if self.refine == "int8":
-            kw["refine_factor"] = 64
-        return kw
-
-    def tune(self, queries, k: int = 10, target_recall: float = 0.95,
-             gt=None, time_iters: int = 3, verbose: bool = False) -> dict:
-        from cloudvectordb_tpu.eval.tune import tune_index
-
-        report = tune_index(self, queries, k, target_recall, gt,
-                            time_iters=time_iters, verbose=verbose)
-        self._op_point = report["op"]
-        return report
+        return self._shards[0]._tune_reference_kw(nq)
 
     def search(self, queries, k: int, nprobe: int | None = None,
                batch: int = 256, refine_factor: int | None = None):

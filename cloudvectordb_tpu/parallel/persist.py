@@ -73,9 +73,19 @@ def save_sharded(
             **manifest,
         }
         (tmp / SHARDED_MANIFEST).write_text(json.dumps(top, indent=2))
+        # old artifact moves ASIDE before the swap (mirrors Index.save):
+        # deleting it first would leave NO artifact if the process dies
+        # before the rename — the exact multi-minute build this layout
+        # exists to protect
+        old = None
         if path.exists():
-            shutil.rmtree(path)
+            old = Path(
+                tempfile.mkdtemp(dir=path.parent, prefix=".shidx_old_")
+            ) / "prev"
+            os.rename(path, old)
         os.rename(tmp, path)
+        if old is not None:
+            shutil.rmtree(old.parent, ignore_errors=True)
     finally:
         if tmp.exists():
             shutil.rmtree(tmp, ignore_errors=True)

@@ -207,20 +207,46 @@ class Pipeline:
         self._mark_done("build")
         return load_index(out)
 
+    def _eval_queries(self, emb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(queries, exact ground-truth ids) — perturbed corpus embeddings,
+        shared by stage_eval and stage_tune so both measure the same task."""
+        nq = min(self.cfg.eval_queries, emb.shape[0])
+        rng = np.random.default_rng(0)
+        qsel = rng.choice(emb.shape[0], nq, replace=False)
+        q = emb[qsel] + 0.01 * rng.normal(size=(nq, emb.shape[1])).astype(np.float32)
+        if self.cfg.index.metric == "ip":
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        _, gt = brute_force_topk(emb, q, self.cfg.eval_k, metric=self.cfg.index.metric)
+        return q, gt
+
+    def stage_tune(self, target_recall: float = 0.95) -> dict:
+        """Auto-pick the index's serving op point (eval/tune.py) against the
+        eval query distribution and re-save the artifact so the tuned knobs
+        become search()'s defaults on every future load. Re-runnable (no
+        done-marker): tune again after adds or with a new target."""
+        with StageTimer(self.metrics, "tune"):
+            emb = np.load(self.workdir / "embeddings.npy")
+            index = load_index(self.workdir / "index")
+            q, gt = self._eval_queries(emb)
+            report = index.tune(q, self.cfg.eval_k, target_recall, gt=gt)
+            index.save(self.workdir / "index",
+                       extra_meta={"config_hash": self.cfg.index.config_hash()})
+            out = {"op": report["op"], "met": report["met"],
+                   "recall": report["recall"], "qps": report.get("qps"),
+                   "target_recall": target_recall}
+            self.metrics.log("tuned", **out)
+            log.info("tune: op=%s recall=%.4f (target %.2f, met=%s)",
+                     report["op"], report["recall"], target_recall, report["met"])
+        return out
+
     def stage_eval(self) -> dict:
         if self.is_done("eval") and (self.workdir / "eval.json").exists():
             return json.loads((self.workdir / "eval.json").read_text())
         with StageTimer(self.metrics, "eval"):
             emb = np.load(self.workdir / "embeddings.npy")
             index = load_index(self.workdir / "index")
-            nq = min(self.cfg.eval_queries, emb.shape[0])
-            rng = np.random.default_rng(0)
-            qsel = rng.choice(emb.shape[0], nq, replace=False)
-            q = emb[qsel] + 0.01 * rng.normal(size=(nq, emb.shape[1])).astype(np.float32)
-            if self.cfg.index.metric == "ip":
-                q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             k = self.cfg.eval_k
-            _, gt = brute_force_topk(emb, q, k, metric=self.cfg.index.metric)
+            q, gt = self._eval_queries(emb)
             kw = {} if self.cfg.index.kind == "flat" else {"nprobe": self.cfg.index.nprobe}
             _, found = index.search(q, k, **kw)
             r = recall_at_k(found, gt)
@@ -235,7 +261,7 @@ class Pipeline:
                 warmup=1, iters=3,
             )
             qps = bench["qps"]
-            result = {"recall_at_k": r, "k": k, "nq": nq, "qps": qps,
+            result = {"recall_at_k": r, "k": k, "nq": q.shape[0], "qps": qps,
                       "kind": self.cfg.index.kind}
             self.metrics.log("eval", **result)
             (self.workdir / "eval.json").write_text(json.dumps(result, indent=2))

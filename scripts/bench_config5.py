@@ -170,9 +170,32 @@ def main():
               f"{B*reps/dt:8.0f} qps/chip", flush=True)
 
         if refine == "pq2":  # two-stage: tier-1 candidates + tier-2 rescore
+            # candidate recall@k_cand == the EXACT-rescore recall ceiling at
+            # this op point — what refine='host' (int8 rows in host RAM)
+            # achieves; its 96 GB build-time device→host copy is ~10 s of
+            # PCIe on real hardware but hours through this dev tunnel, so
+            # the ceiling is reported instead of benched end-to-end
+            for kc, npool in ((1024, 2), (4096, 4)):
+                lb = kc // npool
+                _, gc = _pq_tiles_plan_search(
+                    qrot[:NQ_GT] + 0.0, st["centroids"], st["codes"],
+                    st["codebooks"], st["refine"], st["ids"],
+                    st["tile_window"], st["centroid_tiles"], nv,
+                    st.get("local_rm"), k=kc, k_cand=kc, p_tiles=p_tiles,
+                    tile_n=idx.tile_n, tile_q=64, interpret=False,
+                    refine_scale=0.0, row_major=idx._codes_row_major,
+                    n_pools=npool, l_buckets=lb)
+                gc = np.asarray(jax.device_get(gc))
+                crec = np.mean([
+                    len(set(gc[i]) & set(gt[i])) / gt.shape[1]
+                    for i in range(NQ_GT)])
+                print(f"[eval] host-ceiling p={p_tiles} k_cand={kc} "
+                      f"pools={npool}: candidate-recall@10={crec:.4f}",
+                      flush=True)
             # tile_q stays 128: at p=4096 the (n_qt, p) scalar-prefetch
             # table sits at the 512 KB SMEM edge already (see module doc)
-            for rf, npool, tq2 in ((102, 2, 128), (205, 4, 128)):
+            for rf, npool, tq2 in ((102, 2, 128), (205, 4, 128),
+                                   (410, 4, 128)):
                 try:
                     qn = np.asarray(queries)
                     _, g2 = idx.search(qn, K, p_tiles=p_tiles,

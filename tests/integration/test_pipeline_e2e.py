@@ -59,6 +59,27 @@ def test_pipeline_end_to_end(tmp_path):
         assert (pipe.workdir / f).exists(), f
 
 
+def test_pipeline_tune_stage(tmp_path):
+    """r3: the tune stage picks an op point, persists it in the artifact,
+    and a reloaded index serves with it by default (CLI `tune`)."""
+    from cloudvectordb_tpu.index import load_index
+
+    cfg = _tiny_cfg(tmp_path)
+    pipe = Pipeline(cfg)
+    pipe.run()
+    out = pipe.stage_tune(target_recall=0.9)
+    assert out["met"] and out["recall"] >= 0.9
+    assert "nprobe" in out["op"]
+    loaded = load_index(pipe.workdir / "index")
+    assert loaded._op_point == out["op"]
+    emb = np.load(pipe.workdir / "embeddings.npy")
+    q, gt = pipe._eval_queries(emb)
+    from cloudvectordb_tpu.eval.recall import recall_at_k
+
+    _, found = loaded.search(q, cfg.eval_k)  # op point fills nprobe
+    assert recall_at_k(found, gt) >= 0.9
+
+
 def test_pipeline_resume_after_injected_failure(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     with pytest.raises(FailInjection):

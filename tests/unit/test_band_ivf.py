@@ -851,3 +851,62 @@ def test_pq2_rescore_chunking_parity():
         _band._rescore_nsub = orig
     assert np.allclose(np.asarray(v2c), np.asarray(v2), atol=1e-5)
     assert (np.asarray(g2c) == np.asarray(g2)).all()
+
+
+def test_host_refine_add_after_streaming_build(data):
+    """r3 review: add() must append to the gid-keyed host store even when
+    the store still lives in _host_pending_rows (fresh build_streaming —
+    _host_rows is None until the first fold). The old `_host_rows is not
+    None` gate silently dropped every add, permanently misaligning the
+    store after merge."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [db[s : s + 1000] for s in range(0, 4000, 1000)]
+    idx = BandIVFPQIndex.build_streaming(
+        iter(chunks), nlist=16, m=8, nbits=4, refine="host", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16)
+    assert idx._host_rows is None and idx._host_pending_rows
+    n0 = idx.ntotal
+    idx.add(db[:50])
+    rows_h, assign_h = idx._host_store()
+    assert rows_h.shape[0] == n0 + 50, rows_h.shape  # append not dropped
+    idx.merge_pending()
+    idx.add(db[100:130])  # appends AFTER a fold must stay gid-aligned too
+    rows_h, assign_h = idx._host_store()
+    assert rows_h.shape[0] == n0 + 80
+    # gid-keyed store must hold exactly the quantized residual of its
+    # source row (a dropped append shifts every later gid → garbage here);
+    # ±1 LSB slack for f32-order-of-operations differences, and clipping
+    # (residuals can exceed the trained 127·scale range) is reproduced
+    for gid, src in ((n0 + 10, db[10]), (n0 + 60, db[110])):
+        resid = src - idx.centroids[assign_h[gid]]
+        exp = np.clip(np.round(resid / idx._host_scale), -127, 127)
+        assert np.abs(rows_h[gid].astype(np.int32)
+                      - exp.astype(np.int32)).max() <= 1, gid
+
+
+def test_host_refine_nonresidual_no_centroid_term(data):
+    """r3 review: refine='host' with residual=False stores WHOLE rows; the
+    rescore must not add the centroid term (q·x + q·c inflated arena
+    scores over the exact pending scan)."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    kw = dict(nlist=16, m=8, nbits=4, residual=False, kmeans_iters=6,
+              pq_train_iters=6, tile_n=256, tile_q=16)
+    idx = BandIVFPQIndex.build(db, refine="host", **kw)
+    none = BandIVFPQIndex.build(db, refine="none", **kw)
+    p_all = idx._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, f = idx.search(q, 10, **skw)
+    r = recall_at_k(f, gt)
+    _, f0 = none.search(q, 10, **skw)
+    r0 = recall_at_k(f0, gt)
+    # exact rescore of the same tier-1 candidates can only help; with the
+    # spurious +q·c term it fell measurably below the PQ-only ranking
+    assert r >= r0 - 0.01, (r, r0)
+    # scores must be plain dequantized IP against the TRUE stored rows
+    v, g = idx.search(q[:8], 1, **skw)
+    ip = np.sum(q[:8] * db[g[:, 0]], axis=1)
+    assert np.allclose(v[:, 0], ip, atol=0.05), (v[:, 0], ip)
