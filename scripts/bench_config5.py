@@ -218,6 +218,47 @@ def main():
                     print(f"[eval] pq2 rf={rf}: FAILED {type(e).__name__} "
                           f"{str(e)[:160]}", flush=True)
 
+    # --- host exact-rescore tier via attach (ATTACH_HOST=1) --------------------
+    # Rows are re-produced HOST-side (threefry PRNG is backend-deterministic;
+    # f32 matmul ulp noise ≪ the int8 quantization step) and quantized there:
+    # zero device-link traffic, vs 96 GB device→host after a device build
+    # (~10 s of PCIe on real hardware, ~70 min through this relay at the
+    # measured 23 MB/s).
+    if os.environ.get("ATTACH_HOST") == "1" and refine == "pq2":
+        w_np, c_np = np.asarray(w), np.asarray(centers)
+        cpu = jax.devices("cpu")[0]
+
+        def host_chunk(i):
+            with jax.default_device(cpu):
+                ka, kn = jax.random.split(jax.random.PRNGKey(i))
+                a = np.asarray(jax.random.randint(ka, (sizes[i],), 0,
+                                                  NCENTERS))
+                nz = np.asarray(jax.random.normal(
+                    kn, (sizes[i], LATENT), jnp.float32))
+            x = (c_np[a] + (0.3 / (LATENT ** 0.5)) * nz) @ w_np
+            return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        t0 = time.perf_counter()
+        idx.attach_host_refine(host_chunk, n_chunks)
+        print(f"[attach] host tier ({idx._host_rows.nbytes/1e9:.0f} GB RAM) "
+              f"in {time.perf_counter() - t0:.0f} s host-side", flush=True)
+        qn = np.asarray(queries)
+        for bq, rf in ((512, 64), (512, 102)):
+            p_h = min(p_list[-1], n_tiles)
+            _, gh = idx.search(qn[:bq], K, p_tiles=p_h, refine_factor=rf,
+                               tile_q=64)
+            rh = recall_at_k(gh[:min(bq, NQ_GT)], gt[:min(bq, NQ_GT)])
+            t0 = time.perf_counter()
+            idx.search(np.roll(qn[:bq], 1, axis=0), K, p_tiles=p_h,
+                       refine_factor=rf, tile_q=64)
+            dt = time.perf_counter() - t0
+            ship = bq * rf * K * D / 1e9
+            print(f"[eval] host-tier p={p_h} B={bq} k_cand={rf*K}: "
+                  f"recall@10={rh:.4f}  {bq/dt:6.0f} qps/chip "
+                  f"(relay-bound: ships {ship:.2f} GB/batch host→HBM; "
+                  f"PCIe at 16 GB/s → ~{bq/(ship/16+0.02):,.0f} qps bound)",
+                  flush=True)
+
     # --- incremental updates (config #5 requirement) ---------------------------
     extra = gen(jax.random.PRNGKey(999_999), 8192)
     t0 = time.perf_counter()

@@ -910,3 +910,35 @@ def test_host_refine_nonresidual_no_centroid_term(data):
     v, g = idx.search(q[:8], 1, **skw)
     ip = np.sum(q[:8] * db[g[:, 0]], axis=1)
     assert np.allclose(v[:, 0], ip, atol=0.05), (v[:, 0], ip)
+
+
+def test_attach_host_refine_from_host_source(data):
+    """r3: attach the host exact-rescore tier AFTER a device-resident pq2
+    build from a host-side row source (zero device-link traffic). Must
+    match a refine='host' build's results on the same data."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [db[s : s + 1000] for s in range(0, 4000, 1000)]
+    kw = dict(nlist=16, m=8, nbits=4, kmeans_iters=6, pq_train_iters=6,
+              tile_n=256, tile_q=16, train_sample=1000)
+    idx = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, refine="pq2", m2=16, **kw)
+    host = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, refine="host", **kw)
+    p_all = idx._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, f2 = idx.search(q, 10, **skw)           # pq2 tier before attach
+    idx.attach_host_refine(lambda i: chunks[i], 4)
+    assert idx.refine == "host" and idx._host_rows.shape[0] == 4000
+    _, fa = idx.search(q, 10, **skw)           # host tier after attach
+    _, fh = host.search(q, 10, **skw)          # built-as-host reference
+    r2_, ra, rh = (recall_at_k(f, gt) for f in (f2, fa, fh))
+    assert ra >= rh - 0.01, (ra, rh)   # attach ≡ built-as-host
+    assert ra >= r2_ - 0.01, (ra, r2_)  # exact rescore ≥ tier-2 ADC
+    # attached store rows match the built-as-host store bit-for-bit up to
+    # the scale (both quantize the same residuals; scales from same chunk)
+    assert abs(idx._host_scale - host._host_scale) < 1e-9
+    assert (idx._host_rows == host._host_rows).mean() > 0.995
