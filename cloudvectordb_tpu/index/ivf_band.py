@@ -1089,6 +1089,12 @@ class BandIVFIndex(Index):
         st = self._device_state()
         n_tiles = int(self._payload.shape[0]) // self.tile_n
         tq = tile_q or self.tile_q
+        if tile_q is None and nq < tq:
+            # small-batch latency: padding a B<tq batch to a full query
+            # group makes the kernel score tq queries' worth of rows — 16×
+            # wasted MXU at B=8 under the tq=128 default. Shrink to the
+            # pow2 cover of the batch (bucketed: bounded distinct compiles)
+            tq = max(8, _next_pow2(nq))
         if p_tiles <= 0:
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
         q_pad = -(-nq // tq) * tq
@@ -2401,6 +2407,8 @@ class BandIVFPQIndex(BandIVFIndex):
             st = self._refine_scan_state()
             n_tiles = self._n_pad_rows // self.tile_n
             tq = tile_q or self.tile_q
+            if tile_q is None and nq < tq:
+                tq = max(8, _next_pow2(nq))  # small-batch: see _search_tiles
             if p_tiles <= 0:
                 p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
             q_pad = -(-nq // tq) * tq
@@ -2419,6 +2427,8 @@ class BandIVFPQIndex(BandIVFIndex):
         st = self._device_state()
         n_tiles = self._n_pad_rows // self.tile_n
         tq = tile_q or self.tile_q
+        if tile_q is None and nq < tq:
+            tq = max(8, _next_pow2(nq))  # small-batch: see _search_tiles
         if p_tiles <= 0:
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
         q_pad = -(-nq // tq) * tq
