@@ -97,10 +97,27 @@ def tune_index(
     cheapest serving config at the target."""
     queries = np.asarray(queries, np.float32)
     nq = queries.shape[0]
-    if gt is None:
-        _, gt = index.search(queries, k, **index._tune_reference_kw(nq))
     candidates = index._tune_candidates(nq)
     assert candidates, "index supplied an empty tune ladder"
+    if gt is None:
+        # the max-effort reference is the deepest-coverage config of all —
+        # exactly the class that can exceed VMEM / the SMEM prefetch-table
+        # cap at scale. Fall back down the ladder (most expensive first)
+        # so one failed compile degrades the reference instead of
+        # aborting the whole tune.
+        ref_err = None
+        for ref_kw in [index._tune_reference_kw(nq)] + candidates[::-1]:
+            try:
+                _, gt = index.search(queries, k, **ref_kw)
+                break
+            except Exception as e:  # noqa: BLE001 — see ladder except below
+                ref_err = e
+                if verbose:
+                    print(f"[tune] reference {ref_kw}: FAILED "
+                          f"{type(e).__name__}", flush=True)
+        if gt is None:
+            raise RuntimeError(
+                f"no reference config compiled; last error: {ref_err}")
     tried = []
     best = None  # (recall, cfg) fallback when nothing meets target
     chosen = None

@@ -23,6 +23,24 @@ ARRAYS = "arrays.npz"
 FORMAT_VERSION = 1
 
 
+def replace_dir_atomic(tmp: Path, path: Path, old_prefix: str) -> None:
+    """Swap a fully-written ``tmp`` dir into ``path``, moving any existing
+    artifact ASIDE first (never delete-then-rename: a crash in that window
+    would destroy the only copy of a multi-minute build). Worst case after
+    a crash here: a complete artifact exists at ``path``, in ``tmp``, or in
+    the ``old_prefix`` aside dir — something always survives on disk.
+    Shared by Index.save and parallel/persist.py::save_sharded."""
+    import shutil
+
+    old = None
+    if path.exists():
+        old = Path(tempfile.mkdtemp(dir=path.parent, prefix=old_prefix)) / "prev"
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if old is not None:
+        shutil.rmtree(old.parent, ignore_errors=True)
+
+
 class Index(TunableMixin, abc.ABC):
     """Build/add/search/save/load surface shared by Flat, IVF-Flat, IVF-PQ.
 
@@ -84,22 +102,7 @@ class Index(TunableMixin, abc.ABC):
             # payloads for staged host→HBM upload (SURVEY.md §2.2 persistence)
             for name, arr in arrays.items():
                 np.save(tmp / f"{name}.npy", np.asarray(arr))
-            # move the old artifact ASIDE before the swap (never delete it
-            # first): a crash between rmtree and rename would destroy the
-            # only copy of a multi-minute build. Worst case after a crash
-            # here: the new artifact is at `path` or in tmp, the old one in
-            # the .idx_old_ dir — something complete always exists on disk.
-            old = None
-            if path.exists():
-                old = Path(
-                    tempfile.mkdtemp(dir=path.parent, prefix=".idx_old_")
-                ) / "prev"
-                os.rename(path, old)
-            os.rename(tmp, path)
-            if old is not None:
-                import shutil
-
-                shutil.rmtree(old.parent, ignore_errors=True)
+            replace_dir_atomic(tmp, path, ".idx_old_")
         finally:
             if tmp.exists():
                 import shutil

@@ -1950,7 +1950,13 @@ class BandIVFPQIndex(BandIVFIndex):
             "attach_host_refine needs a build that kept assignments "
             "(build_device_streaming)")
         n = int(self._assign_gid.shape[0])
-        rot = (np.asarray(self.opq_matrix, np.float32)
+        assert self._pending.size == 0 and self.ntotal == n, (
+            f"attach covers gids 0..{n - 1} but the index has "
+            f"{self.ntotal} rows (+{self._pending.size} pending) — attach "
+            "BEFORE add()ing, or merge+rebuild; later gids would silently "
+            "rescore against the wrong host rows")
+        # same rotated space as every encode path: x' = x @ R.T
+        rot = (np.asarray(self.opq_matrix, np.float32).T
                if self.opq_matrix is not None else None)
         cent = np.asarray(self.centroids, np.float32)
         rows = np.empty((n, self.dim), np.int8)
@@ -1966,9 +1972,11 @@ class BandIVFPQIndex(BandIVFIndex):
                 rms = float(np.sqrt(np.mean(enc * enc)))
                 amax = float(np.abs(enc).max())
                 self._host_scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
-            np.clip(np.round(enc / self._host_scale), -127, 127,
-                    out=enc)
-            rows[base : base + b] = enc.astype(np.int8)
+            # np.round allocates; clip in place on ITS output only — `enc`
+            # may alias the caller's chunk (residual=False, no OPQ)
+            q8 = np.round(enc / self._host_scale)
+            np.clip(q8, -127, 127, out=q8)
+            rows[base : base + b] = q8.astype(np.int8)
             base += b
         assert base == n, f"host chunks cover {base} of {n} rows"
         self._host_rows = rows

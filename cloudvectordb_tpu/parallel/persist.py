@@ -73,19 +73,9 @@ def save_sharded(
             **manifest,
         }
         (tmp / SHARDED_MANIFEST).write_text(json.dumps(top, indent=2))
-        # old artifact moves ASIDE before the swap (mirrors Index.save):
-        # deleting it first would leave NO artifact if the process dies
-        # before the rename — the exact multi-minute build this layout
-        # exists to protect
-        old = None
-        if path.exists():
-            old = Path(
-                tempfile.mkdtemp(dir=path.parent, prefix=".shidx_old_")
-            ) / "prev"
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if old is not None:
-            shutil.rmtree(old.parent, ignore_errors=True)
+        from cloudvectordb_tpu.index.base import replace_dir_atomic
+
+        replace_dir_atomic(tmp, path, ".shidx_old_")
     finally:
         if tmp.exists():
             shutil.rmtree(tmp, ignore_errors=True)

@@ -228,7 +228,17 @@ class Pipeline:
             emb = np.load(self.workdir / "embeddings.npy")
             index = load_index(self.workdir / "index")
             q, gt = self._eval_queries(emb)
-            report = index.tune(q, self.cfg.eval_k, target_recall, gt=gt)
+            try:
+                report = index.tune(q, self.cfg.eval_k, target_recall, gt=gt)
+            except NotImplementedError:
+                # flat = exact search, nothing to tune — a supported kind
+                # must not traceback out of the CLI
+                out = {"op": {}, "met": True, "recall": 1.0, "qps": None,
+                       "target_recall": target_recall,
+                       "note": f"kind {index.kind!r} is exact — no tunable "
+                               "serving knobs"}
+                log.info("tune: %s", out["note"])
+                return out
             index.save(self.workdir / "index",
                        extra_meta={"config_hash": self.cfg.index.config_hash()})
             out = {"op": report["op"], "met": report["met"],

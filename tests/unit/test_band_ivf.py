@@ -942,3 +942,23 @@ def test_attach_host_refine_from_host_source(data):
     # the scale (both quantize the same residuals; scales from same chunk)
     assert abs(idx._host_scale - host._host_scale) < 1e-9
     assert (idx._host_rows == host._host_rows).mean() > 0.995
+
+    # OPQ build: attach must rotate host chunks with the SAME convention
+    # (x @ R.T) as every encode path — the missing transpose quantized
+    # garbage and only showed at bench scale (review finding, r3)
+    o_pq2 = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, refine="pq2", m2=16, opq=True,
+        **kw)
+    o_host = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, refine="host", opq=True, **kw)
+    o_pq2.attach_host_refine(lambda i: chunks[i], 4)
+    assert abs(o_pq2._host_scale - o_host._host_scale) < 1e-9
+    assert (o_pq2._host_rows == o_host._host_rows).mean() > 0.995
+    _, fo = o_pq2.search(q, 10, **skw)
+    _, fr = o_host.search(q, 10, **skw)
+    assert recall_at_k(fo, gt) >= recall_at_k(fr, gt) - 0.01
+
+    # attach after add() must refuse (later gids absent from the store)
+    o_host.add(db[:16])
+    with pytest.raises(AssertionError):
+        o_host.attach_host_refine(lambda i: chunks[i], 4)
