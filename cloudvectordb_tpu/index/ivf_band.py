@@ -315,6 +315,23 @@ def _scatter_set(buf, dest, rows):
     return buf.at[dest].set(rows)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_move(buf, src, dst):
+    """Donated in-place self-move: rows at ``src`` copied onto ``dst``
+    (disjoint sets) — the O(batch) swap-remove path. The gather reads
+    before the aliased scatter writes, so donation is safe."""
+    return buf.at[dst].set(buf[src])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _ids_swap_free(ids, src, dst, freed):
+    """Device id-table update mirroring a swap-remove: survivors move
+    src→dst, freed tail slots become holes (-1)."""
+    if src.shape[0]:
+        ids = ids.at[dst].set(ids[src])
+    return ids.at[freed].set(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _pending_scan(q, rows, scale, n_valid, *, k):
     """Exact top-k over the (small) pending buffer: one dense matmul.
@@ -434,6 +451,10 @@ class BandIVFIndex(Index):
         # device ANNEX arena: pending folds here when the MAIN arena is
         # device-resident (r3 — _fold_pending; rows/assign jnp, ids host np)
         self._annex: dict | None = None
+        # monotonic global-id allocator: 0 = not yet materialized (every
+        # build path assigns ids contiguously from 0, so _gid_bound derives
+        # it lazily); remove() leaves gaps — ids are never reused
+        self._next_id = 0
 
     @property
     def _n_valid(self) -> int:
@@ -447,6 +468,30 @@ class BandIVFIndex(Index):
     def ntotal(self) -> int:
         ax = self._annex["n"] if self._annex is not None else 0
         return self._n_valid + self._pending.size + ax
+
+    def _gid_bound(self) -> int:
+        """1 + the largest global id ever allocated. Equals ntotal until the
+        first remove(); after removals the id space has gaps, so THIS — not
+        ntotal — sizes gid-keyed lookup tables and seeds new-id allocation.
+        Lazily derived from the id stores on first use (every build path
+        assigns ids contiguously from 0), then maintained incrementally."""
+        if self._next_id == 0:
+            hi = 0
+            if self._ids is not None and len(self._ids):
+                hi = int(np.asarray(self._ids).max(initial=-1)) + 1
+            snap = self._pending.snapshot_full()
+            if snap is not None and snap[1].size:
+                hi = max(hi, int(snap[1].max()) + 1)
+            if self._annex is not None and self._annex["n"]:
+                hi = max(hi, int(self._annex["ids"][: self._annex["n"]]
+                                 .max()) + 1)
+            self._next_id = hi
+        return self._next_id
+
+    def _alloc_ids(self, b: int) -> np.ndarray:
+        nid = self._gid_bound()
+        self._next_id = nid + b
+        return np.arange(nid, nid + b, dtype=np.int64)
 
     @classmethod
     def build(
@@ -769,7 +814,7 @@ class BandIVFIndex(Index):
             return
         a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
         b = int(vectors.shape[0])
-        ids = np.arange(self.ntotal, self.ntotal + b, dtype=np.int64)
+        ids = self._alloc_ids(b)
         if self.slack > 0 and self._list_lens is not None:
             # in-place insert into each list's slack slots: an O(batch)
             # donated device scatter; rows whose list is full spill to the
@@ -826,6 +871,132 @@ class BandIVFIndex(Index):
         if self._pending.size > max(self.merge_threshold * self._n,
                                     4 * self.tile_n):
             self._fold_pending()
+
+    def remove(self, ids) -> int:
+        """Delete rows by global id. Returns the number actually removed
+        (unknown ids are ignored); freed ids are never reused.
+
+        The TPU-native path (residual-int8 arenas, the flagship family) is
+        O(batch): within each hit list the surviving TAIL rows swap into
+        the removed slots (one donated device gather+scatter — the arena
+        payload never crosses the host link) and the list's valid_end
+        retreats, so the kernel's per-tile-list mask stays EXACT. Freed
+        slots become slack capacity that add() refills in place. Pending
+        rows filter host-side; annex rows swap-remove within the annex.
+        Non-residual arenas (no in-kernel valid_end masking) compact via
+        one host-side re-sort instead."""
+        req = np.unique(np.asarray(ids, np.int64).ravel())
+        req = req[req >= 0]
+        if req.size == 0:
+            return 0
+        self._gid_bound()  # materialize BEFORE ids vanish: never reuse ids
+        removed = self._remove_pending(req)
+        removed += self._remove_annex(req)
+        if self._n:
+            ids_arr = np.asarray(self._ids[: self._n], np.int64)
+            slots = np.flatnonzero(np.isin(ids_arr, req))
+            if slots.size:
+                if self._resid8:
+                    self._remove_arena_inplace(slots)
+                else:
+                    self._remove_arena_compact(slots)
+                removed += int(slots.size)
+        return removed
+
+    def _remove_pending(self, req: np.ndarray) -> int:
+        n_rem, _ = self._pending.remove_ids(req)
+        if n_rem:
+            self._pending_dev = None
+        return n_rem
+
+    def _remove_annex(self, req: np.ndarray) -> int:
+        ax = self._annex
+        if ax is None or ax["n"] == 0:
+            return 0
+        n = ax["n"]
+        hit = np.flatnonzero(np.isin(ax["ids"][:n], req))
+        if hit.size == 0:
+            return 0
+        new_n = n - int(hit.size)
+        head = hit[hit < new_n]  # holes that need filling
+        tail = np.arange(new_n, n)
+        tail_surv = tail[~np.isin(tail, hit)]  # survivors that fill them
+        if head.size:
+            src = jnp.asarray(tail_surv.astype(np.int32))
+            dst = jnp.asarray(head.astype(np.int32))
+            ax["rows"] = _scatter_move(ax["rows"], src, dst)
+            ax["assign"] = _scatter_move(ax["assign"], src, dst)
+            ax["ids"][head] = ax["ids"][tail_surv]
+        ax["ids"][new_n:n] = -1
+        ax["n"] = new_n
+        return int(hit.size)
+
+    def _swap_remove_slots(self, slots: np.ndarray):
+        """Per-list swap-remove plan: for each hit list, survivors from the
+        tail region move into removed head slots so every list stays
+        front-packed (the valid_end invariant). Decrements _list_lens.
+        Returns (src, dst, freed) arena slot arrays — src→dst moves are
+        disjoint; freed slots (the new tail holes) get id -1."""
+        offs = self._offsets
+        lens = self._list_lens
+        lists = np.searchsorted(offs, slots, side="right") - 1
+        src_all, dst_all, freed_all = [], [], []
+        for l in np.unique(lists):
+            r = np.sort(slots[lists == l])
+            o = int(offs[l])
+            ln = int(lens[l])
+            new_len = ln - int(r.size)
+            cut = o + new_len
+            head_holes = r[r < cut]
+            tail = np.arange(cut, o + ln)
+            tail_surv = tail[~np.isin(tail, r)]
+            assert head_holes.size == tail_surv.size
+            src_all.append(tail_surv)
+            dst_all.append(head_holes)
+            freed_all.append(tail)
+            lens[l] = new_len
+        cat = lambda xs: (np.concatenate(xs) if xs
+                          else np.zeros(0, np.int64))
+        return cat(src_all), cat(dst_all), cat(freed_all)
+
+    def _remove_arena_inplace(self, slots: np.ndarray) -> None:
+        """Residual-int8 arenas: O(batch) in-place swap-remove (see
+        remove()). Mirrors add()'s ordering — host bookkeeping commits
+        before the device scatter so a failure can't leave the id tables
+        pointing at half-moved payload."""
+        if self._list_lens is None:  # compact arena: materialize lens
+            self._list_lens = np.diff(self._offsets).astype(np.int64)
+        elif not self._list_lens.flags.writeable:
+            self._list_lens = self._list_lens.copy()
+        self._ids = np.asarray(self._ids, np.int64)
+        if not self._ids.flags.writeable:  # e.g. mmap'd load
+            self._ids = self._ids.copy()
+        src, dst, freed = self._swap_remove_slots(slots)
+        self._ids[dst] = self._ids[src]
+        self._ids[freed] = -1
+        tw = self._tile_window
+        self._valid_end = (self._offsets[:-1][tw]
+                           + self._list_lens[tw]).astype(np.int32)
+        sd = jnp.asarray(src.astype(np.int32))
+        dd = jnp.asarray(dst.astype(np.int32))
+        fd = jnp.asarray(freed.astype(np.int32))
+        if src.size:
+            self._payload = _scatter_move(jnp.asarray(self._payload), sd, dd)
+        if self._dev is not None:  # keep the staged state coherent
+            self._dev["payload"] = jnp.asarray(self._payload)
+            self._dev["ids"] = _ids_swap_free(self._dev["ids"], sd, dd, fd)
+            self._dev["valid_end"] = jnp.asarray(self._valid_end)
+
+    def _remove_arena_compact(self, slots: np.ndarray) -> None:
+        """Non-residual arenas (no per-tile-list valid_end mask in the
+        plain kernel): one host-side filtered re-sort — exact, O(N)."""
+        keep = np.ones(self._n, bool)
+        keep[slots] = False
+        ids_arr = np.asarray(self._ids[: self._n], np.int64)
+        keep &= ids_arr >= 0  # drop pre-existing hole slots too
+        cap_assign = np.repeat(np.arange(self.nlist), np.diff(self._offsets))
+        payload = np.asarray(self._payload)[: self._n][keep]
+        self._assemble_compact(payload, ids_arr[keep], cap_assign[keep])
 
     def _quantize_rows(self, vectors, assigns):
         """f32 device rows → arena payload dtype under the existing scale.
@@ -999,7 +1170,7 @@ class BandIVFIndex(Index):
         ids = np.asarray(ids)
         ids_arr = np.asarray(self._ids, np.int64)
         valid = np.flatnonzero(ids_arr >= 0)
-        pos = np.full(self.ntotal, -1, np.int64)
+        pos = np.full(max(self._gid_bound(), 1), -1, np.int64)
         pos[ids_arr[valid]] = valid
         snap = self._pending.snapshot_full()
         out = np.empty((ids.shape[0], self.dim), np.float32)
@@ -1027,7 +1198,7 @@ class BandIVFIndex(Index):
                     [p_assign, np.asarray(self._annex["assign"][:axn],
                                           np.int64)])
             assert p_rows.shape[0], "id not in arena and no pending rows"
-            ppos = np.full(self.ntotal, -1, np.int64)
+            ppos = np.full(max(self._gid_bound(), 1), -1, np.int64)
             ppos[p_ids] = np.arange(p_rows.shape[0])
             sel = ppos[ids[~arena_mask]]
             assert (sel >= 0).all(), "unknown id"
@@ -1268,6 +1439,7 @@ class BandIVFIndex(Index):
             "n": self._n, "kmeans_iters": self.kmeans_iters, "seed": self.seed,
             "tile_n": self.tile_n, "tile_q": self.tile_q,
             "residual": self.residual, "slack": self.slack,
+            "next_id": self._gid_bound(),
         }
 
     def _state_meta(self):
@@ -1291,6 +1463,7 @@ class BandIVFIndex(Index):
             idx._list_lens = np.array(arrays["list_lens"], np.int64, copy=True)
         idx._scale = m["scale"]
         idx._n = m["n"]
+        idx._next_id = m.get("next_id", 0)  # 0: derive lazily (_gid_bound)
         idx._tile_window = idx._compute_tile_window()
         if idx._resid8:  # aux derives from offsets + lens — not persisted
             idx._build_residual_aux()
@@ -1927,7 +2100,8 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._dev = None
         return idx
 
-    def attach_host_refine(self, host_chunk_fn, n_chunks: int) -> None:
+    def attach_host_refine(self, host_chunk_fn, n_chunks: int, *,
+                           chunks_rotated: bool = False) -> None:
         """Attach the host-RAM exact-rescore tier from a HOST-side row
         source — rows never cross the device link.
 
@@ -1945,7 +2119,14 @@ class BandIVFPQIndex(BandIVFIndex):
         After attach, refine='host': kernel candidates are exactly rescored
         from the host store (``_host_rescore``) — at 125M/chip this lifts
         recall@10 from the tier-2-ADC ceiling (~0.39) to the candidate
-        recall of the shortlist (~0.77 at 5% coverage, measured)."""
+        recall of the shortlist (~0.77 at 5% coverage, measured).
+
+        chunks_rotated=True: the chunks are ALREADY in the index's OPQ
+        space and the 768×768 host rotation is skipped. Sources that can
+        emit rotated rows directly (a generator whose final projection
+        absorbed R — row-normalization commutes with an orthogonal R — or
+        shards spooled post-rotation by the encode stage) save dim²·N host
+        FLOPs: 147 TFLOP at 125M×768, hours on one core."""
         assert self._assign_gid is not None, (
             "attach_host_refine needs a build that kept assignments "
             "(build_device_streaming)")
@@ -1957,7 +2138,8 @@ class BandIVFPQIndex(BandIVFIndex):
             "rescore against the wrong host rows")
         # same rotated space as every encode path: x' = x @ R.T
         rot = (np.asarray(self.opq_matrix, np.float32).T
-               if self.opq_matrix is not None else None)
+               if self.opq_matrix is not None and not chunks_rotated
+               else None)
         cent = np.asarray(self.centroids, np.float32)
         rows = np.empty((n, self.dim), np.int8)
         base = 0
@@ -2098,7 +2280,7 @@ class BandIVFPQIndex(BandIVFIndex):
             jnp.round(tr / self._pending_scale), -127, 127
         ).astype(jnp.int8)
         b = int(vectors.shape[0])
-        ids = np.arange(self.ntotal, self.ntotal + b, dtype=np.int64)
+        ids = self._alloc_ids(b)
         # tier-2 stores are gid-keyed: sequential ids → in-order appends
         if self.refine == "pq2" and self.codebooks2 is not None:
             self._codes2_pending.append(
@@ -2126,8 +2308,6 @@ class BandIVFPQIndex(BandIVFIndex):
     def merge_pending(self) -> None:
         if self._pending.size == 0:
             return
-        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
-
         if self.refine == "pq2" and self._codes2_pending:
             # pending rows become ARENA rows below; the serving path gathers
             # tier-2 codes for arena gids without folding (fold=False), so
@@ -2143,6 +2323,7 @@ class BandIVFPQIndex(BandIVFIndex):
         codes_all = np.concatenate([old_codes, pcodes.astype(np.uint8)])
         assigns = np.concatenate([old_assign, passign]).astype(np.int32)
         ids_all = np.concatenate([self._ids.astype(np.int64), pids])
+        refine_all = None
         if self.refine == "int8":
             old_refine = np.asarray(self._refine_rows)[: self._n]
             if self._refine_residual:
@@ -2156,6 +2337,14 @@ class BandIVFPQIndex(BandIVFIndex):
                 refine_all = np.concatenate([old_refine, rows8_r])
             else:
                 refine_all = np.concatenate([old_refine, rows8])
+        self._reassemble(codes_all, ids_all, assigns, refine_all)
+
+    def _reassemble(self, codes_all, ids_all, assigns, refine_all) -> None:
+        """Re-sort (codes, ids[, refine rows]) by list assignment and
+        reinstall the arena + every derived table — the shared tail of
+        merge_pending and remove-compaction."""
+        from cloudvectordb_tpu.utils.native import arena_sort, gather_rows
+
         order, offsets = arena_sort(assigns, self.nlist)
         n = codes_all.shape[0]
         n_pad = -(-n // self.tile_n) * self.tile_n
@@ -2193,14 +2382,58 @@ class BandIVFPQIndex(BandIVFIndex):
         self._install_codes_host(sorted_codes, local)
         self._dev = None
 
+    def remove(self, ids) -> int:
+        """Delete rows by global id (returns the number removed; unknown
+        ids ignored, freed ids never reused). The PQ kernel masks validity
+        with a per-segment row COUNT, not the per-tile-list valid_end table
+        (ops/pallas_pq.py), so holes can't stay in place — the code arena
+        compacts via one filtered re-sort (_reassemble; O(N) host-side,
+        codes are m bytes/row). Pending rows and their ride-along codes
+        filter chunk-parallel. GID-KEYED side stores (tier-2 codes, host
+        refine rows, _assign_gid) keep stale entries for removed ids — a
+        removed gid can never surface as a kernel candidate, so stale rows
+        cost bytes, not correctness. The residual-int8 BandIVFIndex family
+        has the O(batch) in-place path; prefer it where deletes are hot."""
+        req = np.unique(np.asarray(ids, np.int64).ravel())
+        req = req[req >= 0]
+        if req.size == 0:
+            return 0
+        self._gid_bound()  # materialize BEFORE ids vanish: never reuse ids
+        n_rem, masks = self._pending.remove_ids(req)
+        if n_rem:
+            self._pending_dev = None
+            # _pending_codes chunks parallel the pending chunks 1:1 (add());
+            # apply the same masks, dropping chunks that went empty
+            self._pending_codes = [
+                c if mk.all() else c[mk]
+                for c, mk in zip(self._pending_codes, masks) if mk.any()
+            ]
+        if self._n:
+            ids_arr = np.asarray(self._ids[: self._n], np.int64)
+            slots = np.flatnonzero(np.isin(ids_arr, req))
+            if slots.size:
+                keep = np.ones(self._n, bool)
+                keep[slots] = False
+                if self.refine == "pq2" and self._codes2_pending:
+                    self._codes2_device()  # land pending tier-2 codes first
+                codes = self._codes_np_rows()[: self._n][keep]
+                assigns = np.repeat(
+                    np.arange(self.nlist), np.diff(self._offsets)
+                )[keep].astype(np.int32)
+                refine_all = (np.asarray(self._refine_rows)[: self._n][keep]
+                              if self.refine == "int8" else None)
+                self._reassemble(codes, ids_arr[keep], assigns, refine_all)
+                n_rem += int(slots.size)
+        return n_rem
+
     def reconstruct(self, ids) -> np.ndarray:
         """Rows for the given global ids in ORIGINAL space: int8 refine rows
         when present (near-exact), else PQ decode; pending rows from the
         pending int8 store. Un-rotates OPQ output."""
         ids = np.asarray(ids)
         out = np.empty((ids.shape[0], self.dim), np.float32)
-        pos = np.full(self.ntotal, -1, np.int64)
-        pos[self._ids] = np.arange(self._n)
+        pos = np.full(max(self._gid_bound(), 1), -1, np.int64)
+        pos[np.asarray(self._ids, np.int64)] = np.arange(self._n)
         arena_mask = pos[ids] >= 0
         if arena_mask.any():
             rows = pos[ids[arena_mask]]
@@ -2250,7 +2483,7 @@ class BandIVFPQIndex(BandIVFIndex):
             snap = self._pending.snapshot()
             assert snap is not None, "id not in arena and no pending rows"
             p_rows, p_ids = snap
-            ppos = np.full(self.ntotal, -1, np.int64)
+            ppos = np.full(max(self._gid_bound(), 1), -1, np.int64)
             ppos[p_ids] = np.arange(p_rows.shape[0])
             out[~arena_mask] = (
                 p_rows[ppos[ids[~arena_mask]]].astype(np.float32)
@@ -2562,6 +2795,7 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._scale = m["scale"]
         idx._n = m["n"]
         idx._n_pad_rows = m["n_pad_rows"]
+        idx._next_id = m.get("next_id", 0)  # 0: derive lazily (_gid_bound)
         idx._refine_rows = (
             np.asarray(arrays["refine_rows"]) if "refine_rows" in arrays
             else np.zeros((1, manifest["dim"]), np.int8)

@@ -224,8 +224,14 @@ def main():
     # zero device-link traffic, vs 96 GB device→host after a device build
     # (~10 s of PCIe on real hardware, ~70 min through this relay at the
     # measured 23 MB/s).
-    if os.environ.get("ATTACH_HOST") == "1" and refine == "pq2":
-        w_np, c_np = np.asarray(w), np.asarray(centers)
+    if os.environ.get("ATTACH_HOST") == "1" and refine in ("pq2", "none"):
+        # fold the OPQ rotation into the generator's projection: rows are
+        # produced DIRECTLY in rotated space (row-normalization commutes
+        # with orthogonal R), so attach skips the 768×768 host matmul —
+        # 147 TFLOP at 125M, hours on this 1-core host
+        rot_t = (np.asarray(idx.opq_matrix, np.float32).T
+                 if idx.opq_matrix is not None else np.eye(D, dtype=np.float32))
+        w2_np, c_np = np.asarray(w) @ rot_t, np.asarray(centers)
         cpu = jax.devices("cpu")[0]
 
         def host_chunk(i):
@@ -235,15 +241,15 @@ def main():
                                                   NCENTERS))
                 nz = np.asarray(jax.random.normal(
                     kn, (sizes[i], LATENT), jnp.float32))
-            x = (c_np[a] + (0.3 / (LATENT ** 0.5)) * nz) @ w_np
+            x = (c_np[a] + (0.3 / (LATENT ** 0.5)) * nz) @ w2_np
             return x / np.linalg.norm(x, axis=1, keepdims=True)
 
         t0 = time.perf_counter()
-        idx.attach_host_refine(host_chunk, n_chunks)
+        idx.attach_host_refine(host_chunk, n_chunks, chunks_rotated=True)
         print(f"[attach] host tier ({idx._host_rows.nbytes/1e9:.0f} GB RAM) "
               f"in {time.perf_counter() - t0:.0f} s host-side", flush=True)
         qn = np.asarray(queries)
-        for bq, rf in ((512, 64), (512, 102)):
+        for bq, rf in ((512, 64), (512, 102), (512, 410)):
             p_h = min(p_list[-1], n_tiles)
             _, gh = idx.search(qn[:bq], K, p_tiles=p_h, refine_factor=rf,
                                tile_q=64)

@@ -962,3 +962,32 @@ def test_attach_host_refine_from_host_source(data):
     o_host.add(db[:16])
     with pytest.raises(AssertionError):
         o_host.attach_host_refine(lambda i: chunks[i], 4)
+
+
+def test_attach_host_refine_rotated_chunks(data):
+    """chunks_rotated=True: chunks supplied already in OPQ space skip the
+    host-side rotation and must yield the identical store (bench_config5
+    folds R into its generator — saves dim²·N host FLOPs at 125M)."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [db[s : s + 1000] for s in range(0, 4000, 1000)]
+    kw = dict(nlist=16, m=8, nbits=4, kmeans_iters=6, pq_train_iters=6,
+              tile_n=256, tile_q=16, train_sample=1000, opq=True,
+              refine="none")
+    a = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, **kw)
+    b = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, **kw)
+    a.attach_host_refine(lambda i: chunks[i], 4)
+    rot_t = np.asarray(b.opq_matrix, np.float32).T
+    b.attach_host_refine(lambda i: chunks[i] @ rot_t, 4, chunks_rotated=True)
+    assert abs(a._host_scale - b._host_scale) < 1e-6 * a._host_scale
+    assert (a._host_rows == b._host_rows).mean() > 0.999
+    p_all = a._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, fa = a.search(q, 10, **skw)
+    _, fb = b.search(q, 10, **skw)
+    assert recall_at_k(fb, gt) >= recall_at_k(fa, gt) - 0.01
