@@ -61,6 +61,25 @@ class ListArena:
             np.concatenate([old_assign, assignments]),
         )
 
+    def remove_ids(self, req: np.ndarray) -> int:
+        """Drop rows whose id is in ``req`` (sorted unique int64): one
+        boolean-mask compaction. Rows stay list-sorted (keep preserves
+        order), so only the offsets need recomputing. Returns the number
+        of rows removed; unknown ids are ignored."""
+        if self.size == 0:
+            return 0
+        keep = ~np.isin(self.ids, req)
+        n_rem = int(self.size - keep.sum())
+        if n_rem == 0:
+            return 0
+        assign = np.repeat(np.arange(self.nlist), self.list_lens)[keep]
+        # fancy indexing copies — safe on read-only mmap'd views too
+        self.payload = np.asarray(self.payload)[keep]
+        self.ids = np.asarray(self.ids)[keep]
+        counts = np.bincount(assign, minlength=self.nlist)
+        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return n_rem
+
 
 class PendingBuffer:
     """Flat append-only buffer for not-yet-merged inserts."""
@@ -102,3 +121,23 @@ class PendingBuffer:
         i = np.concatenate([c[1] for c in self._chunks])
         a = np.concatenate([c[2] for c in self._chunks])
         return p, i, a
+
+    def remove_ids(self, req: np.ndarray) -> tuple[int, list[np.ndarray]]:
+        """Drop pending rows whose id is in ``req``. Returns
+        (n_removed, keep_masks) — one boolean mask per ORIGINAL chunk, in
+        order, so callers with chunk-parallel side lists (e.g. PQ codes
+        appended alongside each pending chunk) can filter them with the
+        same masks. Chunks that end up empty are removed."""
+        masks: list[np.ndarray] = []
+        n_rem = 0
+        kept: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for p, i, a in self._chunks:
+            keep = ~np.isin(i, req)
+            masks.append(keep)
+            n_rem += int(i.shape[0] - keep.sum())
+            if keep.all():
+                kept.append((p, i, a))
+            elif keep.any():
+                kept.append((p[keep], i[keep], a[keep]))
+        self._chunks = kept
+        return n_rem, masks

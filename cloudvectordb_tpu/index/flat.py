@@ -40,6 +40,12 @@ class FlatIndex(Index):
         self._vecs = jnp.zeros((0, dim), _STORE_DTYPES[dtype])
         self._sqnorms = jnp.zeros((0,), jnp.float32)
         self._scale = 1.0  # int8 dequant scale
+        # ids are IMPLICIT row positions until the first remove() creates
+        # gaps; then _ids maps position → global id (sorted ascending:
+        # built from arange, compaction preserves order, adds append
+        # ids > every existing one)
+        self._ids: np.ndarray | None = None
+        self._next_id = 0
 
     @property
     def ntotal(self) -> int:
@@ -82,6 +88,35 @@ class FlatIndex(Index):
                 vectors.astype(jnp.float32) * vectors.astype(jnp.float32), axis=1
             )
             self._sqnorms = jnp.concatenate([self._sqnorms, sq])
+        n = int(vectors.shape[0])
+        if self._ids is not None:
+            self._ids = np.concatenate(
+                [self._ids, np.arange(self._next_id, self._next_id + n)])
+        self._next_id = max(self._next_id, self.ntotal - n) + n
+
+    def remove(self, ids) -> int:
+        """Delete rows by global id: one device compaction gather (the
+        store never crosses the host link — O(N) at HBM bandwidth).
+        Returns the number removed; unknown ids ignored; freed ids never
+        reused (search keeps returning ORIGINAL ids via the id map the
+        first remove materializes)."""
+        req = np.unique(np.asarray(ids, np.int64).ravel())
+        req = req[req >= 0]
+        if req.size == 0 or self.ntotal == 0:
+            return 0
+        cur = (self._ids if self._ids is not None
+               else np.arange(self.ntotal, dtype=np.int64))
+        self._next_id = max(self._next_id, self.ntotal)
+        keep = ~np.isin(cur, req)
+        n_rem = int(self.ntotal - keep.sum())
+        if n_rem == 0:
+            return 0
+        kidx = jnp.asarray(np.flatnonzero(keep).astype(np.int32))
+        self._vecs = jnp.take(self._vecs, kidx, axis=0)
+        if self.metric == "l2":
+            self._sqnorms = jnp.take(self._sqnorms, kidx)
+        self._ids = cur[keep]
+        return n_rem
 
     def _search_arrays(self):
         if self.dtype == "int8":
@@ -112,10 +147,24 @@ class FlatIndex(Index):
                 db, queries, k, metric=self.metric, tile=min(tile, max(256, self.ntotal)),
                 db_sqnorms=sqnorms,
             )
-        return np.asarray(s), np.asarray(i)
+        s, i = np.asarray(s), np.asarray(i)
+        if self._ids is not None:  # post-remove: positions → original ids
+            i = self._ids[np.clip(i, 0, self.ntotal - 1)]
+        return s, i
+
+    def _positions(self, ids) -> np.ndarray:
+        """Global ids → current row positions (_ids stays sorted: arange
+        origin, order-preserving compaction, ascending appends)."""
+        ids = np.asarray(ids)
+        if self._ids is None:
+            return ids
+        pos = np.searchsorted(self._ids, ids)
+        assert (pos < self._ids.shape[0]).all() and (
+            self._ids[pos] == ids).all(), "unknown (removed?) id"
+        return pos
 
     def reconstruct(self, ids) -> np.ndarray:
-        v = np.asarray(self._vecs)[np.asarray(ids)]
+        v = np.asarray(self._vecs)[self._positions(ids)]
         if self.dtype == "int8":
             return v.astype(np.float32) * self._scale
         return v.astype(np.float32)
@@ -125,10 +174,13 @@ class FlatIndex(Index):
         out = {"vecs": np.asarray(self._vecs)}
         if self.metric == "l2":
             out["sqnorms"] = np.asarray(self._sqnorms)
+        if self._ids is not None:
+            out["ids"] = self._ids
         return out
 
     def _state_meta(self):
-        return {"dtype": self.dtype, "scale": self._scale}
+        return {"dtype": self.dtype, "scale": self._scale,
+                "next_id": max(self._next_id, self.ntotal)}
 
     @classmethod
     def _from_state(cls, manifest: dict, arrays: dict) -> "FlatIndex":
@@ -137,4 +189,7 @@ class FlatIndex(Index):
         idx._scale = manifest["meta"]["scale"]
         if "sqnorms" in arrays:
             idx._sqnorms = jnp.asarray(arrays["sqnorms"])
+        if "ids" in arrays:
+            idx._ids = np.array(arrays["ids"], np.int64, copy=True)
+        idx._next_id = manifest["meta"].get("next_id", idx.ntotal)
         return idx

@@ -153,6 +153,21 @@ class IVFFlatIndex(Index):
             self._arena.merge(p, i, a)
         self._dev = None
 
+    def remove(self, ids) -> int:
+        """Delete rows by global id: pending chunks filter in place, the
+        arena compacts via one boolean-mask pass (ListArena.remove_ids).
+        Returns the number removed; unknown ids are ignored; freed ids are
+        never reused (adds keep allocating from _next_id)."""
+        req = np.unique(np.asarray(ids, np.int64).ravel())
+        req = req[req >= 0]
+        if req.size == 0:
+            return 0
+        n_rem, _ = self._pending.remove_ids(req)
+        n_rem += self._arena.remove_ids(req)
+        if n_rem:
+            self._dev = None
+        return n_rem
+
     def _device_state(self):
         if self._dev is None:
             ar = self._arena

@@ -356,6 +356,23 @@ class IVFPQIndex(Index):
             self._arena.merge(p, i, a)
         self._dev = None
 
+    def remove(self, ids) -> int:
+        """Delete rows by global id: pending chunks filter in place, the
+        code arena compacts via one boolean-mask pass. The gid-keyed int8
+        refine store keeps stale rows for removed ids (a removed gid can
+        never surface as a candidate, so stale rows cost bytes, not
+        correctness). Returns the number removed; unknown ids ignored;
+        freed ids never reused."""
+        req = np.unique(np.asarray(ids, np.int64).ravel())
+        req = req[req >= 0]
+        if req.size == 0:
+            return 0
+        n_rem, _ = self._pending.remove_ids(req)
+        n_rem += self._arena.remove_ids(req)
+        if n_rem:
+            self._dev = None
+        return n_rem
+
     def _device_state(self):
         if self._dev is None:
             ar = self._arena

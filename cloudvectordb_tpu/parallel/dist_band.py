@@ -389,3 +389,14 @@ class ShardedBandIndex(TunableMixin):
                        else True if scoring == "int8" else "hybrid"),
         )
         return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)
+
+    def remove(self, ids) -> int:
+        """Delete by global id: each shard removes the ids it owns
+        (BandIVFIndex.remove — O(batch) in-place swap-remove on
+        residual-int8 shards; unknown ids are ignored per shard, so the
+        full request fans out to every shard). The staged mesh state is
+        rebuilt on the next search."""
+        total = sum(sh.remove(ids) for sh in self._shards)
+        if total:
+            self._dev = None
+        return total

@@ -283,6 +283,18 @@ class ShardedIVFPQIndex(TunableMixin):
             self._refine_gids_ins[si].append(ids)
         self._dev = None
 
+    def remove(self, ids) -> int:
+        """Delete by global id: each shard compacts the ids it owns
+        (IVFPQIndex.remove; unknown ids are ignored per shard). The
+        wrapper's gid-keyed insertion-order refine store keeps stale rows
+        for removed ids — _refine_arena_order only looks up SURVIVING
+        arena ids, so stale rows cost bytes, not correctness. Freed ids
+        are never reused (_next_id is monotonic)."""
+        total = sum(sh.remove(ids) for sh in self._shards)
+        if total:
+            self._dev = None
+        return total
+
     def _refine_arena_order(self, si: int) -> np.ndarray:
         """This shard's int8 refine rows permuted into CURRENT arena order
         (store keyed by global id; arena order changes on every merge)."""
