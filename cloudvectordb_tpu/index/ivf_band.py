@@ -936,28 +936,33 @@ class BandIVFIndex(Index):
         tail region move into removed head slots so every list stays
         front-packed (the valid_end invariant). Decrements _list_lens.
         Returns (src, dst, freed) arena slot arrays — src→dst moves are
-        disjoint; freed slots (the new tail holes) get id -1."""
+        disjoint; freed slots (the new tail holes) get id -1.
+
+        Fully vectorized (no per-list Python loop — a B=8k delete over
+        nlist=4k would pay ~0.1 s of loop overhead otherwise): within each
+        list, #removed-in-head == #survivors-in-tail, and both plan arrays
+        come out grouped by list, so pairing them positionally is a valid
+        assignment."""
         offs = self._offsets
         lens = self._list_lens
+        slots = np.sort(np.asarray(slots, np.int64))
         lists = np.searchsorted(offs, slots, side="right") - 1
-        src_all, dst_all, freed_all = [], [], []
-        for l in np.unique(lists):
-            r = np.sort(slots[lists == l])
-            o = int(offs[l])
-            ln = int(lens[l])
-            new_len = ln - int(r.size)
-            cut = o + new_len
-            head_holes = r[r < cut]
-            tail = np.arange(cut, o + ln)
-            tail_surv = tail[~np.isin(tail, r)]
-            assert head_holes.size == tail_surv.size
-            src_all.append(tail_surv)
-            dst_all.append(head_holes)
-            freed_all.append(tail)
-            lens[l] = new_len
-        cat = lambda xs: (np.concatenate(xs) if xs
-                          else np.zeros(0, np.int64))
-        return cat(src_all), cat(dst_all), cat(freed_all)
+        ul, cnt = np.unique(lists, return_counts=True)
+        new_lens = lens[ul] - cnt
+        cut = offs[ul] + new_lens  # first freed slot per hit list
+        # freed = each hit list's last `cnt` valid slots, concatenated
+        # (arange-by-segment trick)
+        total = int(cnt.sum())
+        seg_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        freed = (np.arange(total, dtype=np.int64)
+                 - np.repeat(seg_start, cnt) + np.repeat(cut, cnt))
+        # survivors inside the freed region move; removed slots there don't
+        tail_surv = freed[~np.isin(freed, slots)]
+        cut_per_slot = cut[np.searchsorted(ul, lists)]
+        head_holes = slots[slots < cut_per_slot]
+        assert head_holes.size == tail_surv.size
+        lens[ul] = new_lens
+        return tail_surv, head_holes, freed
 
     def _remove_arena_inplace(self, slots: np.ndarray) -> None:
         """Residual-int8 arenas: O(batch) in-place swap-remove (see
