@@ -16,6 +16,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def normalize_remove_ids(ids) -> np.ndarray:
+    """The remove() request contract, shared by every index family:
+    any int array-like → sorted unique non-negative int64 ids (negative
+    entries — the hole marker value — are silently dropped)."""
+    req = np.unique(np.asarray(ids, np.int64).ravel())
+    return req[req >= 0]
+
+
 class ListArena:
     """Host-side container for list-sorted payload rows + original ids."""
 

@@ -100,8 +100,9 @@ class FlatIndex(Index):
         Returns the number removed; unknown ids ignored; freed ids never
         reused (search keeps returning ORIGINAL ids via the id map the
         first remove materializes)."""
-        req = np.unique(np.asarray(ids, np.int64).ravel())
-        req = req[req >= 0]
+        from cloudvectordb_tpu.index.arena import normalize_remove_ids
+
+        req = normalize_remove_ids(ids)
         if req.size == 0 or self.ntotal == 0:
             return 0
         cur = (self._ids if self._ids is not None

@@ -315,6 +315,20 @@ def _scatter_set(buf, dest, rows):
     return buf.at[dest].set(rows)
 
 
+def _pad_moves(*arrs):
+    """Pad swap-remove plan arrays (equal-length src/dst pairs, or a freed
+    list) to the next power of two by repeating their first element.
+    Duplicated scatter slots receive identical values, so the result is
+    unchanged — while the jitted scatter executables are reused across
+    calls (one compile per pow2 bucket) instead of retracing for every
+    distinct delete-batch shape."""
+    n = int(arrs[0].shape[0])
+    m = _next_pow2(max(n, 1))
+    if m == n:
+        return arrs
+    return tuple(np.concatenate([a, np.repeat(a[:1], m - n)]) for a in arrs)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_move(buf, src, dst):
     """Donated in-place self-move: rows at ``src`` copied onto ``dst``
@@ -702,6 +716,11 @@ class BandIVFIndex(Index):
                 ])
             self._payload = sorted_payload  # host; ships to HBM lazily
             self._ids = np.asarray(ids, np.int64)[order]
+            # compact arena: every list is full again, so any per-list lens
+            # left behind by an in-place remove() are stale — drop them or
+            # ntotal under-counts and _build_residual_aux masks the tail of
+            # every list (exactly the rows this merge just added).
+            self._list_lens = None
             self._n = n
         self._offsets = offsets
         self._tile_window = self._compute_tile_window()
@@ -801,20 +820,36 @@ class BandIVFIndex(Index):
         window = np.minimum(window, ll[:, None])
         return np.clip(window, 0, self.nlist - 1).astype(np.int32)
 
-    def add(self, vectors) -> None:
+    def add(self, vectors, ids: np.ndarray | None = None) -> None:
         """LSM-style incremental insert: assign + quantize the batch on
         device under the EXISTING arena scale, append to the pending buffer
         (scanned exactly at query time), and merge into the arena — one
         native re-sort — once pending outgrows ``merge_threshold``·arena.
-        O(batch) amortized; new rows are searchable immediately."""
+        O(batch) amortized; new rows are searchable immediately.
+
+        ids: explicit global ids for the batch (sharded wrappers allocate
+        across shards); default allocates from this index's monotonic
+        bound. Must be ≥ the current bound — ids are never reused."""
         vectors = jnp.asarray(vectors, jnp.float32)
         if self._n == 0 and self._pending.size == 0:
             assert self.centroids is not None, "build() trains the quantizer"
+            assert ids is None, "explicit ids need a populated arena"
             self._populate(vectors)
             return
         a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
         b = int(vectors.shape[0])
-        ids = self._alloc_ids(b)
+        if ids is None:
+            ids = self._alloc_ids(b)
+        else:
+            ids = np.asarray(ids, np.int64)
+            # initial= raises the floor for empty batches only (np.min's
+            # initial VALUE participates in the reduction, so it must not
+            # sit below the bound being checked)
+            lo = np.iinfo(np.int64).max
+            assert ids.shape == (b,) and ids.min(initial=lo) >= self._gid_bound(), (
+                "explicit ids must not collide with ever-allocated ids")
+            self._next_id = max(self._gid_bound(),
+                                int(ids.max(initial=-1)) + 1)
         if self.slack > 0 and self._list_lens is not None:
             # in-place insert into each list's slack slots: an O(batch)
             # donated device scatter; rows whose list is full spill to the
@@ -885,8 +920,9 @@ class BandIVFIndex(Index):
         rows filter host-side; annex rows swap-remove within the annex.
         Non-residual arenas (no in-kernel valid_end masking) compact via
         one host-side re-sort instead."""
-        req = np.unique(np.asarray(ids, np.int64).ravel())
-        req = req[req >= 0]
+        from cloudvectordb_tpu.index.arena import normalize_remove_ids
+
+        req = normalize_remove_ids(ids)
         if req.size == 0:
             return 0
         self._gid_bound()  # materialize BEFORE ids vanish: never reuse ids
@@ -922,8 +958,9 @@ class BandIVFIndex(Index):
         tail = np.arange(new_n, n)
         tail_surv = tail[~np.isin(tail, hit)]  # survivors that fill them
         if head.size:
-            src = jnp.asarray(tail_surv.astype(np.int32))
-            dst = jnp.asarray(head.astype(np.int32))
+            src_p, dst_p = _pad_moves(tail_surv, head)
+            src = jnp.asarray(src_p.astype(np.int32))
+            dst = jnp.asarray(dst_p.astype(np.int32))
             ax["rows"] = _scatter_move(ax["rows"], src, dst)
             ax["assign"] = _scatter_move(ax["assign"], src, dst)
             ax["ids"][head] = ax["ids"][tail_surv]
@@ -982,6 +1019,9 @@ class BandIVFIndex(Index):
         tw = self._tile_window
         self._valid_end = (self._offsets[:-1][tw]
                            + self._list_lens[tw]).astype(np.int32)
+        if src.size:
+            src, dst = _pad_moves(src, dst)
+        (freed,) = _pad_moves(freed)
         sd = jnp.asarray(src.astype(np.int32))
         dd = jnp.asarray(dst.astype(np.int32))
         fd = jnp.asarray(freed.astype(np.int32))
@@ -2136,11 +2176,14 @@ class BandIVFPQIndex(BandIVFIndex):
             "attach_host_refine needs a build that kept assignments "
             "(build_device_streaming)")
         n = int(self._assign_gid.shape[0])
-        assert self._pending.size == 0 and self.ntotal == n, (
-            f"attach covers gids 0..{n - 1} but the index has "
-            f"{self.ntotal} rows (+{self._pending.size} pending) — attach "
-            "BEFORE add()ing, or merge+rebuild; later gids would silently "
-            "rescore against the wrong host rows")
+        # gid coverage — NOT ntotal: remove() shrinks ntotal but never
+        # allocates ids, so a post-delete index still rescores correctly
+        # from the gid-keyed store (stale entries cost bytes, not hits).
+        assert self._gid_bound() <= n, (
+            f"attach covers gids 0..{n - 1} but ids up to "
+            f"{self._gid_bound() - 1} exist — attach BEFORE add()ing, or "
+            "merge+rebuild; later gids would silently rescore against the "
+            "wrong host rows")
         # same rotated space as every encode path: x' = x @ R.T
         rot = (np.asarray(self.opq_matrix, np.float32).T
                if self.opq_matrix is not None and not chunks_rotated
@@ -2399,8 +2442,9 @@ class BandIVFPQIndex(BandIVFIndex):
         removed gid can never surface as a kernel candidate, so stale rows
         cost bytes, not correctness. The residual-int8 BandIVFIndex family
         has the O(batch) in-place path; prefer it where deletes are hot."""
-        req = np.unique(np.asarray(ids, np.int64).ravel())
-        req = req[req >= 0]
+        from cloudvectordb_tpu.index.arena import normalize_remove_ids
+
+        req = normalize_remove_ids(ids)
         if req.size == 0:
             return 0
         self._gid_bound()  # materialize BEFORE ids vanish: never reuse ids

@@ -158,8 +158,9 @@ class IVFFlatIndex(Index):
         arena compacts via one boolean-mask pass (ListArena.remove_ids).
         Returns the number removed; unknown ids are ignored; freed ids are
         never reused (adds keep allocating from _next_id)."""
-        req = np.unique(np.asarray(ids, np.int64).ravel())
-        req = req[req >= 0]
+        from cloudvectordb_tpu.index.arena import normalize_remove_ids
+
+        req = normalize_remove_ids(ids)
         if req.size == 0:
             return 0
         n_rem, _ = self._pending.remove_ids(req)

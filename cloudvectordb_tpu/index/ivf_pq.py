@@ -363,8 +363,9 @@ class IVFPQIndex(Index):
         never surface as a candidate, so stale rows cost bytes, not
         correctness). Returns the number removed; unknown ids ignored;
         freed ids never reused."""
-        req = np.unique(np.asarray(ids, np.int64).ravel())
-        req = req[req >= 0]
+        from cloudvectordb_tpu.index.arena import normalize_remove_ids
+
+        req = normalize_remove_ids(ids)
         if req.size == 0:
             return 0
         n_rem, _ = self._pending.remove_ids(req)

@@ -390,6 +390,26 @@ class ShardedBandIndex(TunableMixin):
         )
         return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)
 
+    def add(self, vectors) -> np.ndarray:
+        """Append to the smallest shard (keeps shards balanced) under
+        wrapper-allocated global ids, fold the shard's pending buffer, and
+        invalidate the staged mesh state so the next search() re-stages
+        (the sharded scan reads only staged arenas — per-shard pending
+        buffers are not part of the mesh fan-out). Returns the new rows'
+        global ids. Per-add cost is one shard merge + a full re-stage;
+        for high-rate in-place adds use the single-chip slack-arena path
+        (BandIVFIndex.add) and shard afterwards."""
+        assert self._shards, "build() first"
+        vectors = np.asarray(vectors, np.float32)
+        nid = max(sh._gid_bound() for sh in self._shards)
+        ids = np.arange(nid, nid + vectors.shape[0], dtype=np.int64)
+        si = int(np.argmin([sh.ntotal for sh in self._shards]))
+        sh = self._shards[si]
+        sh.add(jnp.asarray(vectors), ids=ids)
+        sh.merge_pending()
+        self._dev = None
+        return ids
+
     def remove(self, ids) -> int:
         """Delete by global id: each shard removes the ids it owns
         (BandIVFIndex.remove — O(batch) in-place swap-remove on

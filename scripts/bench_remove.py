@@ -23,9 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cloudvectordb_tpu.eval.recall import recall_at_k
 from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
-from cloudvectordb_tpu.ops.topk import tiled_topk
 
 D, K, LATENT, NCENTERS = 768, 10, 32, 256
 N = int(os.environ.get("N_ROWS", 4_000_000))

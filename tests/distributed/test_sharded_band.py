@@ -162,3 +162,37 @@ def test_sharded_slack_build_preserves_hole_markers():
     allv = np.concatenate(seen)
     assert allv.size == db.shape[0]
     assert np.unique(allv).size == db.shape[0]  # no duplicated global ids
+
+
+def test_sharded_band_add():
+    """r3 review: the documented s.add(v) surface — wrapper-allocated
+    global ids (collision-free across shards), rows land on the smallest
+    shard, searchable after the automatic re-stage."""
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=188, normalize=True)
+    extra = clustered_vectors(256, 64, n_clusters=32, seed=189,
+                              normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    idx = ShardedBandIndex.build(
+        db, nlist=16, mesh=mesh, dtype="int8", residual=True,
+        kmeans_iters=6, tile_n=128, tile_q=16, seed=5)
+    idx._device_state()  # stage, so add() must invalidate + re-stage
+    before = [sh.ntotal for sh in idx._shards]
+    ids = idx.add(extra)
+    assert idx.ntotal == 4096 + 256
+    np.testing.assert_array_equal(ids, np.arange(4096, 4096 + 256))
+    # exactly one shard grew, by the full batch
+    after = [sh.ntotal for sh in idx._shards]
+    grew = [a - b for a, b in zip(after, before)]
+    assert sorted(grew) == [0] * 7 + [256]
+    # no id collides across shards
+    all_ids = np.concatenate([
+        np.asarray(sh._ids)[np.asarray(sh._ids) >= 0] for sh in idx._shards])
+    assert all_ids.size == np.unique(all_ids).size == 4096 + 256
+    st = idx._device_state()
+    _, found = idx.search(extra[:16], 1, p_tiles=st["n_tiles"])
+    hits = (found.ravel() >= 4096).mean()
+    assert hits >= 0.9, hits  # new rows self-retrieve under their new ids
+    # add composes with remove: freed ids never reused
+    idx.remove(ids[:100])
+    ids2 = idx.add(extra[:50])
+    assert ids2.min() >= 4096 + 256

@@ -314,3 +314,63 @@ def test_band_remove_save_load_roundtrip(tmp_path, data):
     ids_new = (snap[1] if snap is not None and snap[1].size
                else np.asarray(idx2._ids)[np.asarray(idx2._ids) >= 0])
     assert ids_new.max() >= 4000  # no id recycling after reload
+
+def test_band_resid8_nonslack_remove_then_add_merge(data):
+    """Review regression (r3): after an IN-PLACE remove on a slack=0
+    residual arena, a later merge_pending rebuilds a COMPACT arena — the
+    lens materialized by the remove are stale and must be dropped, or
+    ntotal under-counts and valid_end masks every list's tail (exactly
+    the rows the merge just added)."""
+    db, q = data
+    idx = BandIVFIndex.build(db[:3500], nlist=16, dtype="int8",
+                             residual=True, kmeans_iters=6, tile_n=256,
+                             tile_q=16)
+    removed = np.arange(0, 3500, 13)
+    assert idx.remove(removed) == removed.size
+    assert idx._list_lens is not None  # in-place remove materialized lens
+    idx.add(db[3500:4000])             # slack=0 → pending buffer
+    idx.merge_pending()
+    # compact again: stale per-list lens are gone, counts are exact
+    assert idx._list_lens is None
+    assert idx.ntotal == 3500 - removed.size + 500
+    assert idx._n == idx.ntotal
+    # the merged rows are NOT masked out of search (ids 3500.. live)
+    p_all = int(idx._payload.shape[0]) // idx.tile_n
+    _, found = idx.search(db[3500:3516], 1, interpret=True, p_tiles=p_all)
+    assert (found.ravel() >= 3500).mean() >= 0.9
+    _assert_no_removed(found, removed)
+    # and persistence carries the compact state
+    gt = np.concatenate([np.setdiff1d(np.arange(3500), removed),
+                         np.arange(3500, 4000)])
+    ids_live = np.asarray(idx._ids)
+    np.testing.assert_array_equal(np.sort(ids_live[ids_live >= 0]), gt)
+
+
+def test_attach_host_refine_after_remove(data):
+    """Review regression (r3): the attach guard must check gid COVERAGE
+    (_gid_bound), not ntotal — remove() shrinks ntotal but the gid-keyed
+    host store stays correct for every surviving row."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q = data
+    chunks = [db[s : s + 1000] for s in range(0, 4000, 1000)]
+    idx = BandIVFPQIndex.build_device_streaming(
+        lambda i: jnp.asarray(chunks[i]), 4, nlist=16, m=8, nbits=4,
+        kmeans_iters=6, pq_train_iters=6, tile_n=256, tile_q=16,
+        train_sample=1000, refine="pq2", m2=16)
+    removed = np.arange(0, 4000, 17)
+    assert idx.remove(removed) == removed.size
+    idx.attach_host_refine(lambda i: chunks[i], 4)  # must not refuse
+    assert idx.refine == "host"
+    gt = _surviving_gt(db, q, removed)
+    p_all = idx._n_pad_rows // idx.tile_n
+    _, found = idx.search(q, 10, interpret=True, p_tiles=p_all,
+                          tile_q=16, refine_factor=16)
+    _assert_no_removed(found, removed)
+    assert recall_at_k(found, gt) >= 0.85
+    # adds AFTER the attach still refuse (gids beyond the store)
+    idx.add(db[:16])
+    with pytest.raises(AssertionError):
+        idx.attach_host_refine(lambda i: chunks[i], 4)
