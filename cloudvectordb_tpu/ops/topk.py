@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-NEG_INF = jnp.float32(-jnp.inf)
+# a PYTHON float, not jnp.float32(-inf): a module-level jax array would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (multi-host must run before ANY backend use);
+# every use site is inside a traced function where it weakly types to f32
+NEG_INF = float("-inf")
 
 
 def _score_block(q, tile, metric: str, tile_sqnorm=None):

@@ -262,8 +262,10 @@ class ShardedBandIndex(TunableMixin):
                 )
             return stw[None].astype(np.int32)
 
+        from cloudvectordb_tpu.parallel.mesh import stage_replicated
+
         self._dev = dict(
-            centroids=jnp.asarray(self._shards[0].centroids),
+            centroids=stage_replicated(self._shards[0].centroids, self.mesh),
             payload=stage_row_sharded(payload_piece, s, self.mesh),
             ids=stage_row_sharded(ids_piece, s, self.mesh),
             tile_window=stage_row_sharded(tw_piece, s, self.mesh),
@@ -370,17 +372,37 @@ class ShardedBandIndex(TunableMixin):
         # each replica's query slice must itself be a tile_q multiple
         n_rep = dict(zip(self.mesh.axis_names,
                          self.mesh.devices.shape)).get("replica", 1)
+        nproc = jax.process_count()
+        if nproc > 1:
+            # multi-host serving (init_multihost): `queries` is THIS
+            # process's traffic. On a ('replica','shard') mesh whose
+            # replica axis spans the hosts, each host serves its own
+            # replica slice (per-host traffic, DCN only at staging time);
+            # on a 1-D mesh every host must pass the identical batch
+            # (broadcast semantics, merge all_gather rides the
+            # cross-host interconnect).
+            assert n_rep in (1, nproc), (
+                "multi-process serving needs one replica per process "
+                f"(or a 1-D mesh): n_replica={n_rep}, processes={nproc}")
+            nq_plan, q_mult = nq, sh0.tile_q
+        else:
+            nq_plan, q_mult = max(1, nq // n_rep), sh0.tile_q * n_rep
         if p_tiles <= 0:
             # span-aware budget (index layer doc); each replica plans over
-            # its own nq/n_rep query slice
-            p_tiles = sh0._auto_p_tiles(
-                max(1, nq // n_rep), nprobe, int(st["n_tiles"]))
-        q_mult = sh0.tile_q * n_rep
+            # its own query slice
+            p_tiles = sh0._auto_p_tiles(nq_plan, nprobe, int(st["n_tiles"]))
         q_pad = -(-nq // q_mult) * q_mult
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
+        if nproc > 1:
+            qs_spec = (P("replica") if "replica" in self.mesh.axis_names
+                       and n_rep == nproc else P())
+            qg = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, qs_spec), np.ascontiguousarray(qp))
+        else:
+            qg = jnp.asarray(qp)
         v, i = _sharded_band_search(
-            jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
+            qg, st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
             st.get("local"), st.get("centroid_tiles"), st.get("valid_end"),
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
@@ -388,6 +410,10 @@ class ShardedBandIndex(TunableMixin):
             int8_mode=("precise" if scoring == "precise"
                        else True if scoring == "int8" else "hybrid"),
         )
+        if nproc > 1:  # this host's slice (replicated ⇒ the full batch)
+            vl = jax.device_get(v.addressable_data(0))
+            il = jax.device_get(i.addressable_data(0))
+            return np.asarray(vl)[:nq], np.asarray(il)[:nq].astype(np.int64)
         return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)
 
     def add(self, vectors) -> np.ndarray:

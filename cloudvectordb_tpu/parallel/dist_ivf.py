@@ -339,9 +339,11 @@ class ShardedIVFPQIndex(TunableMixin):
             out[: rr.shape[0]] = rr
             return out
 
+        from cloudvectordb_tpu.parallel.mesh import stage_replicated
+
         self._dev = dict(
-            centroids=jnp.asarray(self._shards[0].centroids),
-            codebooks=jnp.asarray(self._shards[0].codebooks),
+            centroids=stage_replicated(self._shards[0].centroids, self.mesh),
+            codebooks=stage_replicated(self._shards[0].codebooks, self.mesh),
             codes=stage_row_sharded(codes_piece, s, self.mesh),
             ids=stage_row_sharded(ids_piece, s, self.mesh),
             offsets=stage_row_sharded(
@@ -437,14 +439,26 @@ class ShardedIVFPQIndex(TunableMixin):
         k_cand = min(max(k * refine_factor, 32), per_shard) if do_refine else k
         n_rep = dict(zip(self.mesh.axis_names,
                          self.mesh.devices.shape)).get("replica", 1)
+        nproc = jax.process_count()
+        if nproc > 1:  # multi-host: queries are THIS process's traffic
+            assert n_rep in (1, nproc), (
+                "multi-process serving needs one replica per process "
+                f"(or a 1-D mesh): n_replica={n_rep}, processes={nproc}")
         outs_v, outs_i = [], []
         for s0 in range(0, queries.shape[0], batch):
             qh = queries[s0 : s0 + batch]
-            pad = (-qh.shape[0]) % n_rep
+            pad = (-qh.shape[0]) % (1 if nproc > 1 else n_rep)
             if pad:  # each replica's slice must be equal-sized
                 qh = np.concatenate([qh, np.repeat(qh[-1:], pad, axis=0)])
             real = qh.shape[0] - pad
-            qb = jnp.asarray(qh)
+            if nproc > 1:
+                qspec = (P("replica") if "replica" in self.mesh.axis_names
+                         and n_rep == nproc else P())
+                qb = jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, qspec),
+                    np.ascontiguousarray(qh))
+            else:
+                qb = jnp.asarray(qh)
             v, i = _sharded_ivfpq_search(
                 qb, st["centroids"], st["codebooks"], st["codes"], st["ids"],
                 st["offsets"], st["lens"], st["refine"],
@@ -453,6 +467,9 @@ class ShardedIVFPQIndex(TunableMixin):
                 refine_scale=self._refine_scale if do_refine else 0.0,
                 refine_residual=self._refine_residual,
             )
+            if nproc > 1:  # this host's slice (replicated ⇒ full batch)
+                v = jax.device_get(v.addressable_data(0))
+                i = jax.device_get(i.addressable_data(0))
             outs_v.append(np.asarray(v)[:real])
             outs_i.append(np.asarray(i)[:real])
         return np.concatenate(outs_v), np.concatenate(outs_i)

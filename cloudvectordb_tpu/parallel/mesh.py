@@ -26,14 +26,24 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 
 
 def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
-                   process_id: int | None = None) -> int:
+                   process_id: int | None = None,
+                   cpu_collectives: str | None = None) -> int:
     """Phase-2 multi-slice scale-out over DCN (SURVEY.md §2.3 last row).
 
     Wraps jax.distributed.initialize; after this, jax.devices() spans all
     hosts and the same make_mesh/shard_map code runs across slices (XLA
     routes intra-slice collectives over ICI and inter-slice over DCN).
     Returns the global device count. No-op when already initialized.
+
+    cpu_collectives: set to "gloo" (or "mpi") to run cross-PROCESS
+    collectives on the CPU backend — the DCN stand-in this environment can
+    actually execute: N processes × M simulated devices each behave exactly
+    like N hosts of an N×M slice (tests/distributed/test_multihost.py runs
+    the sharded serving path this way, 2 processes over TCP).
     """
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
@@ -41,8 +51,23 @@ def init_multihost(coordinator: str | None = None, num_processes: int | None = N
             process_id=process_id,
         )
     except RuntimeError:
-        pass  # already initialized
+        # re-raise real failures; only an actually-initialized runtime may
+        # pass (a blanket pass here silently degraded to single-process)
+        if not jax.distributed.is_initialized():
+            raise
     return len(jax.devices())
+
+
+def stage_replicated(x, mesh: Mesh):
+    """Replicate a host array onto every device of the mesh, multi-process
+    safe: single-process uses a plain device_put; under multi-host each
+    process contributes its (identical) full copy and receives a GLOBAL
+    array — required because a collective jit rejects process-local inputs."""
+    x = np.ascontiguousarray(x)
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, x)
+    return jax.device_put(x, sharding)
 
 
 def make_2d_mesh(n_replica: int, n_shard: int) -> Mesh:
@@ -89,6 +114,13 @@ def stage_row_sharded(piece_fn, n_shards: int, mesh: Mesh,
     On a 2-D ('replica', 'shard') mesh each piece is placed on EVERY device
     of its shard column (index replicas across slices; one host→device copy
     per replica — on real multi-slice hardware each host stages its own).
+
+    Multi-process (init_multihost): each process materializes and places
+    ONLY the pieces whose devices it addresses — piece_fn never runs for a
+    remote shard, so per-host staging memory and host→device traffic stay
+    1/P of the index. The global array is assembled collectively (every
+    process must call this with the same shapes). Requires every process
+    to own at least one shard device (true for any even mesh split).
     """
     import numpy as np
 
@@ -101,14 +133,19 @@ def stage_row_sharded(piece_fn, n_shards: int, mesh: Mesh,
         cols = [list(dev_grid[:, si]) for si in range(n_shards)]
     else:
         cols = [[d] for d in list(mesh.devices.flat)[:n_shards]]
+    me = jax.process_index()
     arrs = []
     shape0 = None
     for si, col in enumerate(cols):
+        local = [d for d in col if d.process_index == me]
+        if not local:
+            continue  # a remote host stages this shard
         piece = np.ascontiguousarray(piece_fn(si))
         if shape0 is None:
             shape0 = piece.shape
         assert piece.shape == shape0, (piece.shape, shape0)
-        for d in col:
+        for d in local:
             arrs.append(jax.device_put(piece, d))
+    assert shape0 is not None, "process owns no shard device"
     global_shape = (n_shards * shape0[0], *shape0[1:])
     return jax.make_array_from_single_device_arrays(global_shape, sharding, arrs)
