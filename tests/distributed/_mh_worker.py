@@ -61,6 +61,52 @@ def main() -> None:
     qslice = q[pid * 16:(pid + 1) * 16]
     _, ids2 = idx2.search(qslice, 5, p_tiles=int(st2["n_tiles"]))
     np.save(os.path.join(outdir, f"twod_{pid}.npy"), ids2)
+
+    # (c) the probe-scan wrapper family over the same 1-D cross-host mesh
+    from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
+
+    pq = ShardedIVFPQIndex.build(
+        db, nlist=8, m=8, mesh=make_mesh(axis_name="shard"), nbits=4,
+        kmeans_iters=4, pq_train_iters=4, refine="int8", seed=5)
+    _, ids3 = pq.search(q, 5, nprobe=8)
+    np.save(os.path.join(outdir, f"pq_{pid}.npy"), ids3)
+
+    # (d) DP training step across hosts: each process feeds ITS OWN batch
+    # shard; the gradient all-reduce crosses the process boundary. The
+    # loss must match the single-process step on the concatenated batch.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cloudvectordb_tpu.train.losses import infonce_loss
+
+    mesh = make_mesh(axis_name="data")
+    rngb = np.random.default_rng(7)
+    wdim = 16
+    params = jnp.asarray(rngb.normal(size=(wdim, wdim)).astype(np.float32))
+    params = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), np.asarray(params))
+    a_all = rngb.normal(size=(32, wdim)).astype(np.float32)
+    p_all = (a_all + 0.1 * rngb.normal(size=(32, wdim))).astype(np.float32)
+    half = 32 // nproc
+
+    def loss_fn(w, a, p):
+        return infonce_loss(a @ w, p @ w, temperature=0.1)[0]
+
+    @jax.jit
+    def step(w, a, p):
+        l, g = jax.value_and_grad(loss_fn)(w, a, p)
+        return l, w - 0.1 * g
+
+    sh = NamedSharding(mesh, P("data"))
+    a_g = jax.make_array_from_process_local_data(
+        sh, a_all[pid * half:(pid + 1) * half])
+    p_g = jax.make_array_from_process_local_data(
+        sh, p_all[pid * half:(pid + 1) * half])
+    loss, new_w = step(params, a_g, p_g)
+    out = np.array([float(jax.device_get(loss.addressable_data(0))),
+                    float(np.abs(jax.device_get(
+                        new_w.addressable_data(0))).mean())])
+    np.save(os.path.join(outdir, f"train_{pid}.npy"), out)
     print(f"WORKER {pid} OK", flush=True)
 
 

@@ -42,6 +42,12 @@ def _free_port() -> int:
 @pytest.fixture(scope="module")
 def expected():
     """Single-process reference on the same 8-device topology."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
+    from cloudvectordb_tpu.train.losses import infonce_loss
+
     db = clustered_vectors(1024, 32, n_clusters=16, seed=50, normalize=True)
     q = queries_from(db, 32, seed=51, normalize=True)
     kw = dict(dtype="int8", residual=True, kmeans_iters=4, tile_n=128,
@@ -53,7 +59,27 @@ def expected():
     two = ShardedBandIndex.build(db, nlist=8, mesh=make_2d_mesh(2, 4), **kw)
     st2 = two._device_state()
     _, ids_2d = two.search(q, 5, p_tiles=int(st2["n_tiles"]))
-    return ids_1d, ids_2d
+    pq = ShardedIVFPQIndex.build(
+        db, nlist=8, m=8, mesh=make_mesh(axis_name="shard"), nbits=4,
+        kmeans_iters=4, pq_train_iters=4, refine="int8", seed=5)
+    _, ids_pq = pq.search(q, 5, nprobe=8)
+
+    # single-process DP train step on the full batch (same arithmetic the
+    # workers split across hosts; the grad all-reduce must not change it)
+    rngb = np.random.default_rng(7)
+    wdim = 16
+    w0 = jnp.asarray(rngb.normal(size=(wdim, wdim)).astype(np.float32))
+    a_all = rngb.normal(size=(32, wdim)).astype(np.float32)
+    p_all = (a_all + 0.1 * rngb.normal(size=(32, wdim))).astype(np.float32)
+
+    def loss_fn(w, a, p):
+        return infonce_loss(a @ w, p @ w, temperature=0.1)[0]
+
+    loss, grad = jax.value_and_grad(loss_fn)(w0, jnp.asarray(a_all),
+                                             jnp.asarray(p_all))
+    train_ref = np.array([float(loss),
+                          float(np.abs(np.asarray(w0 - 0.1 * grad)).mean())])
+    return ids_1d, ids_2d, ids_pq, train_ref
 
 
 def test_two_process_serving_parity(tmp_path, expected):
@@ -83,7 +109,7 @@ def test_two_process_serving_parity(tmp_path, expected):
             f"worker {pi} failed (rc={p.returncode}):\n{logs[pi][-4000:]}")
         assert f"WORKER {pi} OK" in logs[pi]
 
-    ids_1d, ids_2d = expected
+    ids_1d, ids_2d, ids_pq, train_ref = expected
     # (a) 1-D: both processes hold the SAME replicated result, equal to the
     # single-process mesh — the cross-process all_gather merged correctly
     for pi in range(nproc):
@@ -94,3 +120,12 @@ def test_two_process_serving_parity(tmp_path, expected):
     for pi in range(nproc):
         got = np.load(tmp_path / f"twod_{pi}.npy")
         np.testing.assert_array_equal(got, ids_2d[pi * 16:(pi + 1) * 16])
+    # (c) probe-scan wrapper family, same cross-host topology
+    for pi in range(nproc):
+        got = np.load(tmp_path / f"pq_{pi}.npy")
+        np.testing.assert_array_equal(got, ids_pq)
+    # (d) DP train step: per-host batch shards + cross-host grad all-reduce
+    # reproduce the single-process loss/update (f32 reduction-order jitter)
+    for pi in range(nproc):
+        got = np.load(tmp_path / f"train_{pi}.npy")
+        np.testing.assert_allclose(got, train_ref, rtol=2e-5, atol=2e-6)
