@@ -380,10 +380,10 @@ class ShardedBandIndex(TunableMixin):
             # replica slice (per-host traffic, DCN only at staging time);
             # on a 1-D mesh every host must pass the identical batch
             # (broadcast semantics, merge all_gather rides the
-            # cross-host interconnect).
-            assert n_rep in (1, nproc), (
-                "multi-process serving needs one replica per process "
-                f"(or a 1-D mesh): n_replica={n_rep}, processes={nproc}")
+            # cross-host interconnect). stage_queries enforces the
+            # contract — equal shapes, equal static knobs, equal content
+            # on broadcast meshes — so a mismatch raises on every host
+            # instead of deadlocking the collective.
             nq_plan, q_mult = nq, sh0.tile_q
         else:
             nq_plan, q_mult = max(1, nq // n_rep), sh0.tile_q * n_rep
@@ -394,13 +394,9 @@ class ShardedBandIndex(TunableMixin):
         q_pad = -(-nq // q_mult) * q_mult
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
-        if nproc > 1:
-            qs_spec = (P("replica") if "replica" in self.mesh.axis_names
-                       and n_rep == nproc else P())
-            qg = jax.make_array_from_process_local_data(
-                NamedSharding(self.mesh, qs_spec), np.ascontiguousarray(qp))
-        else:
-            qg = jnp.asarray(qp)
+        from cloudvectordb_tpu.parallel.mesh import fetch_local, stage_queries
+
+        qg = stage_queries(qp, self.mesh, statics=(p_tiles, k))
         v, i = _sharded_band_search(
             qg, st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
@@ -410,11 +406,8 @@ class ShardedBandIndex(TunableMixin):
             int8_mode=("precise" if scoring == "precise"
                        else True if scoring == "int8" else "hybrid"),
         )
-        if nproc > 1:  # this host's slice (replicated ⇒ the full batch)
-            vl = jax.device_get(v.addressable_data(0))
-            il = jax.device_get(i.addressable_data(0))
-            return np.asarray(vl)[:nq], np.asarray(il)[:nq].astype(np.int64)
-        return np.asarray(v)[:nq], np.asarray(i)[:nq].astype(np.int64)
+        return (fetch_local(v)[:nq],
+                fetch_local(i)[:nq].astype(np.int64))
 
     def add(self, vectors) -> np.ndarray:
         """Append to the smallest shard (keeps shards balanced) under

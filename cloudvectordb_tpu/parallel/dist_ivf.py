@@ -437,13 +437,22 @@ class ShardedIVFPQIndex(TunableMixin):
         do_refine = self.refine == "int8" and any(self._refine_rows_ins)
         per_shard = max(sh.ntotal for sh in self._shards)
         k_cand = min(max(k * refine_factor, 32), per_shard) if do_refine else k
+        from cloudvectordb_tpu.parallel.mesh import (
+            assert_equal_across_processes, fetch_local, stage_queries)
+
         n_rep = dict(zip(self.mesh.axis_names,
                          self.mesh.devices.shape)).get("replica", 1)
         nproc = jax.process_count()
-        if nproc > 1:  # multi-host: queries are THIS process's traffic
-            assert n_rep in (1, nproc), (
-                "multi-process serving needs one replica per process "
-                f"(or a 1-D mesh): n_replica={n_rep}, processes={nproc}")
+        if nproc > 1:
+            # multi-host: queries are THIS process's traffic (per-host
+            # slices on a replica-per-process mesh; the identical
+            # broadcast batch otherwise — stage_queries verifies content).
+            # The TOTAL count must match across hosts BEFORE the batch
+            # loop: a host with more chunks would enter the collective
+            # alone and deadlock it.
+            assert_equal_across_processes(
+                (queries.shape[0], k, k_cand, nprobe, batch),
+                "sharded IVF-PQ search batch")
         outs_v, outs_i = [], []
         for s0 in range(0, queries.shape[0], batch):
             qh = queries[s0 : s0 + batch]
@@ -451,14 +460,7 @@ class ShardedIVFPQIndex(TunableMixin):
             if pad:  # each replica's slice must be equal-sized
                 qh = np.concatenate([qh, np.repeat(qh[-1:], pad, axis=0)])
             real = qh.shape[0] - pad
-            if nproc > 1:
-                qspec = (P("replica") if "replica" in self.mesh.axis_names
-                         and n_rep == nproc else P())
-                qb = jax.make_array_from_process_local_data(
-                    NamedSharding(self.mesh, qspec),
-                    np.ascontiguousarray(qh))
-            else:
-                qb = jnp.asarray(qh)
+            qb = stage_queries(qh, self.mesh)
             v, i = _sharded_ivfpq_search(
                 qb, st["centroids"], st["codebooks"], st["codes"], st["ids"],
                 st["offsets"], st["lens"], st["refine"],
@@ -467,9 +469,6 @@ class ShardedIVFPQIndex(TunableMixin):
                 refine_scale=self._refine_scale if do_refine else 0.0,
                 refine_residual=self._refine_residual,
             )
-            if nproc > 1:  # this host's slice (replicated ⇒ full batch)
-                v = jax.device_get(v.addressable_data(0))
-                i = jax.device_get(i.addressable_data(0))
-            outs_v.append(np.asarray(v)[:real])
-            outs_i.append(np.asarray(i)[:real])
+            outs_v.append(fetch_local(v)[:real])
+            outs_i.append(fetch_local(i)[:real])
         return np.concatenate(outs_v), np.concatenate(outs_i)

@@ -58,6 +58,69 @@ def init_multihost(coordinator: str | None = None, num_processes: int | None = N
     return len(jax.devices())
 
 
+def assert_equal_across_processes(values, context: str) -> None:
+    """Raise (on EVERY process, no deadlock) when an int tuple differs
+    across processes. Multi-process SPMD compiles one program per process
+    from process-local values — a silent mismatch (different batch sizes,
+    different static knobs) deadlocks or corrupts the cross-host
+    collectives, so serving paths check the contract up front. Costs one
+    tiny (len(values),) all-gather; no-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    mine = np.asarray(values, np.int64)
+    everyone = np.asarray(multihost_utils.process_allgather(mine))
+    if not (everyone == mine[None]).all():
+        raise ValueError(
+            f"multi-process contract violated ({context}): every process "
+            f"must pass identical values, got\n{everyone}")
+
+
+def stage_queries(qp: np.ndarray, mesh: Mesh, *, statics=(),
+                  crc_check: bool | None = None):
+    """Stage a (padded) query batch for a multi-process collective search.
+
+    Contract enforced (see assert_equal_across_processes): every process
+    passes the same batch SHAPE and the same static knobs. On a mesh whose
+    'replica' axis spans the processes, `qp` is this host's own traffic
+    slice (content may differ per host); on any other mesh the batch is
+    broadcast — all hosts must pass the IDENTICAL array, verified by a
+    CRC (crc_check defaults to exactly that rule). Single-process returns
+    qp placed as usual."""
+    qp = np.ascontiguousarray(qp)
+    nproc = jax.process_count()
+    if nproc == 1:
+        import jax.numpy as jnp
+
+        return jnp.asarray(qp)
+    n_rep = dict(zip(mesh.axis_names, mesh.devices.shape)).get("replica", 1)
+    assert n_rep in (1, nproc), (
+        "multi-process serving needs one replica per process (or a 1-D "
+        f"mesh): n_replica={n_rep}, processes={nproc}")
+    per_host_traffic = n_rep == nproc
+    if crc_check is None:
+        crc_check = not per_host_traffic
+    import zlib
+
+    crc = zlib.crc32(qp.tobytes()) if crc_check else 0
+    assert_equal_across_processes(
+        (*qp.shape, crc, *statics), "query batch shape"
+        + ("+content" if crc_check else "") + "+static knobs")
+    spec = P("replica") if per_host_traffic else P()
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), qp)
+
+
+def fetch_local(arr) -> np.ndarray:
+    """This process's slice of a collective-search output (the full batch
+    when the out-spec is replicated, this host's replica slice otherwise).
+    Works single-process too (plain device fetch)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    return np.asarray(jax.device_get(arr.addressable_data(0)))
+
+
 def stage_replicated(x, mesh: Mesh):
     """Replicate a host array onto every device of the mesh, multi-process
     safe: single-process uses a plain device_put; under multi-host each

@@ -58,7 +58,8 @@ def main() -> None:
     idx2 = ShardedBandIndex.build(
         db, nlist=8, mesh=make_2d_mesh(nproc, 8 // nproc), **kw)
     st2 = idx2._device_state()
-    qslice = q[pid * 16:(pid + 1) * 16]
+    per_host = q.shape[0] // nproc
+    qslice = q[pid * per_host:(pid + 1) * per_host]
     _, ids2 = idx2.search(qslice, 5, p_tiles=int(st2["n_tiles"]))
     np.save(os.path.join(outdir, f"twod_{pid}.npy"), ids2)
 
