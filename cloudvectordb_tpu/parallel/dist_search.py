@@ -72,6 +72,10 @@ class DistributedFlatIndex:
         self.metric = metric
         self._db = None
         self._n = 0
+        # original-id map, materialized by the first remove() (until then
+        # row position == id); new ids keep allocating past _next_id
+        self._ids = None
+        self._next_id = 0
 
     @property
     def ntotal(self) -> int:
@@ -83,23 +87,48 @@ class DistributedFlatIndex:
         idx.add(vectors)
         return idx
 
+    def _place(self, rows) -> None:
+        """Pad the compact row matrix to a shard multiple and re-shard."""
+        self._n = int(rows.shape[0])
+        pad = (-self._n) % self.mesh.shape["shard"]
+        if pad:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((pad, rows.shape[1]), rows.dtype)])
+        self._db = jax.device_put(rows, NamedSharding(self.mesh, P("shard")))
+
     def add(self, vectors) -> None:
         vectors = jnp.asarray(vectors, jnp.float32)
-        size = self.mesh.shape["shard"]
+        if self._ids is not None:  # id map live after a remove()
+            b = int(vectors.shape[0])
+            self._ids = np.concatenate([
+                self._ids,
+                np.arange(self._next_id, self._next_id + b, dtype=np.int64)])
+            self._next_id += b
         if self._db is not None:
-            old = self._db[: self._n]
-            vectors = jnp.concatenate([old, vectors], axis=0)
-            self._n = int(vectors.shape[0])
-        else:
-            self._n = int(vectors.shape[0])
-        pad = (-self._n) % size
-        if pad:
-            vectors = jnp.concatenate(
-                [vectors, jnp.zeros((pad, vectors.shape[1]), vectors.dtype)]
-            )
-        self._db = jax.device_put(
-            vectors, NamedSharding(self.mesh, P("shard"))
-        )
+            vectors = jnp.concatenate([self._db[: self._n], vectors], axis=0)
+        self._place(vectors)
+
+    def remove(self, ids) -> int:
+        """Delete by original id: one device compaction (jnp.take of the
+        survivors) + re-shard; the id map materializes on first remove so
+        search keeps returning ORIGINAL ids (same contract as FlatIndex).
+        Freed ids are never reused."""
+        from cloudvectordb_tpu.index.arena import normalize_remove_ids
+
+        req = normalize_remove_ids(ids)
+        if req.size == 0 or self._n == 0:
+            return 0
+        cur = (self._ids if self._ids is not None
+               else np.arange(self._n, dtype=np.int64))
+        self._next_id = max(self._next_id, self._n)
+        keep = ~np.isin(cur, req)
+        n_rem = int((~keep).sum())
+        if n_rem == 0:
+            return 0
+        kept_rows = jnp.asarray(np.flatnonzero(keep).astype(np.int32))
+        self._ids = cur[keep]
+        self._place(jnp.take(self._db[: self._n], kept_rows, axis=0))
+        return n_rem
 
     def search(self, queries, k: int, use_pallas: bool | None = None):
         queries = jnp.asarray(queries, jnp.float32)
@@ -109,4 +138,7 @@ class DistributedFlatIndex:
             queries, self._db, jnp.array([self._n], jnp.int32),
             k=k, metric=self.metric, mesh=self.mesh, use_pallas=use_pallas,
         )
-        return np.asarray(v), np.asarray(i)
+        i = np.asarray(i)
+        if self._ids is not None:  # map positions → original ids
+            i = self._ids[np.clip(i, 0, self._ids.shape[0] - 1)]
+        return np.asarray(v), i

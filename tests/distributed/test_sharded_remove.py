@@ -59,3 +59,28 @@ def test_sharded_ivfpq_remove_then_add():
     # survivors keep their recall; the 96 added rows can only displace
     # true neighbors, so allow a small slack on the floor
     assert recall_at_k(found, gt) >= 0.85
+
+
+def test_distributed_flat_remove():
+    """r3 review follow-through: the 'every family' deletion contract
+    includes the row-sharded exact index — device compaction + re-shard,
+    original ids preserved through the materialized id map."""
+    from cloudvectordb_tpu.parallel.dist_search import DistributedFlatIndex
+
+    db = clustered_vectors(1024, 32, n_clusters=16, seed=194, normalize=True)
+    q = queries_from(db, 16, seed=195, normalize=True)
+    idx = DistributedFlatIndex.build(db, mesh=make_mesh(axis_name="shard"))
+    removed = np.arange(0, 1024, 3)
+    assert idx.remove(removed) == removed.size
+    assert idx.ntotal == 1024 - removed.size
+    gt = _surviving_gt(db, q, removed)
+    _, found = idx.search(q, 10)
+    assert not np.isin(found, removed).any()
+    assert recall_at_k(found, gt) == 1.0  # exact index
+    # unknown / repeated ids are ignored
+    assert idx.remove(removed[:7]) == 0
+    # post-remove adds never recycle freed ids and are searchable: row 3
+    # was removed, so its re-added copy (new id) is the only exact match
+    idx.add(db[:8])
+    _, f2 = idx.search(db[3:4], 1)
+    assert f2[0, 0] >= 1024
