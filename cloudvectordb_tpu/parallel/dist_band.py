@@ -417,7 +417,12 @@ class ShardedBandIndex(TunableMixin):
         buffers are not part of the mesh fan-out). Returns the new rows'
         global ids. Per-add cost is one shard merge + a full re-stage;
         for high-rate in-place adds use the single-chip slack-arena path
-        (BandIVFIndex.add) and shard afterwards."""
+        (BandIVFIndex.add) and shard afterwards.
+
+        Multi-process: mutations must run on EVERY process with the same
+        batch (SPMD — the next search stages collectively; a host whose
+        staged state diverges would enter that collective alone and hang
+        it). Same rule for remove()."""
         assert self._shards, "build() first"
         vectors = np.asarray(vectors, np.float32)
         nid = max(sh._gid_bound() for sh in self._shards)
