@@ -15,7 +15,7 @@ Strategies (SURVEY.md §2.1 Triplet miner):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Iterator
+from typing import Callable
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cloudvectordb_tpu.index.ivf_band import BandIVFIndex, _tiles_plan_search
 from cloudvectordb_tpu.index.kmeans import train_kmeans

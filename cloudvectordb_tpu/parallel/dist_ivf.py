@@ -18,12 +18,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex, _ivfpq_scan_search
-from cloudvectordb_tpu.index.kmeans import train_kmeans
 from cloudvectordb_tpu.eval.tune import TunableMixin
-from cloudvectordb_tpu.index.pq import pq_encode, train_pq
+from cloudvectordb_tpu.index.pq import pq_encode
 from cloudvectordb_tpu.ops.assign import assign_clusters
 from cloudvectordb_tpu.parallel.mesh import make_mesh
 

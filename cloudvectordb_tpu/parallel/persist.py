@@ -21,7 +21,6 @@ first search — the 27-minute config-#4 build artifact survives the process.
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import tempfile
 from pathlib import Path

@@ -13,7 +13,6 @@ clusters, unit-norm) at MiniLM's 384-d output width. Two paths reported:
     framework recommends at 1M), for the recall/QPS comparison.
 """
 
-import functools
 import os
 import sys
 import time

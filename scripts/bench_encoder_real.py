@@ -83,7 +83,6 @@ def geometry_stats(emb: np.ndarray) -> tuple[float, float]:
 def main():
     from cloudvectordb_tpu.data.tokenize import TextTokenizer
     from cloudvectordb_tpu.data.triplets import mine_triplets, triplet_batches
-    from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
     from cloudvectordb_tpu.eval.recall import recall_at_k
     from cloudvectordb_tpu.eval.sweep import nprobe_sweep
     from cloudvectordb_tpu.index.ivf_band import BandIVFIndex

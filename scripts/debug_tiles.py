@@ -8,7 +8,6 @@ C) coarse top-nprobe on chip vs oracle.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

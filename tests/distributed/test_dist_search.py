@@ -3,7 +3,6 @@
 The same shard_map code runs on a real v5e-8; only the devices differ.
 """
 
-import numpy as np
 import jax
 import pytest
 

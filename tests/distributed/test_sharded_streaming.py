@@ -2,7 +2,6 @@
 a chunk GENERATOR — the f32 corpus never materializes on the host — must
 match the materialized builders' recall."""
 
-import numpy as np
 
 from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
 from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k

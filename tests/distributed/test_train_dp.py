@@ -3,7 +3,6 @@ replicated params must stay in sync (XLA all-reduce correctness)."""
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from cloudvectordb_tpu.parallel.mesh import make_mesh
 from cloudvectordb_tpu.train.trainer import Trainer

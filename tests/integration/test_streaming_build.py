@@ -3,7 +3,6 @@ flow from the encoder into index.add per megabatch, never aggregating on the
 host; results must match the all-at-once build."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from cloudvectordb_tpu.data.synthetic import synthetic_corpus
 from cloudvectordb_tpu.data.tokenize import TextTokenizer

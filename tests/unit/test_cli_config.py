@@ -1,6 +1,5 @@
 """CLI config resolution: overrides, saved-workdir precedence, value parsing."""
 
-import json
 from types import SimpleNamespace
 
 from cloudvectordb_tpu.cli import _load_cfg, _parse_value

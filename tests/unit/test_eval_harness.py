@@ -1,6 +1,5 @@
 """nprobe sweep + operating point + qps_bench (CPU)."""
 
-import numpy as np
 
 from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
 from cloudvectordb_tpu.eval.qps import qps_bench

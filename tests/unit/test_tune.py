@@ -2,7 +2,6 @@
 cheapest config meeting the recall target, search() serves it by default,
 and the op point survives save/load through the manifest."""
 
-import numpy as np
 import pytest
 
 from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
