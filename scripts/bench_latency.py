@@ -75,10 +75,15 @@ def main():
         jax.random.normal(kn2, (4096, D), jnp.float32))
     qpool /= np.linalg.norm(qpool, axis=1, keepdims=True)
 
+    from cloudvectordb_tpu.index.ivf_band import _tiles_resid_plan_search
+
+    st = idx._device_state()
+    qdev = jnp.asarray(qpool)
+
     rtt = measure_fetch_rtt()
     print(f"fetch rtt {rtt*1000:.0f} ms", flush=True)
     print(f"{'B':>4} {'tq':>4} {'p':>5}  {'p50 raw':>9} {'p99 raw':>9} "
-          f"{'p50 dev-est':>11}  {'qps@p50':>8}  rtt-bound", flush=True)
+          f"{'dev/call':>9}  {'qps@dev':>8}  rtt-bound", flush=True)
     for B in batches:
         tq = max(8, B)
         p = idx._auto_p_tiles(B, 32, n_tiles, tile_q=tq)
@@ -92,10 +97,52 @@ def main():
             lats.append(time.perf_counter() - t1)
         lats = np.sort(lats)
         p50, p99 = lats[len(lats) // 2], lats[int(len(lats) * 0.99)]
-        dev_est = max(p50 - rtt, 0.0)
-        bound = dev_est < 0.2 * p50
+
+        # Per-call raw wall time through the dev relay is fetch-RTT-bound at
+        # these batch sizes, so the DEVICE latency is measured by difference:
+        # fold R independent searches (distinct query slices + content per
+        # iteration) into ONE jitted, dynamically-bounded lax.fori_loop and
+        # time it at R and 2R reps — device/call = (wall_2R − wall_R)/R.
+        # The subtraction cancels the relay RTT exactly, and distinct
+        # (nreps, off) argument values defeat the relay's identical-call
+        # cache (which returned the 2nd of two same-arg dispatches from
+        # cache, reading as 0 ms). Real-hardware serving pays device/call +
+        # PCIe (~µs), not the relay RTT.
+        # NOTE: the big arrays MUST be jit ARGUMENTS — closure capture bakes
+        # them into the HLO as constants (9.7 GB shipped to the remote
+        # compiler, which never returns)
+        def timed_fn(nreps, off, qd, centroids, payload, local, ctiles,
+                     scale, ids, twin, vend):
+            def body(i, acc):
+                # kernel batch = tq (idx.search pads B→tq the same way), so
+                # each iteration matches the host API's device work exactly
+                j = i + off
+                q = jax.lax.dynamic_slice_in_dim(qd, (j * B) % 4000, tq)
+                v, _ = _tiles_resid_plan_search(
+                    q + 1e-4 * j.astype(jnp.float32), centroids, payload,
+                    local, ctiles, scale, ids, twin, vend, k=K, p_tiles=p,
+                    tile_n=idx.tile_n, tile_q=tq, interpret=False)
+                return acc + jnp.sum(v)
+            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+
+        timed = jax.jit(timed_fn)
+        targs = (qdev, st["centroids"], st["payload"], st["local"],
+                 st["centroid_tiles"], idx._scale, st["ids"],
+                 st["tile_window"], st["valid_end"])
+        # R scaled so the 2R−R delta is well above relay RTT jitter even
+        # when per-call device time is sub-ms (small B on a pruned plan)
+        R = min(1024, max(reps, 4096 // max(B, 1)))
+        float(timed(jnp.int32(2), jnp.int32(0), *targs))  # compile + warm
+        t1 = time.perf_counter()
+        float(timed(jnp.int32(R), jnp.int32(1), *targs))
+        w1 = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        float(timed(jnp.int32(2 * R), jnp.int32(2), *targs))
+        w2 = time.perf_counter() - t1
+        dev = max((w2 - w1) / R, 1e-7)
+        bound = dev < 0.2 * p50
         print(f"{B:>4} {tq:>4} {p:>5}  {p50*1e3:8.1f}ms {p99*1e3:8.1f}ms "
-              f"{dev_est*1e3:10.1f}ms  {B/max(p50, 1e-9):8.0f}  "
+              f"{dev*1e3:8.2f}ms  {B/max(dev, 1e-9):8.0f}  "
               f"{'YES' if bound else 'no'}", flush=True)
 
     # recall sanity at the smallest batch's op point (512 queries, exact GT
