@@ -28,6 +28,39 @@ def measure_fetch_rtt(iters: int = 5) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def device_seconds(step_fn, *args, reps: int = 64) -> float:
+    """True per-step DEVICE time of ``step_fn`` by differential fold.
+
+    ``step_fn(i, *args) -> f32 scalar`` (i: traced int32 step index; fold
+    its value into the returned scalar so no step is dead-code-eliminated;
+    vary the computation's *inputs* by ``i`` — e.g. a dynamic slice — so a
+    caching relay can't serve repeated identical dispatches). The fold jits
+    ONE ``lax.fori_loop`` with a *dynamic* rep count, times it at R and 2R
+    reps, and returns (wall₂ᵣ − wallᵣ)/R — the relay RTT, dispatch overhead
+    and the final scalar fetch cancel exactly in the subtraction. This is
+    the methodology behind every small-workload device number in the bench
+    scripts (scripts/bench_latency.py measured 0.45 ms at B=1 where raw
+    wall time through the dev tunnel was ~40–130 ms RTT-bound).
+
+    Big arrays must ride as ``args`` — closure capture would bake them into
+    the HLO as constants (shipped whole to a remote compiler).
+    """
+    def fold(nreps, *a):
+        def body(i, acc):
+            return acc + step_fn(i, *a)
+        return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+
+    folded = jax.jit(fold)
+    float(folded(jnp.int32(2), *args))  # compile + warm
+    t0 = time.perf_counter()
+    float(folded(jnp.int32(reps), *args))
+    w1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(folded(jnp.int32(2 * reps), *args))
+    w2 = time.perf_counter() - t0
+    return max((w2 - w1) / reps, 1e-9)
+
+
 def qps_bench(
     search_fn: Callable,
     queries,

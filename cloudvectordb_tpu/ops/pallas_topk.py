@@ -32,7 +32,8 @@ NEG_INF = float("-inf")  # python literal: jnp scalars get captured as consts
 
 
 def _bucketed_topk_kernel(
-    q_ref, db_ref, nrm_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, metric, n, l_buckets
+    q_ref, db_ref, nrm_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, metric, n,
+    l_buckets, precision,
 ):
     qt = pl.program_id(0)  # query-tile index (outer)
     t = pl.program_id(1)  # db-tile index (inner; sequential on TPU core)
@@ -53,8 +54,13 @@ def _bucketed_topk_kernel(
             q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         ).astype(jnp.float32)
     else:
+        # DEFAULT precision feeds the MXU bf16 operands even for f32 inputs
+        # (~8-bit mantissa score noise — reorders near-ties); HIGHEST runs
+        # the f32 multi-pass MXU schedule for exact-f32 scores at ~1/4 rate.
         scores = lax.dot_general(
-            q, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )  # (QT, T)
     if metric == "l2":
         # larger-is-better: 2 q·x - ||x||² (the ||q||² constant is added back
@@ -105,7 +111,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_n", "tile_q", "l_buckets", "interpret"),
+    static_argnames=("k", "metric", "tile_n", "tile_q", "l_buckets",
+                     "interpret", "precision"),
 )
 def flat_topk_pallas(
     db,
@@ -117,14 +124,26 @@ def flat_topk_pallas(
     tile_q: int = 256,
     l_buckets: int = 0,
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused flat-scan top-k. Returns (scores (Q,k) f32, idx (Q,k) i32).
 
     l_buckets=0 picks max(512, 8k) rounded to a lane multiple of 128.
+
+    precision: 'default' (MXU bf16 operands — fastest; near-tie rows within
+    ~8-bit score noise may reorder vs an f32 oracle) or 'highest' (exact-f32
+    multi-pass MXU schedule, ~4× the cycles — the fused ground-truth path;
+    residual miss probability is the bucket-collision term alone,
+    ≈ (k-1)/(2·l_buckets)). Ignored for int8 inputs (exact int32 scores).
     """
     n, d = db.shape
     nq = queries.shape[0]
     k = min(k, n)
+    if precision == "highest":
+        # the f32 multi-pass MXU schedule needs ~3× the operand VMEM;
+        # tile_q=256 × tile_n=2048 × d=768 overflows the 16 MB scoped
+        # budget (observed Mosaic compile failure) — halve the query tile
+        tile_q = min(tile_q, 128)
     if l_buckets == 0:
         l_buckets = tile_n  # R=1: elementwise merge (fastest, biggest pool)
     l_buckets = min(l_buckets, tile_n)
@@ -148,7 +167,9 @@ def flat_topk_pallas(
 
     grid = (q_pad // tile_q, n_pad // tile_n)
     kernel = functools.partial(
-        _bucketed_topk_kernel, metric=metric, n=n, l_buckets=l_buckets
+        _bucketed_topk_kernel, metric=metric, n=n, l_buckets=l_buckets,
+        precision={"default": lax.Precision.DEFAULT,
+                   "highest": lax.Precision.HIGHEST}[precision],
     )
     out_v, out_i = pl.pallas_call(
         kernel,

@@ -68,7 +68,7 @@ def main():
     from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
     from cloudvectordb_tpu.eval.recall import recall_at_k
     from cloudvectordb_tpu.index.ivf_band import (
-        BandIVFPQIndex, _pq_tiles_plan_search)
+        BandIVFPQIndex, _pq_tiles_plan_search, _tiles_resid_plan_search)
     from cloudvectordb_tpu.ops.topk import tiled_topk
 
     n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
@@ -180,8 +180,44 @@ def main():
                            tile_q=tq_rf, serve_from="refine")
             raw_t = (time.perf_counter() - t0) / reps
             dt = raw_t if raw_t - rtt < 0.05 * raw_t else raw_t - rtt
-            print(f"[refine-scan] p={p_eff or 'auto'} tq={tq_rf}: "
-                  f"recall@10={r_rf:.4f}  {B/dt:9.0f} qps/chip", flush=True)
+            # end-to-end through this dev relay ships the 12.6 MB query
+            # batch at the measured ~23 MB/s each call (~0.55 s — a 0.8 ms
+            # PCIe copy on real hardware), so the np.asarray path above is
+            # link-bound here. DEVICE qps below keeps queries resident
+            # (identical math to the search() dispatch) — the same
+            # methodology as bench.py's headline.
+            st_rf = idx._refine_scan_state()
+            tq_d = tq_rf
+            p_dev = p_eff or idx._auto_p_tiles(B, 32, n_tiles, tile_q=tq_d)
+            qdev = jnp.asarray(queries)  # already rotated
+
+            def run_rf(noise):
+                return _tiles_resid_plan_search(
+                    qdev + noise, st_rf["centroids"], st_rf["refine"],
+                    st_rf["refine_local"], st_rf["centroid_tiles"],
+                    idx._scale, st_rf["ids"], st_rf["tile_window"],
+                    st_rf["refine_valid_end"], k=K, p_tiles=p_dev,
+                    tile_n=idx.tile_n, tile_q=tq_d, interpret=False)
+
+            vd, gd = run_rf(0.0)
+            r_dev = recall_at_k(jax.device_get(gd)[:NQ_GT], gt)
+            acc = jnp.float32(0)
+            for it in range(2):  # warm both executables
+                vv, _ = run_rf(0.5 + 1e-4 * it)
+                acc = acc + jnp.sum(vv)
+            float(acc)
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for it in range(reps):
+                vv, _ = run_rf(1e-4 * (it + 1))
+                acc = acc + jnp.sum(vv)
+            float(acc)
+            dt_d = max(time.perf_counter() - t0 - rtt, 1e-9)
+            print(f"[refine-scan] p={p_dev} ({p_dev/n_tiles:5.1%}) "
+                  f"tq={tq_rf}: recall@10={r_rf:.4f} (device-path "
+                  f"{r_dev:.4f})  device {B*reps/dt_d:9.0f} qps/chip  "
+                  f"(end-to-end via relay {B/dt:7.0f}, link-bound)",
+                  flush=True)
         except Exception as e:
             print(f"[refine-scan] {cfg_s}: FAILED {type(e).__name__} "
                   f"{str(e)[:160]}", flush=True)

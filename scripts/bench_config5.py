@@ -139,7 +139,16 @@ def main():
     p_list = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3
                                else ["4096", "8192"])]
     for p_tiles in p_list:
+        # SMEM ceiling: the (n_qt, p) scalar-prefetch table at B=4096/tq=128
+        # is 32·p·4 B — p=8192 (1 MB) fails Mosaic near 512 KB (r2 gotcha);
+        # skip rather than abort the whole run (the host section below uses
+        # tq=64 at B=512 → 8·p·4 B, fine to p≥8192)
         p_tiles = min(p_tiles, n_tiles)
+        if 32 * p_tiles * 4 > 512 * 1024:
+            print(f"[eval] tier1-only p_tiles={p_tiles}: SKIP (scalar-"
+                  f"prefetch table {32*p_tiles*4//1024} KB > SMEM)",
+                  flush=True)
+            continue
 
         def run(noise):
             return _pq_tiles_plan_search(
@@ -250,7 +259,7 @@ def main():
               f"in {time.perf_counter() - t0:.0f} s host-side", flush=True)
         qn = np.asarray(queries)
         for bq, rf in ((512, 64), (512, 102), (512, 410)):
-            p_h = min(p_list[-1], n_tiles)
+            p_h = min(int(os.environ.get("HOST_P", p_list[-1])), n_tiles)
             _, gh = idx.search(qn[:bq], K, p_tiles=p_h, refine_factor=rf,
                                tile_q=64)
             rh = recall_at_k(gh[:min(bq, NQ_GT)], gt[:min(bq, NQ_GT)])

@@ -28,7 +28,7 @@ CHUNK = 500_000
 
 
 def main():
-    from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
+    from cloudvectordb_tpu.eval.qps import device_seconds, measure_fetch_rtt
     from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
 
     n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 12.5
@@ -99,47 +99,26 @@ def main():
         p50, p99 = lats[len(lats) // 2], lats[int(len(lats) * 0.99)]
 
         # Per-call raw wall time through the dev relay is fetch-RTT-bound at
-        # these batch sizes, so the DEVICE latency is measured by difference:
-        # fold R independent searches (distinct query slices + content per
-        # iteration) into ONE jitted, dynamically-bounded lax.fori_loop and
-        # time it at R and 2R reps — device/call = (wall_2R − wall_R)/R.
-        # The subtraction cancels the relay RTT exactly, and distinct
-        # (nreps, off) argument values defeat the relay's identical-call
-        # cache (which returned the 2nd of two same-arg dispatches from
-        # cache, reading as 0 ms). Real-hardware serving pays device/call +
-        # PCIe (~µs), not the relay RTT.
-        # NOTE: the big arrays MUST be jit ARGUMENTS — closure capture bakes
-        # them into the HLO as constants (9.7 GB shipped to the remote
-        # compiler, which never returns)
-        def timed_fn(nreps, off, qd, centroids, payload, local, ctiles,
-                     scale, ids, twin, vend):
-            def body(i, acc):
-                # kernel batch = tq (idx.search pads B→tq the same way), so
-                # each iteration matches the host API's device work exactly
-                j = i + off
-                q = jax.lax.dynamic_slice_in_dim(qd, (j * B) % 4000, tq)
-                v, _ = _tiles_resid_plan_search(
-                    q + 1e-4 * j.astype(jnp.float32), centroids, payload,
-                    local, ctiles, scale, ids, twin, vend, k=K, p_tiles=p,
-                    tile_n=idx.tile_n, tile_q=tq, interpret=False)
-                return acc + jnp.sum(v)
-            return jax.lax.fori_loop(0, nreps, body, jnp.float32(0))
+        # these batch sizes; the DEVICE latency comes from the differential
+        # fold in eval/qps.py::device_seconds (methodology documented
+        # there). Kernel batch = tq (idx.search pads B→tq the same way), so
+        # each folded step matches the host API's device work exactly.
+        def step(i, qd, centroids, payload, local, ctiles, scale, ids,
+                 twin, vend):
+            q = jax.lax.dynamic_slice_in_dim(qd, (i * B) % 4000, tq)
+            v, _ = _tiles_resid_plan_search(
+                q + 1e-4 * i.astype(jnp.float32), centroids, payload,
+                local, ctiles, scale, ids, twin, vend, k=K, p_tiles=p,
+                tile_n=idx.tile_n, tile_q=tq, interpret=False)
+            return jnp.sum(v)
 
-        timed = jax.jit(timed_fn)
-        targs = (qdev, st["centroids"], st["payload"], st["local"],
-                 st["centroid_tiles"], idx._scale, st["ids"],
-                 st["tile_window"], st["valid_end"])
         # R scaled so the 2R−R delta is well above relay RTT jitter even
         # when per-call device time is sub-ms (small B on a pruned plan)
         R = min(1024, max(reps, 4096 // max(B, 1)))
-        float(timed(jnp.int32(2), jnp.int32(0), *targs))  # compile + warm
-        t1 = time.perf_counter()
-        float(timed(jnp.int32(R), jnp.int32(1), *targs))
-        w1 = time.perf_counter() - t1
-        t1 = time.perf_counter()
-        float(timed(jnp.int32(2 * R), jnp.int32(2), *targs))
-        w2 = time.perf_counter() - t1
-        dev = max((w2 - w1) / R, 1e-7)
+        dev = device_seconds(
+            step, qdev, st["centroids"], st["payload"], st["local"],
+            st["centroid_tiles"], idx._scale, st["ids"], st["tile_window"],
+            st["valid_end"], reps=R)
         bound = dev < 0.2 * p50
         print(f"{B:>4} {tq:>4} {p:>5}  {p50*1e3:8.1f}ms {p99*1e3:8.1f}ms "
               f"{dev*1e3:8.2f}ms  {B/max(dev, 1e-9):8.0f}  "

@@ -65,13 +65,28 @@ def test_int8_scan_golden_qps(data):
 
 
 def test_flat_recall_golden(data):
+    """Two calibrated claims (the clustered fixture is tie-dense: ~390
+    rows/cluster whose score spread sits at the bf16 rounding step, so an
+    f32 oracle is only a fair reference for the f32-exact kernel mode):
+
+    1. precision='highest' vs the exact f32 oracle — loses only the bucket
+       collision term (≈(K-1)/2L ≈ 0.2%).
+    2. default (MXU-bf16) vs a bf16-consistent oracle (exact top-k of the
+       bf16-rounded problem) — same bound, plus q-side rounding noise.
+    """
     from cloudvectordb_tpu.ops.pallas_topk import flat_topk_pallas
     from cloudvectordb_tpu.ops.topk import tiled_topk
     from cloudvectordb_tpu.eval.recall import recall_at_k
 
     db, q = data
-    sub = q[:128].astype(jnp.bfloat16)
-    _, gt = tiled_topk(db, q[:128], K, tile=8192)
-    _, found = flat_topk_pallas(db.astype(jnp.bfloat16), sub, K)
-    r = recall_at_k(np.asarray(found), np.asarray(gt))
-    assert r >= 0.98, r
+    sub = q[:128]
+    _, gt = tiled_topk(db, sub, K, tile=8192)
+    _, found_hi = flat_topk_pallas(db, sub, K, precision="highest")
+    r_hi = recall_at_k(np.asarray(found_hi), np.asarray(gt))
+    assert r_hi >= 0.99, f"f32-exact kernel mode regressed: {r_hi}"
+
+    db16 = db.astype(jnp.bfloat16)
+    _, gt16 = tiled_topk(db16.astype(jnp.float32), sub, K, tile=8192)
+    _, found = flat_topk_pallas(db16, sub.astype(jnp.bfloat16), K)
+    r = recall_at_k(np.asarray(found), np.asarray(gt16))
+    assert r >= 0.97, f"bf16 kernel vs bf16-consistent oracle: {r}"

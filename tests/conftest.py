@@ -8,18 +8,26 @@ only the mesh constructor sees different devices.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# JAX_GOLDEN_TPU=1 leaves the real backend in place so the TPU-only golden
+# perf checks (tests/bench/) can actually execute — use it ONLY as
+#   JAX_GOLDEN_TPU=1 python -m pytest tests/bench -q
+# (running the full CPU-mesh suite against one real chip is not supported).
+_GOLDEN_TPU = os.environ.get("JAX_GOLDEN_TPU") == "1"
+
+if not _GOLDEN_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
 # the axon TPU plugin registers itself regardless of JAX_PLATFORMS; the config
 # update below is what actually pins the test backend to simulated-CPU.
-jax.config.update("jax_platforms", "cpu")
+if not _GOLDEN_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

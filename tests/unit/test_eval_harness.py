@@ -32,3 +32,30 @@ def test_qps_bench_runs():
         batch=32, warmup=1, iters=2,
     )
     assert out["qps"] > 0 and out["batch"] == 32
+
+
+def test_device_seconds_positive_and_scales():
+    import jax
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.eval.qps import device_seconds
+
+    x = jnp.asarray(clustered_vectors(256, 64, seed=104))
+
+    def step_small(i, xa):
+        q = jax.lax.dynamic_slice_in_dim(xa, i % 128, 8)
+        return jnp.sum(q @ xa.T)
+
+    def step_big(i, xa):
+        q = jax.lax.dynamic_slice_in_dim(xa, i % 64, 128)
+        acc = jnp.float32(0)
+        for _ in range(8):  # 128x the small step's FLOPs
+            acc = acc + jnp.sum((q + acc) @ xa.T)
+        return acc
+
+    t_small = device_seconds(step_small, x, reps=32)
+    t_big = device_seconds(step_big, x, reps=32)
+    assert t_small > 0 and t_big > 0
+    # loose: the 128x-FLOPs step must not measure FASTER than the small one
+    # (timing on shared CI hosts is noisy; no tight ratio asserted)
+    assert t_big >= t_small * 0.5

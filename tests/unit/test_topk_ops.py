@@ -61,3 +61,15 @@ def test_pallas_topk_bucket_collision_bound():
     )
     _, i_true = brute_force_topk(db, q, 1, metric="ip")
     assert recall_at_k(np.asarray(i), i_true) == 1.0
+
+
+def test_pallas_topk_precision_knob_interpret():
+    # precision='highest' must thread through (interpret mode computes f32
+    # either way — this guards the static-arg plumbing and tile_q clamp)
+    db = clustered_vectors(2000, 48, seed=18)
+    q = queries_from(db, 16, seed=19)
+    s, i = flat_topk_pallas(db, q, 10, tile_n=512, tile_q=256,
+                            l_buckets=512, interpret=True,
+                            precision="highest")
+    _, i_true = brute_force_topk(db, q, 10, metric="ip")
+    assert recall_at_k(np.asarray(i), i_true) >= 0.9
