@@ -465,6 +465,7 @@ class BandIVFIndex(Index):
         # device ANNEX arena: pending folds here when the MAIN arena is
         # device-resident (r3 — _fold_pending; rows/assign jnp, ids host np)
         self._annex: dict | None = None
+        self._annex_ver = 0  # bumped on every annex mutation (id-map cache)
         # monotonic global-id allocator: 0 = not yet materialized (every
         # build path assigns ids contiguously from 0, so _gid_bound derives
         # it lazily); remove() leaves gaps — ids are never reused
@@ -966,6 +967,7 @@ class BandIVFIndex(Index):
             ax["ids"][head] = ax["ids"][tail_surv]
         ax["ids"][new_n:n] = -1
         ax["n"] = new_n
+        self._annex_ver += 1
         return int(hit.size)
 
     def _swap_remove_slots(self, slots: np.ndarray):
@@ -1103,6 +1105,7 @@ class BandIVFIndex(Index):
             jnp.asarray(pad_assign), ax["n"])
         ax["ids"][ax["n"] : ax["n"] + n_new] = pids
         ax["n"] += n_new
+        self._annex_ver += 1
 
     def merge_pending(self) -> None:
         """Fold pending (and any device annex) into the arena: one native
@@ -1299,10 +1302,9 @@ class BandIVFIndex(Index):
         assert not self._resid8, "band strategy lacks the centroid term; use tiles"
         return self._search_band(queries, k, nprobe, interpret)
 
-    def _search_tiles(self, queries, k, nprobe, p_tiles, interpret,
-                      scoring="hybrid", tile_q=None):
-        nq = queries.shape[0]
-        st = self._device_state()
+    def _resolve_tiles_knobs(self, nq, nprobe, p_tiles, tile_q):
+        """Shared knob resolution for the host and device search paths:
+        small-batch query-tile shrink + span-aware auto coverage."""
         n_tiles = int(self._payload.shape[0]) // self.tile_n
         tq = tile_q or self.tile_q
         if tile_q is None and nq < tq:
@@ -1313,34 +1315,118 @@ class BandIVFIndex(Index):
             tq = max(8, _next_pow2(nq))
         if p_tiles <= 0:
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-        q_pad = -(-nq // tq) * tq
-        qp = queries if q_pad == nq else np.concatenate(
-            [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
-        )
+        return p_tiles, tq
+
+    def _tiles_kernel_dispatch(self, qp, k, p_tiles, tq, scoring, interpret):
+        """One device dispatch of the tiles search over the arena (pending/
+        annex excluded): qp is a device (q_pad, D) f32 array, q_pad a
+        multiple of tq. Returns device (v (q_pad, k) f32, gids (q_pad, k)
+        i32)."""
+        st = self._device_state()
         if self._resid8:
-            v, gids = _tiles_resid_plan_search(
-                jnp.asarray(qp), st["centroids"], st["payload"], st["local"],
+            return _tiles_resid_plan_search(
+                qp, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], st["valid_end"],
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret, int8_q=(scoring != "precise"),
             )
+        if self.dtype == "int8":
+            # 'precise' (bf16 queries, no query-side quantization) maps
+            # to the hybrid kernel — plain True is the NOISIEST
+            # two-sided-int8 mode and must only serve scoring='int8'
+            int8_mode = True if scoring == "int8" else "hybrid"
         else:
-            if self.dtype == "int8":
-                # 'precise' (bf16 queries, no query-side quantization) maps
-                # to the hybrid kernel — plain True is the NOISIEST
-                # two-sided-int8 mode and must only serve scoring='int8'
-                int8_mode = True if scoring == "int8" else "hybrid"
-            else:
-                int8_mode = False
-            v, gids = _tiles_plan_search(
-                jnp.asarray(qp), st["centroids"], st["payload"], st["ids"],
-                st["tile_window"], self._scale, jnp.asarray(self._n, jnp.int32),
-                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
-                int8=int8_mode, interpret=interpret,
-            )
+            int8_mode = False
+        return _tiles_plan_search(
+            qp, st["centroids"], st["payload"], st["ids"],
+            st["tile_window"], self._scale, jnp.asarray(self._n, jnp.int32),
+            k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
+            int8=int8_mode, interpret=interpret,
+        )
+
+    def _search_tiles(self, queries, k, nprobe, p_tiles, interpret,
+                      scoring="hybrid", tile_q=None):
+        nq = queries.shape[0]
+        p_tiles, tq = self._resolve_tiles_knobs(nq, nprobe, p_tiles, tile_q)
+        q_pad = -(-nq // tq) * tq
+        qp = queries if q_pad == nq else np.concatenate(
+            [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
+        )
+        v, gids = self._tiles_kernel_dispatch(
+            jnp.asarray(qp), k, p_tiles, tq, scoring, interpret)
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         return self._merge_pending_topk(v, gids, queries[:nq], k)
+
+    def search_device(self, queries, k: int, nprobe: int = 32,
+                      p_tiles: int = 0, scoring: str = "hybrid",
+                      tile_q: int | None = None,
+                      interpret: bool | None = None):
+        """All-device serving path: ``queries`` is (or becomes) a device
+        (B, D) f32 array and the returned (scores (B, k) f32, ids (B, k)
+        i32) are device arrays — once warm there is NO host↔device
+        transfer or host compute in the call, so a serving loop can chain
+        results on device (filter, re-rank, feed a model) and fetch only
+        what it ships out. ``search()`` wraps the same kernels for
+        np-in/np-out convenience; its batches cross the host link every
+        call — a PCIe copy on real hardware, and the dominant cost through
+        this environment's ~23 MB/s dev relay (the config-#3 bench
+        measured 97.3k qps/chip on this path vs 3.7k end-to-end through
+        the relay on identical math; scripts/bench_build_budget.py).
+
+        Ids are int32 (the arena id-table dtype; x64 is disabled on TPU).
+        Pending adds fold on entry: device-resident int8 arenas fold into
+        the device annex (O(pending), stays in HBM) and the annex is
+        merged here with a device top-k whose id map is cached per annex
+        version; host-resident arenas pay the one-time host compact.
+        Tuned op points (``tune()``) fill unset knobs, as in ``search()``.
+        """
+        assert self._n, "empty index"
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        if self._pending.size:
+            self._fold_pending()
+        queries = jnp.asarray(queries, jnp.float32)
+        nq = queries.shape[0]
+        op = self._op_point or {}
+        if p_tiles <= 0:
+            p_tiles = op.get("p_tiles", 0)
+        if tile_q is None:
+            tile_q = op.get("tile_q")
+        p_tiles, tq = self._resolve_tiles_knobs(nq, nprobe, p_tiles, tile_q)
+        q_pad = -(-nq // tq) * tq
+        qp = queries if q_pad == nq else jnp.concatenate(
+            [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
+        v, gids = self._tiles_kernel_dispatch(
+            qp, k, p_tiles, tq, scoring, interpret)
+        return self._merge_annex_topk_device(v[:nq], gids[:nq], queries, k)
+
+    def _annex_ids_device(self):
+        """Device copy of the annex id table, cached per annex version
+        (folds append, removes swap in place — both bump _annex_ver)."""
+        ax = self._annex
+        if ax.get("ids_dev_ver") != self._annex_ver:
+            ax["ids_dev"] = jnp.asarray(ax["ids"].astype(np.int32))
+            ax["ids_dev_ver"] = self._annex_ver
+        return ax["ids_dev"]
+
+    def _merge_annex_topk_device(self, v, gids, queries, k):
+        """Device twin of _merge_pending_topk for the search_device path:
+        annex-only (callers fold pending first), merge by one device
+        top-k. queries must be in the same space the annex rows live in
+        (rotated, for the PQ family)."""
+        ax = self._annex
+        if ax is None or not ax["n"]:
+            return v, gids
+        av, ap = _annex_scan(
+            queries, ax["rows"], ax["assign"], jnp.asarray(self.centroids),
+            self._scale, ax["n"], k=min(k, ax["n"]), resid=self._resid8,
+        )
+        ai = self._annex_ids_device()[ap]
+        all_v = jnp.concatenate([v, av], axis=1)
+        all_i = jnp.concatenate([gids, ai], axis=1)
+        v2, pos = jax.lax.top_k(all_v, k)
+        return v2, jnp.take_along_axis(all_i, pos, axis=1)
 
     def _auto_p_tiles(self, nq: int, nprobe: int, n_tiles: int,
                       tile_q: int | None = None) -> int:
@@ -2774,6 +2860,117 @@ class BandIVFPQIndex(BandIVFIndex):
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
         return self._merge_pending_topk(v, gids, queries[:nq], k)
+
+    def _opq_device(self):
+        """Rotation cached on device: uploading the 768² f32 matrix per
+        call would cost ~2.3 MB of host link each search_device."""
+        if self.opq_matrix is None:
+            return None
+        if getattr(self, "_opq_dev", None) is None:
+            self._opq_dev = jnp.asarray(self.opq_matrix)
+        return self._opq_dev
+
+    def search_device(self, queries, k: int, nprobe: int = 32,
+                      p_tiles: int = 0, refine_factor: int | None = None,
+                      n_pools: int = 0, tile_q: int | None = None,
+                      serve_from: str | None = None,
+                      interpret: bool | None = None):
+        """All-device twin of ``search()`` (semantics documented there and
+        on BandIVFIndex.search_device): device queries in, device
+        (scores f32, ids i32) out, zero per-call host work. Supports
+        serve_from='refine' and the PQ path including the in-HBM 'pq2'
+        tier; refine='host' is inherently host-attached — use search().
+        """
+        assert self._n, "empty index"
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        if self._pending.size:
+            self._fold_pending()
+        queries = jnp.asarray(queries, jnp.float32)
+        rot = self._opq_device()
+        if rot is not None:
+            # HIGHEST: default TPU f32 matmul runs bf16 passes — enough for
+            # recall (int8 scoring noise dominates) but the low-bit query
+            # drift reorders rank ties vs search()'s host-side np rotation.
+            # HIGHEST keeps the two paths equal to f32 rounding; exact id
+            # parity on ties is still only guaranteed within one path.
+            queries = jnp.dot(queries, rot.T,
+                              precision=jax.lax.Precision.HIGHEST)
+        nq = queries.shape[0]
+        op = self._op_point or {}
+        if serve_from is None:
+            serve_from = op.get("serve_from", "pq")
+        if refine_factor is None:
+            refine_factor = op.get("refine_factor", 16)
+        if p_tiles <= 0:
+            p_tiles = op.get("p_tiles", 0)
+        if tile_q is None:
+            tile_q = op.get("tile_q")
+        if n_pools <= 0:
+            n_pools = op.get("n_pools", 0)
+        if serve_from == "refine":
+            st = self._refine_scan_state()
+            n_tiles = self._n_pad_rows // self.tile_n
+            tq = tile_q or self.tile_q
+            if tile_q is None and nq < tq:
+                tq = max(8, _next_pow2(nq))
+            if p_tiles <= 0:
+                p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
+            q_pad = -(-nq // tq) * tq
+            qp = queries if q_pad == nq else jnp.concatenate(
+                [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
+            v, gids = _tiles_resid_plan_search(
+                qp, st["centroids"], st["refine"], st["refine_local"],
+                st["centroid_tiles"], self._scale, st["ids"],
+                st["tile_window"], st["refine_valid_end"],
+                k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
+                interpret=interpret,
+            )
+            return self._merge_annex_topk_device(v[:nq], gids[:nq],
+                                                 queries, k)
+        assert self.refine != "host" or self._host_rows is None, (
+            "refine='host' rescores from host RAM — use search()")
+        st = self._device_state()
+        n_tiles = self._n_pad_rows // self.tile_n
+        tq = tile_q or self.tile_q
+        if tile_q is None and nq < tq:
+            tq = max(8, _next_pow2(nq))
+        if p_tiles <= 0:
+            p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
+        q_pad = -(-nq // tq) * tq
+        qp = queries if q_pad == nq else jnp.concatenate(
+            [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
+        two_stage = (self.refine == "int8"
+                     or (self.refine == "pq2"
+                         and self.codebooks2 is not None
+                         and (self._codes2 is not None
+                              or bool(self._codes2_pending))))
+        k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
+        slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
+        if n_pools <= 0:
+            n_pools = max(1, min(-(-k_cand // self.tile_n),
+                                 slot_budget // self.tile_n, p_tiles))
+        l_buckets = self._derive_l_buckets(k_cand, n_pools)
+        k_cand = min(k_cand, n_pools * l_buckets)
+        nv = (self._seg_n_valid() if self._segmented
+              else jnp.asarray(self._n, jnp.int32))
+        k_stage1 = k if self.refine == "int8" else (k_cand if two_stage
+                                                    else k)
+        v, gids = _pq_tiles_plan_search(
+            qp, st["centroids"], st["codes"], st["codebooks"],
+            st["refine"], st["ids"], st["tile_window"],
+            st["centroid_tiles"], nv, st.get("local_rm"),
+            k=k_stage1, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
+            tile_q=tq, interpret=interpret,
+            refine_scale=self._scale if self.refine == "int8" else 0.0,
+            row_major=self._codes_row_major, n_pools=n_pools,
+            l_buckets=l_buckets, refine_residual=self._refine_residual,
+        )
+        if two_stage and self.refine == "pq2":
+            v, gids = _pq2_rescore(
+                qp, v, gids, self._codes2_device(fold=False),
+                jnp.asarray(self.codebooks2), k=k)
+        return self._merge_annex_topk_device(v[:nq], gids[:nq], queries, k)
 
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):

@@ -991,3 +991,70 @@ def test_attach_host_refine_rotated_chunks(data):
     _, fa = a.search(q, 10, **skw)
     _, fb = b.search(q, 10, **skw)
     assert recall_at_k(fb, gt) >= recall_at_k(fa, gt) - 0.01
+
+
+def test_search_device_parity_and_annex(data):
+    """search_device (all-device serving path) returns the same results as
+    search() — before and after pending adds fold into the device annex."""
+    import jax.numpy as jnp
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 3000, 1000)]
+    idx = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 3, nlist=16, train_sample=1000, residual=True,
+        kmeans_iters=6, tile_n=128, tile_q=16,
+    )
+    p_all = idx._payload.shape[0] // idx.tile_n
+    v_h, f_h = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    v_d, f_d = idx.search_device(jnp.asarray(q), 10, interpret=True,
+                                 p_tiles=p_all)
+    assert isinstance(v_d, jnp.ndarray) and f_d.dtype == jnp.int32
+    np.testing.assert_allclose(np.asarray(v_d), v_h, rtol=1e-5, atol=1e-5)
+    assert (np.asarray(f_d).astype(np.int64) == f_h).all()
+
+    # adds cross the fold threshold → annex path; parity must hold
+    extra = db[3000:4000]
+    for s in range(0, 1000, 250):
+        idx.add(extra[s : s + 250])
+    v_d2, f_d2 = idx.search_device(jnp.asarray(q), 10, interpret=True,
+                                   p_tiles=p_all)
+    assert idx._annex is not None and idx._annex["n"] > 0
+    assert idx._pending.size == 0  # search_device folded on entry
+    v_h2, f_h2 = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    np.testing.assert_allclose(np.asarray(v_d2), v_h2, rtol=1e-5, atol=1e-5)
+    assert (np.asarray(f_d2).astype(np.int64) == f_h2).all()
+    # annexed rows are found by the device path
+    _, self_hit = idx.search_device(jnp.asarray(extra[:8]), 1,
+                                    interpret=True, p_tiles=p_all)
+    hits = np.asarray(self_hit)[:, 0]
+    ok = (hits == np.arange(3000, 3008)) | np.array([
+        np.allclose(db[h], extra[i], atol=1e-6)
+        for i, h in enumerate(hits)])
+    assert ok.all()
+
+
+def test_search_device_parity_pq_family(data):
+    """BandIVFPQIndex.search_device matches search() on the PQ+int8-refine
+    path, the direct refine scan (serve_from='refine'), and with OPQ
+    rotation applied on device."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=6, refine="int8", opq=True, kmeans_iters=5,
+        pq_train_iters=5, tile_n=256, tile_q=16,
+    )
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    for kw in ({"p_tiles": n_tiles},                        # PQ + refine
+               {"p_tiles": n_tiles, "serve_from": "refine"},
+               {"p_tiles": max(4, n_tiles // 2), "refine_factor": 8,
+                "n_pools": 2}):
+        v_h, f_h = idx.search(q, 10, interpret=True, **kw)
+        v_d, f_d = idx.search_device(jnp.asarray(q), 10, interpret=True,
+                                     **kw)
+        assert f_d.dtype == jnp.int32
+        np.testing.assert_allclose(np.asarray(v_d), v_h, rtol=1e-4,
+                                   atol=1e-4)
+        assert (np.asarray(f_d).astype(np.int64) == f_h).all(), kw
