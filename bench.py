@@ -31,8 +31,12 @@ D, K, B, LATENT, NCENTERS = 768, 10, 4096, 32, 256
 N_SCALE = 12_500_000
 CHUNK = 500_000
 NLIST = int(os.environ.get("BENCH_NLIST", 4096))
-P_TILES = int(os.environ.get("BENCH_P", 640))
-TILE_Q = int(os.environ.get("BENCH_TQ", 0))  # 0 → index default (256)
+# r3 sweep (scripts/sweep_headline.py): tq=128/p=448 holds the same 0.971
+# recall as the r2 point (tq=256/p=640) at ~1.3× the QPS — smaller query
+# tiles concentrate the per-tile plan, buying equal recall from 30% less
+# coverage (448/6104 = 7.3%).
+P_TILES = int(os.environ.get("BENCH_P", 448))
+TILE_Q = int(os.environ.get("BENCH_TQ", 128))  # 0 → index default (256)
 NQ_GT = 512
 TARGET_QPS_PER_CHIP = 50_000 / 8
 
