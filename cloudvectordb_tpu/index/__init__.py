@@ -11,3 +11,4 @@ from cloudvectordb_tpu.index.pq import train_pq, pq_encode, pq_decode  # noqa: F
 from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex  # noqa: F401
 from cloudvectordb_tpu.index.opq import train_opq  # noqa: F401
 from cloudvectordb_tpu.index.registry import build_index, load_index  # noqa: F401
+from cloudvectordb_tpu.index.filters import IdFilter, filtered_search  # noqa: F401

@@ -204,25 +204,36 @@ def _tiles_plan_search(
 )
 def _tiles_resid_plan_search(
     q, centroids, payload, local_ids, centroid_tiles, resid_scale, ids,
-    tile_window, valid_end,
+    tile_window, valid_end, allowed=None,
     *, k, p_tiles, tile_n, tile_q, interpret, int8_q: bool = True,
 ):
     """One-dispatch residual-int8 search: identical planning to
     _tiles_plan_search, residual kernel for scoring (int8 residual rows +
     exact in-kernel centroid term — see ops/pallas_band.py).
     valid_end (n_tiles, W) i32 masks tail padding and slack holes
-    per tile-list (ops/pallas_band.py::_tiles_resid_kernel doc)."""
+    per tile-list (ops/pallas_band.py::_tiles_resid_kernel doc).
+
+    allowed (n_gid_pad,) int8 allow bits by GLOBAL id (index/filters.py):
+    gathered through the live id table into arena order here — one (N,)
+    int8 gather, always coherent with in-place adds/removes — and masked
+    at score time in the kernel. Filtered unfilled slots return (-inf, -1)."""
     from cloudvectordb_tpu.ops.pallas_band import tiles_topk_resid_pallas
 
     q_s, order, _, tile_table = _plan_tiles(
         q, centroids, tile_window, tile_q, p_tiles)
 
+    row_mask = None
+    if allowed is not None:
+        ok = allowed[jnp.clip(ids, 0, allowed.shape[0] - 1)]
+        row_mask = jnp.where(ids >= 0, ok, 0).astype(jnp.int8)[None, :]
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
         valid_end, tile_n=tile_n, tile_q=tile_q, interpret=interpret,
-        int8_q=int8_q,
+        int8_q=int8_q, row_mask=row_mask,
     )
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
+    if allowed is not None:
+        gids = jnp.where(v > -jnp.inf, gids, -1)
     inv = jnp.argsort(order)
     return v[inv], gids[inv]
 
@@ -1173,7 +1184,11 @@ class BandIVFIndex(Index):
             else:
                 padded = np.zeros((p_pad, self.dim), rows.dtype)
                 padded[: rows.shape[0]] = rows
-            self._pending_dev = (jnp.asarray(padded), pids, rows.shape[0])
+            pids_pad = np.zeros(p_pad, np.int64)
+            pids_pad[: rows.shape[0]] = pids
+            self._pending_dev = (jnp.asarray(padded), pids,
+                                 jnp.asarray(pids_pad.astype(np.int32)),
+                                 rows.shape[0])
         return self._pending_dev
 
     def _pending_scan_scale(self) -> float:
@@ -1181,13 +1196,15 @@ class BandIVFIndex(Index):
             return 1.0  # pending rows are pre-reconstructed
         return self._scale if self.dtype == "int8" else 1.0
 
-    def _merge_pending_topk(self, v, gids, queries, k):
+    def _merge_pending_topk(self, v, gids, queries, k, flt=None):
         """Merge arena top-k (host np) with exact device scans of the
-        pending buffer and (if present) the device annex arena."""
+        pending buffer and (if present) the device annex arena. flt
+        (IdFilter) masks pending/annex candidates by global id — arena
+        candidates are already masked in-kernel."""
         extra_v, extra_i = [], []
         pdev = self._pending_device()
         if pdev is not None:
-            rows_dev, pids, n_pend = pdev
+            rows_dev, pids, _, n_pend = pdev
             scale = self._pending_scan_scale()
             pv, pi = _pending_scan(
                 jnp.asarray(queries, jnp.float32), rows_dev, scale, n_pend,
@@ -1206,11 +1223,17 @@ class BandIVFIndex(Index):
             extra_i.append(ax["ids"][np.asarray(ap)])
         if not extra_v:
             return v, gids
+        if flt is not None:
+            extra_v = [np.where(flt.allowed_np(ei), ev, -np.inf)
+                       for ev, ei in zip(extra_v, extra_i)]
         all_v = np.concatenate([v, *extra_v], axis=1)
         all_i = np.concatenate([gids, *extra_i], axis=1)
         sel = np.argsort(-all_v, axis=1, kind="stable")[:, :k]
-        return (np.take_along_axis(all_v, sel, 1),
-                np.take_along_axis(all_i, sel, 1))
+        out_v = np.take_along_axis(all_v, sel, 1)
+        out_i = np.take_along_axis(all_i, sel, 1)
+        if flt is not None:  # unfilled slots keep the (-inf, -1) convention
+            out_i = np.where(out_v > -np.inf, out_i, -1)
+        return out_v, out_i
 
     def reconstruct(self, ids) -> np.ndarray:
         """Approximate rows (dequantized payload) for the given global ids,
@@ -1274,9 +1297,18 @@ class BandIVFIndex(Index):
                 self._dev["valid_end"] = jnp.asarray(self._valid_end)
         return self._dev
 
+    def make_filter(self, where):
+        """Coerce `where` (IdFilter | bool mask by global id | array of
+        allowed gids) into an IdFilter for this index's id space. Build
+        once and reuse across searches — the device bitmap uploads once."""
+        from cloudvectordb_tpu.index.filters import IdFilter
+
+        return IdFilter.coerce(where, self._gid_bound())
+
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                strategy: str = "tiles", p_tiles: int = 0,
-               scoring: str = "hybrid", tile_q: int | None = None):
+               scoring: str = "hybrid", tile_q: int | None = None,
+               where=None):
         """strategy='tiles' (default): device-planned query-clustered tile
         probing — one dispatch, compute ∝ p_tiles/n_tiles of a full scan.
         strategy='band': contiguous-band variant (kept for comparison; 1-D id
@@ -1286,11 +1318,17 @@ class BandIVFIndex(Index):
         noise, ~2× MXU cost; 'int8' is the fastest two-sided-int8 path.
         tile_q: per-search query-tile override — smaller groups make the
         shared tile table more specific for small/diverse batches
-        (see _auto_p_tiles)."""
+        (see _auto_p_tiles).
+        where: optional id predicate (IdFilter | bool mask by global id |
+        array of allowed gids — see index/filters.py). Residual-int8
+        arenas mask at SCORE time in the kernel (exact at any
+        selectivity); other arena dtypes use filters.filtered_search.
+        Queries with fewer than k allowed hits return (-inf, -1) tails."""
         assert self._n, "empty index"
         if interpret is None:  # Mosaic only exists on TPU; interpret elsewhere
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
+        flt = self.make_filter(where) if where is not None else None
         op = self._op_point or {}  # tuned knobs fill sentinel defaults
         if p_tiles <= 0:
             p_tiles = op.get("p_tiles", 0)
@@ -1298,8 +1336,9 @@ class BandIVFIndex(Index):
             tile_q = op.get("tile_q")
         if strategy == "tiles":
             return self._search_tiles(queries, k, nprobe, p_tiles, interpret,
-                                      scoring, tile_q)
+                                      scoring, tile_q, flt=flt)
         assert not self._resid8, "band strategy lacks the centroid term; use tiles"
+        assert flt is None, "filtered search: use strategy='tiles'"
         return self._search_band(queries, k, nprobe, interpret)
 
     def _resolve_tiles_knobs(self, nq, nprobe, p_tiles, tile_q):
@@ -1317,7 +1356,8 @@ class BandIVFIndex(Index):
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
         return p_tiles, tq
 
-    def _tiles_kernel_dispatch(self, qp, k, p_tiles, tq, scoring, interpret):
+    def _tiles_kernel_dispatch(self, qp, k, p_tiles, tq, scoring, interpret,
+                               flt=None):
         """One device dispatch of the tiles search over the arena (pending/
         annex excluded): qp is a device (q_pad, D) f32 array, q_pad a
         multiple of tq. Returns device (v (q_pad, k) f32, gids (q_pad, k)
@@ -1328,9 +1368,13 @@ class BandIVFIndex(Index):
                 qp, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], st["valid_end"],
+                allowed=flt.mask_device() if flt is not None else None,
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret, int8_q=(scoring != "precise"),
             )
+        assert flt is None, (
+            "where= masks at score time in the residual-int8 kernel; for "
+            "other arena dtypes use index.filters.filtered_search")
         if self.dtype == "int8":
             # 'precise' (bf16 queries, no query-side quantization) maps
             # to the hybrid kernel — plain True is the NOISIEST
@@ -1346,7 +1390,7 @@ class BandIVFIndex(Index):
         )
 
     def _search_tiles(self, queries, k, nprobe, p_tiles, interpret,
-                      scoring="hybrid", tile_q=None):
+                      scoring="hybrid", tile_q=None, flt=None):
         nq = queries.shape[0]
         p_tiles, tq = self._resolve_tiles_knobs(nq, nprobe, p_tiles, tile_q)
         q_pad = -(-nq // tq) * tq
@@ -1354,14 +1398,14 @@ class BandIVFIndex(Index):
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
         )
         v, gids = self._tiles_kernel_dispatch(
-            jnp.asarray(qp), k, p_tiles, tq, scoring, interpret)
+            jnp.asarray(qp), k, p_tiles, tq, scoring, interpret, flt=flt)
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
-        return self._merge_pending_topk(v, gids, queries[:nq], k)
+        return self._merge_pending_topk(v, gids, queries[:nq], k, flt=flt)
 
     def search_device(self, queries, k: int, nprobe: int = 32,
                       p_tiles: int = 0, scoring: str = "hybrid",
                       tile_q: int | None = None,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, where=None):
         """All-device serving path: ``queries`` is (or becomes) a device
         (B, D) f32 array and the returned (scores (B, k) f32, ids (B, k)
         i32) are device arrays — once warm there is NO host↔device
@@ -1375,18 +1419,17 @@ class BandIVFIndex(Index):
         the relay on identical math; scripts/bench_build_budget.py).
 
         Ids are int32 (the arena id-table dtype; x64 is disabled on TPU).
-        Pending adds fold on entry: device-resident int8 arenas fold into
-        the device annex (O(pending), stays in HBM) and the annex is
-        merged here with a device top-k whose id map is cached per annex
-        version; host-resident arenas pay the one-time host compact.
-        Tuned op points (``tune()``) fill unset knobs, as in ``search()``.
+        Pending and annex rows are scanned exactly on device and merged
+        into the arena top-k (device scans cached per pending/annex
+        version) — no fold happens per call; add() folds at its own
+        threshold. Tuned op points (``tune()``) fill unset knobs, as in
+        ``search()``.
         """
         assert self._n, "empty index"
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        if self._pending.size:
-            self._fold_pending()
         queries = jnp.asarray(queries, jnp.float32)
+        flt = self.make_filter(where) if where is not None else None
         nq = queries.shape[0]
         op = self._op_point or {}
         if p_tiles <= 0:
@@ -1398,8 +1441,9 @@ class BandIVFIndex(Index):
         qp = queries if q_pad == nq else jnp.concatenate(
             [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
         v, gids = self._tiles_kernel_dispatch(
-            qp, k, p_tiles, tq, scoring, interpret)
-        return self._merge_annex_topk_device(v[:nq], gids[:nq], queries, k)
+            qp, k, p_tiles, tq, scoring, interpret, flt=flt)
+        return self._merge_pending_topk_device(v[:nq], gids[:nq], queries, k,
+                                               flt=flt)
 
     def _annex_ids_device(self):
         """Device copy of the annex id table, cached per annex version
@@ -1410,23 +1454,46 @@ class BandIVFIndex(Index):
             ax["ids_dev_ver"] = self._annex_ver
         return ax["ids_dev"]
 
-    def _merge_annex_topk_device(self, v, gids, queries, k):
+    def _merge_pending_topk_device(self, v, gids, queries, k, flt=None):
         """Device twin of _merge_pending_topk for the search_device path:
-        annex-only (callers fold pending first), merge by one device
-        top-k. queries must be in the same space the annex rows live in
-        (rotated, for the PQ family)."""
+        exact device scans of the pending buffer and the annex, merged by
+        one device top-k. No fold happens here — add() folds at its own
+        threshold (the PQ family's fold is a host-side compact that must
+        not be promoted into a per-search cost), and the pending scan is
+        exact, so results match search() either way. queries must be in
+        the same space the pending/annex rows live in (rotated, for the
+        PQ family). flt (IdFilter) masks pending/annex candidates on
+        device."""
+        extra_v, extra_i = [], []
+        pdev = self._pending_device()
+        if pdev is not None:
+            rows_dev, _, pids_dev, n_pend = pdev
+            pv, pi = _pending_scan(
+                queries, rows_dev, self._pending_scan_scale(), n_pend,
+                k=min(k, n_pend))
+            extra_v.append(pv)
+            extra_i.append(pids_dev[pi])
         ax = self._annex
-        if ax is None or not ax["n"]:
+        if ax is not None and ax["n"]:
+            av, ap = _annex_scan(
+                queries, ax["rows"], ax["assign"],
+                self._device_state()["centroids"],
+                self._scale, ax["n"], k=min(k, ax["n"]), resid=self._resid8,
+            )
+            extra_v.append(av)
+            extra_i.append(self._annex_ids_device()[ap])
+        if not extra_v:
             return v, gids
-        av, ap = _annex_scan(
-            queries, ax["rows"], ax["assign"], jnp.asarray(self.centroids),
-            self._scale, ax["n"], k=min(k, ax["n"]), resid=self._resid8,
-        )
-        ai = self._annex_ids_device()[ap]
-        all_v = jnp.concatenate([v, av], axis=1)
-        all_i = jnp.concatenate([gids, ai], axis=1)
+        if flt is not None:
+            extra_v = [jnp.where(flt.allowed_dev(ei), ev, -jnp.inf)
+                       for ev, ei in zip(extra_v, extra_i)]
+        all_v = jnp.concatenate([v, *extra_v], axis=1)
+        all_i = jnp.concatenate([gids, *extra_i], axis=1)
         v2, pos = jax.lax.top_k(all_v, k)
-        return v2, jnp.take_along_axis(all_i, pos, axis=1)
+        out_i = jnp.take_along_axis(all_i, pos, axis=1)
+        if flt is not None:
+            out_i = jnp.where(v2 > -jnp.inf, out_i, -1)
+        return v2, out_i
 
     def _auto_p_tiles(self, nq: int, nprobe: int, n_tiles: int,
                       tile_q: int | None = None) -> int:
@@ -2439,6 +2506,15 @@ class BandIVFPQIndex(BandIVFIndex):
     def _pending_scan_scale(self) -> float:
         return self._pending_scale
 
+    def _fold_pending(self) -> None:
+        """The PQ family never folds into the device annex: the base annex
+        carries only int8 rows at the BAND scale, while PQ pending rows
+        ride with their PQ codes (same chunk order) at _pending_scale —
+        an annex fold would orphan _pending_codes (corrupting the next
+        merge_pending concat) and score annex rows under the wrong scale.
+        Fold = the family's own compact merge."""
+        self.merge_pending()
+
     def merge_pending(self) -> None:
         if self._pending.size == 0:
             return
@@ -2734,10 +2810,62 @@ class BandIVFPQIndex(BandIVFIndex):
             kw["refine_factor"] = 102  # ~1024 candidates at k=10
         return kw
 
+    def _resolve_pq_knobs(self, nq, nprobe, p_tiles, tile_q, refine_factor,
+                          n_pools, serve_from):
+        """Shared knob resolution for the PQ host and device search paths
+        (the twin of _resolve_tiles_knobs): tuned op-point fills for
+        sentinel values, small-batch query-tile shrink, span-aware auto
+        coverage."""
+        op = self._op_point or {}
+        if serve_from is None:
+            serve_from = op.get("serve_from", "pq")
+        if refine_factor is None:
+            refine_factor = op.get("refine_factor", 16)
+        if p_tiles <= 0:
+            p_tiles = op.get("p_tiles", 0)
+        if tile_q is None:
+            tile_q = op.get("tile_q")
+        if n_pools <= 0:
+            n_pools = op.get("n_pools", 0)
+        tq = tile_q or self.tile_q
+        if tile_q is None and nq < tq:
+            tq = max(8, _next_pow2(nq))  # small-batch: see _search_tiles
+        if p_tiles <= 0:
+            n_tiles = self._n_pad_rows // self.tile_n
+            p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
+        return serve_from, refine_factor, p_tiles, tq, n_pools
+
+    def _pq_stage_plan(self, k, refine_factor, n_pools, tq, p_tiles):
+        """Candidate-budget derivation shared by search()/search_device():
+        (two_stage, k_cand, n_pools, l_buckets, k_stage1). two_stage is
+        true when a populated refine tier will rescore the kernel's
+        candidate set downstream."""
+        two_stage = (self.refine == "int8"
+                     or (self.refine == "pq2"
+                         and self.codebooks2 is not None
+                         and (self._codes2 is not None
+                              or bool(self._codes2_pending)))
+                     or (self.refine == "host"
+                         and (self._host_rows is not None
+                              or bool(self._host_pending_rows))))
+        k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
+        # scratch+output VMEM ≈ 16·tq·slots bytes; stay under ~4 MB
+        slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
+        if n_pools <= 0:
+            n_pools = max(1, min(-(-k_cand // self.tile_n),
+                                 slot_budget // self.tile_n, p_tiles))
+        l_buckets = self._derive_l_buckets(k_cand, n_pools)
+        k_cand = min(k_cand, n_pools * l_buckets)
+        # for 'pq2'/'host' the kernel stage returns the k_cand-candidate
+        # set (tier-1 scores, refine_scale 0) for the tier-2 rescore below
+        k_stage1 = k if self.refine == "int8" else (k_cand if two_stage
+                                                    else k)
+        return two_stage, k_cand, n_pools, l_buckets, k_stage1
+
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                p_tiles: int = 0, refine_factor: int | None = None,
                n_pools: int = 0, tile_q: int | None = None,
-               serve_from: str | None = None, **_):
+               serve_from: str | None = None, where=None, **_):
         """n_pools=0 (auto): enough independent kernel candidate pools to hold
         k_cand = k·refine_factor slots, within a VMEM slot budget that scales
         inversely with the query tile — deep refine_factor (≥ tile_n/k) only
@@ -2768,71 +2896,37 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.opq_matrix is not None:
             queries = queries @ self.opq_matrix.T
         nq = queries.shape[0]
-        op = self._op_point or {}  # tuned knobs fill sentinel defaults
-        if serve_from is None:
-            serve_from = op.get("serve_from", "pq")
-        if refine_factor is None:
-            refine_factor = op.get("refine_factor", 16)
-        if p_tiles <= 0:
-            p_tiles = op.get("p_tiles", 0)
-        if tile_q is None:
-            tile_q = op.get("tile_q")
-        if n_pools <= 0:
-            n_pools = op.get("n_pools", 0)
+        flt = self.make_filter(where) if where is not None else None
+        serve_from, refine_factor, p_tiles, tq, n_pools = \
+            self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
+                                   refine_factor, n_pools, serve_from)
+        assert flt is None or serve_from == "refine", (
+            "where= masks at score time in the residual tiles kernel "
+            "(serve_from='refine'); the PQ-code kernel path takes "
+            "index.filters.filtered_search")
+        q_pad = -(-nq // tq) * tq
+        qp = queries if q_pad == nq else np.concatenate(
+            [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
         if serve_from == "refine":
             st = self._refine_scan_state()
-            n_tiles = self._n_pad_rows // self.tile_n
-            tq = tile_q or self.tile_q
-            if tile_q is None and nq < tq:
-                tq = max(8, _next_pow2(nq))  # small-batch: see _search_tiles
-            if p_tiles <= 0:
-                p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-            q_pad = -(-nq // tq) * tq
-            qp = queries if q_pad == nq else np.concatenate(
-                [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
             v, gids = _tiles_resid_plan_search(
                 jnp.asarray(qp), st["centroids"], st["refine"],
                 st["refine_local"], st["centroid_tiles"], self._scale,
                 st["ids"], st["tile_window"], st["refine_valid_end"],
+                allowed=flt.mask_device() if flt is not None else None,
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret,
             )
             v = np.asarray(v)[:nq]
             gids = np.asarray(gids)[:nq].astype(np.int64)
-            return self._merge_pending_topk(v, gids, queries[:nq], k)
+            return self._merge_pending_topk(v, gids, queries[:nq], k,
+                                            flt=flt)
         st = self._device_state()
-        n_tiles = self._n_pad_rows // self.tile_n
-        tq = tile_q or self.tile_q
-        if tile_q is None and nq < tq:
-            tq = max(8, _next_pow2(nq))  # small-batch: see _search_tiles
-        if p_tiles <= 0:
-            p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-        q_pad = -(-nq // tq) * tq
-        qp = queries if q_pad == nq else np.concatenate(
-            [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
-        )
-        two_stage = (self.refine == "int8"
-                     or (self.refine == "pq2"
-                         and self.codebooks2 is not None
-                         and (self._codes2 is not None
-                              or bool(self._codes2_pending)))
-                     or (self.refine == "host"
-                         and (self._host_rows is not None
-                              or bool(self._host_pending_rows))))
-        k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
-        # scratch+output VMEM ≈ 16·tq·slots bytes; stay under ~4 MB
-        slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
-        if n_pools <= 0:
-            n_pools = max(1, min(-(-k_cand // self.tile_n),
-                                 slot_budget // self.tile_n, p_tiles))
-        l_buckets = self._derive_l_buckets(k_cand, n_pools)
-        k_cand = min(k_cand, n_pools * l_buckets)
+        two_stage, k_cand, n_pools, l_buckets, k_stage1 = \
+            self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles)
         nv = (self._seg_n_valid() if self._segmented
               else jnp.asarray(self._n, jnp.int32))
         qp_dev = jnp.asarray(qp)
-        # for 'pq2'/'host' the kernel stage returns the k_cand-candidate set
-        # (tier-1 scores, refine_scale 0) for the tier-2 rescore below
-        k_stage1 = k if self.refine == "int8" else (k_cand if two_stage else k)
         v, gids = _pq_tiles_plan_search(
             qp_dev, st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
@@ -2846,7 +2940,7 @@ class BandIVFPQIndex(BandIVFIndex):
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(
                 qp_dev, v, gids, self._codes2_device(fold=False),
-                jnp.asarray(self.codebooks2), k=k)
+                self._codebooks2_device(), k=k)
         elif two_stage and self.refine == "host":
             host_rows, host_assign = self._host_store()
             gids_h = np.asarray(gids)
@@ -2870,11 +2964,21 @@ class BandIVFPQIndex(BandIVFIndex):
             self._opq_dev = jnp.asarray(self.opq_matrix)
         return self._opq_dev
 
+    def _codebooks2_device(self):
+        """Tier-2 codebooks cached on device (identity-keyed — train/load
+        replace the numpy table): the pq2 rescore runs per search call and
+        must not re-ship the table over the host link each time."""
+        if (getattr(self, "_cb2_dev_src", None) is not self.codebooks2
+                or self._cb2_dev_src is None):
+            self._cb2_dev = jnp.asarray(self.codebooks2)
+            self._cb2_dev_src = self.codebooks2
+        return self._cb2_dev
+
     def search_device(self, queries, k: int, nprobe: int = 32,
                       p_tiles: int = 0, refine_factor: int | None = None,
                       n_pools: int = 0, tile_q: int | None = None,
                       serve_from: str | None = None,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, where=None):
         """All-device twin of ``search()`` (semantics documented there and
         on BandIVFIndex.search_device): device queries in, device
         (scores f32, ids i32) out, zero per-call host work. Supports
@@ -2884,8 +2988,6 @@ class BandIVFPQIndex(BandIVFIndex):
         assert self._n, "empty index"
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        if self._pending.size:
-            self._fold_pending()
         queries = jnp.asarray(queries, jnp.float32)
         rot = self._opq_device()
         if rot is not None:
@@ -2897,65 +2999,36 @@ class BandIVFPQIndex(BandIVFIndex):
             queries = jnp.dot(queries, rot.T,
                               precision=jax.lax.Precision.HIGHEST)
         nq = queries.shape[0]
-        op = self._op_point or {}
-        if serve_from is None:
-            serve_from = op.get("serve_from", "pq")
-        if refine_factor is None:
-            refine_factor = op.get("refine_factor", 16)
-        if p_tiles <= 0:
-            p_tiles = op.get("p_tiles", 0)
-        if tile_q is None:
-            tile_q = op.get("tile_q")
-        if n_pools <= 0:
-            n_pools = op.get("n_pools", 0)
+        flt = self.make_filter(where) if where is not None else None
+        serve_from, refine_factor, p_tiles, tq, n_pools = \
+            self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
+                                   refine_factor, n_pools, serve_from)
+        assert flt is None or serve_from == "refine", (
+            "where= masks at score time in the residual tiles kernel "
+            "(serve_from='refine'); the PQ-code kernel path takes "
+            "index.filters.filtered_search")
+        q_pad = -(-nq // tq) * tq
+        qp = queries if q_pad == nq else jnp.concatenate(
+            [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
         if serve_from == "refine":
             st = self._refine_scan_state()
-            n_tiles = self._n_pad_rows // self.tile_n
-            tq = tile_q or self.tile_q
-            if tile_q is None and nq < tq:
-                tq = max(8, _next_pow2(nq))
-            if p_tiles <= 0:
-                p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-            q_pad = -(-nq // tq) * tq
-            qp = queries if q_pad == nq else jnp.concatenate(
-                [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
             v, gids = _tiles_resid_plan_search(
                 qp, st["centroids"], st["refine"], st["refine_local"],
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], st["refine_valid_end"],
+                allowed=flt.mask_device() if flt is not None else None,
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret,
             )
-            return self._merge_annex_topk_device(v[:nq], gids[:nq],
-                                                 queries, k)
-        assert self.refine != "host" or self._host_rows is None, (
-            "refine='host' rescores from host RAM — use search()")
+            return self._merge_pending_topk_device(v[:nq], gids[:nq],
+                                                   queries, k, flt=flt)
         st = self._device_state()
-        n_tiles = self._n_pad_rows // self.tile_n
-        tq = tile_q or self.tile_q
-        if tile_q is None and nq < tq:
-            tq = max(8, _next_pow2(nq))
-        if p_tiles <= 0:
-            p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-        q_pad = -(-nq // tq) * tq
-        qp = queries if q_pad == nq else jnp.concatenate(
-            [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
-        two_stage = (self.refine == "int8"
-                     or (self.refine == "pq2"
-                         and self.codebooks2 is not None
-                         and (self._codes2 is not None
-                              or bool(self._codes2_pending))))
-        k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
-        slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
-        if n_pools <= 0:
-            n_pools = max(1, min(-(-k_cand // self.tile_n),
-                                 slot_budget // self.tile_n, p_tiles))
-        l_buckets = self._derive_l_buckets(k_cand, n_pools)
-        k_cand = min(k_cand, n_pools * l_buckets)
+        two_stage, k_cand, n_pools, l_buckets, k_stage1 = \
+            self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles)
+        assert not (two_stage and self.refine == "host"), (
+            "refine='host' rescores from host RAM — use search()")
         nv = (self._seg_n_valid() if self._segmented
               else jnp.asarray(self._n, jnp.int32))
-        k_stage1 = k if self.refine == "int8" else (k_cand if two_stage
-                                                    else k)
         v, gids = _pq_tiles_plan_search(
             qp, st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"],
@@ -2969,8 +3042,8 @@ class BandIVFPQIndex(BandIVFIndex):
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(
                 qp, v, gids, self._codes2_device(fold=False),
-                jnp.asarray(self.codebooks2), k=k)
-        return self._merge_annex_topk_device(v[:nq], gids[:nq], queries, k)
+                self._codebooks2_device(), k=k)
+        return self._merge_pending_topk_device(v[:nq], gids[:nq], queries, k)
 
     # -- persistence ------------------------------------------------------
     def _state_arrays(self):

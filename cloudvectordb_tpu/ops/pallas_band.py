@@ -364,7 +364,7 @@ def band_topk_pallas(
 
 def _tiles_resid_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile ids
-    *refs, l_buckets, w_lists, int8_q,
+    *refs, l_buckets, w_lists, int8_q, masked=False,
 ):
     """Residual-int8 tiles scan: db rows hold int8 RESIDUALS (row − its list
     centroid). Residual norms are a fraction of row norms, so the same 8
@@ -391,8 +391,15 @@ def _tiles_resid_kernel(
     have not yet filled — a zero residual reconstructs to the list
     centroid, a plausible high-IP phantom if left unmasked.
     """
-    if int8_q:
+    mask_ref = None
+    if int8_q and masked:
+        (q_ref, q8_ref, db_ref, local_ref, mask_ref, ct_ref, scale_ref,
+         ve_ref, out_v_ref, out_i_ref, val_sc, idx_sc) = refs
+    elif int8_q:
         (q_ref, q8_ref, db_ref, local_ref, ct_ref, scale_ref, ve_ref,
+         out_v_ref, out_i_ref, val_sc, idx_sc) = refs
+    elif masked:
+        (q_ref, db_ref, local_ref, mask_ref, ct_ref, scale_ref, ve_ref,
          out_v_ref, out_i_ref, val_sc, idx_sc) = refs
     else:
         (q_ref, db_ref, local_ref, ct_ref, scale_ref, ve_ref,
@@ -429,6 +436,14 @@ def _tiles_resid_kernel(
     for wi in range(w_lists):
         c_scores = c_scores + qc[:, wi : wi + 1] * (local[None, :] == wi)
     scores = c_scores + scale_ref[:] * r_scores
+    if masked:
+        # filtered search: per-row allow bit in arena order (tile_n int8
+        # per tile — 0.13% of the payload's HBM traffic); disallowed rows
+        # can never enter a candidate slot. Widen to i32 for the compare:
+        # v5e Mosaic rejects vector cmpi on i8 ("Target does not support
+        # this comparison").
+        allow = mask_ref[0, :].astype(jnp.int32) > 0
+        scores = jnp.where(allow[None, :], scores, NEG_INF)
 
     tile_sz = scores.shape[1]
     # per-row valid end: ve of the row's local list (int32-exact select;
@@ -491,6 +506,8 @@ def tiles_topk_resid_pallas(
     l_buckets: int = 0,
     interpret: bool = False,
     int8_q: bool = True,  # residual matmul on the int8 MXU path (2× rate)
+    row_mask=None,   # (1, N_pad) int8 arena-order allow bits (filtered
+                     # search) — None compiles the unmasked kernel
 ):
     """Top-k over residual-int8 arena tiles (see _tiles_resid_kernel)."""
     n, d = db_resid.shape
@@ -535,6 +552,12 @@ def tiles_topk_resid_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_n), lambda i, j, tt: (0, tt[i, j]),
                      memory_space=pltpu.VMEM),
+    ]
+    if row_mask is not None:  # allow bits ride the local_ids layout
+        in_specs.append(pl.BlockSpec((1, tile_n), lambda i, j, tt:
+                                     (0, tt[i, j]),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [
         pl.BlockSpec((1, w, d), lambda i, j, tt: (tt[i, j], 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_q, 1), lambda i, j, tt: (i, 0),
@@ -560,12 +583,16 @@ def tiles_topk_resid_pallas(
         ],
     )
     kernel = functools.partial(
-        _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w, int8_q=int8_q
+        _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w, int8_q=int8_q,
+        masked=row_mask is not None,
     )
     args = [tile_table.astype(jnp.int32), qf.astype(jnp.bfloat16)]
     if int8_q:
         args.append(q8)
-    args += [db_resid, local_ids, centroid_tiles.astype(jnp.bfloat16),
+    args += [db_resid, local_ids]
+    if row_mask is not None:
+        args.append(row_mask.astype(jnp.int8))
+    args += [centroid_tiles.astype(jnp.bfloat16),
              row_scale,
              valid_end.astype(jnp.int32).reshape(valid_end.shape[0], 1, w)]
     out_v, out_i = pl.pallas_call(

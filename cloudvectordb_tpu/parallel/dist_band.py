@@ -31,7 +31,7 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 )
 def _sharded_band_search(
     q, centroids, payload, ids, tile_window, n_valid, db_scale,
-    local_ids=None, centroid_tiles=None, valid_end=None,
+    local_ids=None, centroid_tiles=None, valid_end=None, allowed=None,
     *, k, p_tiles, tile_n, tile_q, interpret, mesh, int8_mode=True,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
@@ -61,23 +61,34 @@ def _sharded_band_search(
         return best_v, jnp.take_along_axis(cand_i, pos, axis=1)
 
     if residual:
-        def local(qb, c, pay, ids_l, tw, loc, ct, ve):
+        # filtered search: the replicated allow bitmap (global-id keyed)
+        # reaches every shard, which gathers it through its own global-id
+        # table into arena order (index/filters.py)
+        def local(qb, c, pay, ids_l, tw, loc, ct, ve, *alw):
             v, gid = _tiles_resid_plan_search(
                 qb, c, pay, loc[0], ct[0], db_scale, ids_l[0], tw[0], ve[0],
+                allowed=alw[0] if alw else None,
                 k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
                 interpret=interpret,
                 int8_q=(int8_mode != "precise"),  # scoring='precise' plumb
             )
             return merge(v, gid)
 
+        specs = [qs, P(), P("shard"), P("shard"), P("shard"),
+                 P("shard"), P("shard"), P("shard")]
+        args = [q, centroids, payload, ids, tile_window,
+                local_ids, centroid_tiles, valid_end]
+        if allowed is not None:
+            specs.append(P())
+            args.append(allowed)
         return shard_map(
             local, mesh=mesh,
-            in_specs=(qs, P(), P("shard"), P("shard"), P("shard"),
-                      P("shard"), P("shard"), P("shard")),
+            in_specs=tuple(specs),
             out_specs=(qs, qs),
             check_vma=False,
-        )(q, centroids, payload, ids, tile_window,
-          local_ids, centroid_tiles, valid_end)
+        )(*args)
+    assert allowed is None, (
+        "filtered sharded search needs residual-int8 shards")
 
     def local(qb, c, pay, ids_l, tw, nv):
         v, gid = _tiles_plan_search(
@@ -359,11 +370,21 @@ class ShardedBandIndex(TunableMixin):
     def _tune_reference_kw(self, nq: int) -> dict:
         return {"p_tiles": int(self._device_state()["n_tiles"])}
 
+    def make_filter(self, where):
+        """IdFilter over the GLOBAL id space (see BandIVFIndex.make_filter);
+        one replicated bitmap serves every shard."""
+        from cloudvectordb_tpu.index.filters import IdFilter
+
+        bound = max((sh._gid_bound() for sh in self._shards), default=0)
+        return IdFilter.coerce(where, bound)
+
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
-               interpret: bool | None = None, scoring: str = "hybrid"):
+               interpret: bool | None = None, scoring: str = "hybrid",
+               where=None):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
+        flt = self.make_filter(where) if where is not None else None
         nq = queries.shape[0]
         if p_tiles <= 0:  # tuned op point fills the sentinel
             p_tiles = (self._op_point or {}).get("p_tiles", 0)
@@ -396,18 +417,35 @@ class ShardedBandIndex(TunableMixin):
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
         from cloudvectordb_tpu.parallel.mesh import fetch_local, stage_queries
 
-        qg = stage_queries(qp, self.mesh, statics=(p_tiles, k))
+        # every knob that selects the compiled program is part of the
+        # cross-process contract (assert_equal_across_processes takes
+        # ints — scoring rides as its int8_mode code, the filter as a CRC
+        # of its bitmap: a content mismatch would corrupt the merged
+        # top-k, not deadlock)
+        import zlib
+
+        scoring_code = {"precise": 0, "int8": 1}.get(scoring, 2)
+        flt_crc = (zlib.crc32(flt.mask_np.tobytes())
+                   if flt is not None else 0)
+        qg = stage_queries(qp, self.mesh,
+                           statics=(p_tiles, k, scoring_code, int(interpret),
+                                    flt_crc))
         v, i = _sharded_band_search(
             qg, st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
             st.get("local"), st.get("centroid_tiles"), st.get("valid_end"),
+            allowed=(flt.staged_for_mesh(self.mesh)
+                     if flt is not None else None),
             k=k, p_tiles=p_tiles, tile_n=sh0.tile_n, tile_q=sh0.tile_q,
             interpret=interpret, mesh=self.mesh,
             int8_mode=("precise" if scoring == "precise"
                        else True if scoring == "int8" else "hybrid"),
         )
-        return (fetch_local(v)[:nq],
-                fetch_local(i)[:nq].astype(np.int64))
+        out_v = fetch_local(v)[:nq]
+        out_i = fetch_local(i)[:nq].astype(np.int64)
+        if flt is not None:  # unfilled slots keep the (-inf, -1) convention
+            out_i = np.where(out_v > -np.inf, out_i, -1)
+        return out_v, out_i
 
     def add(self, vectors) -> np.ndarray:
         """Append to the smallest shard (keeps shards balanced) under

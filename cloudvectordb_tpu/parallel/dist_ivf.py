@@ -449,6 +449,9 @@ class ShardedIVFPQIndex(TunableMixin):
             # The TOTAL count must match across hosts BEFORE the batch
             # loop: a host with more chunks would enter the collective
             # alone and deadlock it.
+            # k_cand subsumes refine_factor (the only way it reaches the
+            # compiled program); do_refine/metric derive from index state,
+            # which the mutation contract keeps identical across hosts
             assert_equal_across_processes(
                 (queries.shape[0], k, k_cand, nprobe, batch),
                 "sharded IVF-PQ search batch")

@@ -102,6 +102,40 @@ def test_sharded_band_residual_mode():
     assert int(i_res.max()) < 4096 and int(i_res.min()) >= 0
 
 
+def test_sharded_band_filtered_search():
+    """Filtered sharded search (index/filters.py): the replicated allow
+    bitmap reaches every shard, no disallowed id survives the merge, and
+    results match the single-index filtered search at full coverage."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
+
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=196, normalize=True)
+    q = queries_from(db, 32, seed=197, normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    kw = dict(dtype="int8", kmeans_iters=6, tile_n=128, tile_q=16, seed=5)
+    sharded = ShardedBandIndex.build(db, nlist=16, mesh=mesh, residual=True,
+                                     **kw)
+    single = BandIVFIndex.build(db, nlist=16, residual=True, **kw)
+    rng = np.random.default_rng(7)
+    mask = rng.random(4096) < 0.4
+    st = sharded._device_state()
+    v_sh, i_sh = sharded.search(q, 10, p_tiles=st["n_tiles"], where=mask)
+    assert mask[i_sh[i_sh >= 0]].all(), "disallowed id crossed the merge"
+    _, i_si = single.search(
+        q, 10, interpret=True, strategy="tiles",
+        p_tiles=single._payload.shape[0] // single.tile_n, where=mask)
+    _, gt_all = brute_force_topk(db[mask], q, 10, metric="ip")
+    gids = np.flatnonzero(mask)
+    gt = gids[gt_all]  # oracle restricted to allowed rows
+    r_sh, r_si = recall_at_k(i_sh, gt), recall_at_k(i_si, gt)
+    assert r_sh >= r_si - 0.01, (r_sh, r_si)
+    assert r_sh >= 0.85, r_sh
+    # a low-selectivity filter pads with the (-inf, -1) convention
+    few = np.array([5, 77, 1234])
+    v3, i3 = sharded.search(q, 10, p_tiles=st["n_tiles"], where=few)
+    assert set(i3[i3 >= 0].ravel()) <= set(few.tolist())
+    assert (i3[:, 3:] == -1).all() and np.isneginf(v3[:, 3:]).all()
+
+
 def test_sharded_band_residual_streaming():
     def chunks():
         db = clustered_vectors(4096, 64, n_clusters=32, seed=188,

@@ -1012,14 +1012,17 @@ def test_search_device_parity_and_annex(data):
     np.testing.assert_allclose(np.asarray(v_d), v_h, rtol=1e-5, atol=1e-5)
     assert (np.asarray(f_d).astype(np.int64) == f_h).all()
 
-    # adds cross the fold threshold → annex path; parity must hold
+    # adds cross add()'s fold threshold → annex rows; the remainder stays
+    # in pending (search_device scans it exactly on device — it must NOT
+    # fold per call, which would promote the PQ family's host compact
+    # into a per-search cost). Parity must hold over arena+annex+pending.
     extra = db[3000:4000]
     for s in range(0, 1000, 250):
         idx.add(extra[s : s + 250])
     v_d2, f_d2 = idx.search_device(jnp.asarray(q), 10, interpret=True,
                                    p_tiles=p_all)
     assert idx._annex is not None and idx._annex["n"] > 0
-    assert idx._pending.size == 0  # search_device folded on entry
+    assert idx._pending.size > 0  # remainder scanned, not folded
     v_h2, f_h2 = idx.search(q, 10, interpret=True, p_tiles=p_all)
     np.testing.assert_allclose(np.asarray(v_d2), v_h2, rtol=1e-5, atol=1e-5)
     assert (np.asarray(f_d2).astype(np.int64) == f_h2).all()
@@ -1058,3 +1061,63 @@ def test_search_device_parity_pq_family(data):
         np.testing.assert_allclose(np.asarray(v_d), v_h, rtol=1e-4,
                                    atol=1e-4)
         assert (np.asarray(f_d).astype(np.int64) == f_h).all(), kw
+
+
+def test_search_device_pq_pending_no_annex_fold(data):
+    """r3 review (high): a device-streaming-built PQ index used to route
+    search_device's fold-on-entry through the base-class ANNEX fold —
+    orphaning _pending_codes (the next merge_pending concatenated stale
+    codes against a shorter drain → misaligned arena), dropping the
+    annexed rows from save (PQ merge_pending never folded the annex), and
+    scoring annex rows at the wrong scale. search_device now scans pending
+    exactly on device without folding; the PQ fold is always the family's
+    own compact merge."""
+    import jax
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 3000, 1000)]
+    idx = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 3, nlist=16, m=8, nbits=4, kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16, train_sample=1000)
+    assert isinstance(idx._payload, jax.Array)  # the F1 trigger state
+    idx.add(db[3000:3500])  # below the merge threshold
+    assert idx._pending.size == 500
+    p_all = idx._n_pad_rows // idx.tile_n
+    v_d, f_d = idx.search_device(jnp.asarray(q), 10, interpret=True,
+                                 p_tiles=p_all)
+    # no annex fold happened: pending intact and 1:1 with its codes
+    assert idx._annex is None or idx._annex["n"] == 0
+    assert idx._pending.size == 500
+    assert sum(c.shape[0] for c in idx._pending_codes) == 500
+    v_h, f_h = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    np.testing.assert_allclose(np.asarray(v_d), v_h, rtol=1e-4, atol=1e-4)
+    assert (np.asarray(f_d).astype(np.int64) == f_h).all()
+    # the compact merge stays consistent (codes aligned with the drain)
+    idx.merge_pending()
+    assert idx.ntotal == 3500 and idx._pending.size == 0
+    assert not idx._pending_codes
+    _, f2 = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    assert recall_at_k(f2, gt) >= recall_at_k(f_h, gt) - 0.05
+
+
+def test_search_device_host_refine_guard(data):
+    """r3 review: refine='host' rescores from host RAM, so search_device
+    must refuse — including when the store is PENDING-ONLY (the normal
+    state after build_streaming, where _host_rows is None); the old guard
+    passed that state and silently served unrefined tier-1 scores."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, _ = data
+    chunks = [db[s : s + 1000] for s in range(0, 4000, 1000)]
+    idx = BandIVFPQIndex.build_streaming(
+        iter(chunks), nlist=16, m=8, nbits=4, refine="host", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16)
+    assert idx._host_rows is None and idx._host_pending_rows
+    with _pytest.raises(AssertionError, match="host"):
+        idx.search_device(jnp.asarray(q), 10, interpret=True)

@@ -1,0 +1,181 @@
+"""Filtered search (index/filters.py): exact score-time masking on the
+residual-int8 kernel path, pending/annex filtering, device twin parity,
+and the oversample fallback for non-masking families."""
+
+import numpy as np
+import pytest
+
+from cloudvectordb_tpu.data.synthetic import clustered_vectors, queries_from
+from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
+from cloudvectordb_tpu.index.filters import IdFilter, filtered_search
+from cloudvectordb_tpu.index.ivf_band import BandIVFIndex
+
+
+@pytest.fixture(scope="module")
+def data():
+    db = clustered_vectors(4000, 64, n_clusters=32, seed=150, normalize=True)
+    q = queries_from(db, 48, seed=151, normalize=True)
+    return db, q
+
+
+@pytest.fixture(scope="module")
+def resid_index(data):
+    db, _ = data
+    return BandIVFIndex.build(db, nlist=16, dtype="int8", residual=True,
+                              kmeans_iters=6, tile_n=256, tile_q=16)
+
+
+def _oracle_filtered(db, q, k, allowed_mask):
+    """Exact top-k restricted to allowed rows (numpy)."""
+    s = q @ db.T
+    s = np.where(allowed_mask[None, :], s, -np.inf)
+    return np.argsort(-s, axis=1, kind="stable")[:, :k]
+
+
+def test_idfilter_coerce_forms():
+    mask = np.zeros(100, bool)
+    mask[[3, 7, 50]] = True
+    f1 = IdFilter.coerce(mask, 100)
+    f2 = IdFilter.coerce(np.array([3, 7, 50]), 100)
+    f3 = IdFilter.coerce(f1, 100)
+    assert f3 is f1
+    g = np.array([3, 7, 50, 4, -1, 10_000])
+    exp = np.array([True, True, True, False, False, False])
+    assert (f1.allowed_np(g) == exp).all()
+    assert (f2.allowed_np(g) == exp).all()
+    assert f1.n_allowed == f2.n_allowed == 3
+    # device twin agrees
+    import jax.numpy as jnp
+
+    assert (np.asarray(f1.allowed_dev(jnp.asarray(g))) == exp).all()
+
+
+def test_filtered_band_resid_exact_vs_oracle(data, resid_index):
+    """Full coverage + 50% filter: results match the allowed-only oracle
+    at the arena's quantization ceiling, and NO disallowed id appears."""
+    db, q = data
+    idx = resid_index
+    rng = np.random.default_rng(0)
+    mask = rng.random(db.shape[0]) < 0.5
+    gt_f = _oracle_filtered(db, q, 10, mask)
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    v, f = idx.search(q, 10, interpret=True, p_tiles=p_all, where=mask)
+    assert mask[f[f >= 0]].all(), "disallowed id returned"
+    assert recall_at_k(f, gt_f) >= 0.9
+    # unfiltered results on the same index differ (the filter did bite)
+    _, f_un = idx.search(q, 10, interpret=True, p_tiles=p_all)
+    assert not (f_un == f).all()
+
+
+def test_filtered_low_selectivity_exact(data, resid_index):
+    """5 allowed ids, full coverage: exactly those ids rank (the top-5 of
+    the restricted oracle), remaining slots pad with (-inf, -1)."""
+    db, q = data
+    idx = resid_index
+    allowed = np.array([11, 222, 1333, 2444, 3555])
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    v, f = idx.search(q, 10, interpret=True, p_tiles=p_all, where=allowed)
+    assert set(f[f >= 0].ravel()) <= set(allowed.tolist())
+    assert (f[:, 5:] == -1).all() and np.isneginf(v[:, 5:]).all()
+    # each query's top-1 equals the restricted oracle's top-1 (scores are
+    # residual-int8 quantized; top-1 among 5 well-separated rows is stable)
+    mask = np.zeros(db.shape[0], bool)
+    mask[allowed] = True
+    gt_f = _oracle_filtered(db, q, 5, mask)
+    assert (f[:, 0] == gt_f[:, 0]).mean() >= 0.9
+
+
+def test_filtered_pending_and_annex(data):
+    """The filter must bite pending/annex rows too: add rows (some landing
+    in the annex via the fold threshold, some staying pending), then
+    filter exactly the added ids out — none may return, while an
+    allow-only-added filter returns only them."""
+    db, q = data
+    idx = BandIVFIndex.build(db[:3000], nlist=16, dtype="int8",
+                             residual=True, kmeans_iters=6, tile_n=128,
+                             tile_q=16)
+    for s in range(0, 1000, 250):
+        idx.add(db[3000 + s : 3250 + s])
+    assert idx._pending.size > 0 or (idx._annex and idx._annex["n"])
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    base_ids = np.arange(3000)
+    v, f = idx.search(db[3000:3050], 5, interpret=True, p_tiles=p_all,
+                      where=base_ids)
+    assert (f[f >= 0] < 3000).all(), "added (filtered-out) row returned"
+    # the inverse filter returns ONLY added rows — each query is an added
+    # row itself, so its top-1 must be its own id
+    v2, f2 = idx.search(db[3000:3050], 5, interpret=True, p_tiles=p_all,
+                        where=np.arange(3000, 4000))
+    assert (f2[f2 >= 0] >= 3000).all()
+    assert (f2[:, 0] == np.arange(3000, 3050)).mean() >= 0.95
+
+
+def test_filtered_search_device_parity(data, resid_index):
+    """search_device(where=) matches search(where=) bit-for-bit (same
+    kernels, same filter path on device)."""
+    import jax.numpy as jnp
+
+    db, q = data
+    idx = resid_index
+    rng = np.random.default_rng(1)
+    mask = rng.random(db.shape[0]) < 0.3
+    flt = idx.make_filter(mask)  # staged once, reused across both paths
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    v_h, f_h = idx.search(q, 10, interpret=True, p_tiles=p_all, where=flt)
+    v_d, f_d = idx.search_device(jnp.asarray(q), 10, interpret=True,
+                                 p_tiles=p_all, where=flt)
+    np.testing.assert_allclose(np.asarray(v_d), v_h, rtol=1e-5, atol=1e-5)
+    assert (np.asarray(f_d).astype(np.int64) == f_h).all()
+
+
+def test_filtered_after_remove(data):
+    """remove() + filter compose: a filter naming removed ids simply never
+    matches (freed ids are never reused), and filtering live ids after a
+    remove stays exact."""
+    db, q = data
+    idx = BandIVFIndex.build(db, nlist=16, dtype="int8", residual=True,
+                             kmeans_iters=6, tile_n=256, tile_q=16)
+    idx.remove(np.arange(0, 1000))
+    p_all = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    v, f = idx.search(q, 10, interpret=True, p_tiles=p_all,
+                      where=np.arange(0, 2000))  # first half removed
+    got = f[f >= 0]
+    assert got.size and (got >= 1000).all() and (got < 2000).all()
+
+
+def test_filtered_search_fallback_flat(data):
+    """Oversample fallback for families without kernel masking: exact on
+    the flat index whenever enough allowed rows land in the oversampled
+    set (here: full fetch)."""
+    from cloudvectordb_tpu.index.flat import FlatIndex
+
+    db, q = data
+    idx = FlatIndex.build(db, dtype="float32")
+    rng = np.random.default_rng(2)
+    mask = rng.random(db.shape[0]) < 0.4
+    gt_f = _oracle_filtered(db, q, 10, mask)
+    v, f = filtered_search(idx, q, 10, where=mask, oversample=64)
+    assert mask[f[f >= 0]].all()
+    assert recall_at_k(f, gt_f) >= 0.97
+
+
+def test_filter_pq_family_refine_scan(data):
+    """BandIVFPQIndex: where= rides the serve_from='refine' direct scan;
+    the PQ-code kernel path raises (use the fallback there)."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q = data
+    idx = BandIVFPQIndex.build(db, nlist=16, m=8, nbits=6, refine="int8",
+                               kmeans_iters=5, pq_train_iters=5,
+                               tile_n=256, tile_q=16)
+    rng = np.random.default_rng(3)
+    mask = rng.random(db.shape[0]) < 0.5
+    gt_f = _oracle_filtered(db, q, 10, mask)
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    v, f = idx.search(q, 10, interpret=True, p_tiles=n_tiles,
+                      serve_from="refine", where=mask)
+    assert mask[f[f >= 0]].all()
+    assert recall_at_k(f, gt_f) >= 0.9
+    with pytest.raises(AssertionError, match="filtered_search"):
+        idx.search(q, 10, interpret=True, p_tiles=n_tiles,
+                   serve_from="pq", where=mask)
