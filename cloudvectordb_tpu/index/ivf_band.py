@@ -27,7 +27,8 @@ from cloudvectordb_tpu.ops.pallas_band import (
 from cloudvectordb_tpu.ops.topk import tiled_topk
 
 
-def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int):
+def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int,
+                tile_live=None):
     """Shared device-side planning prologue for every tiles search.
 
     Sorts queries by their top-1 coarse centroid (L2 ranking — the
@@ -36,6 +37,12 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int):
     the gather shrinks from (B, n_tiles, W) — 4 GB at B=4096/122k tiles —
     to (n_qt, n_tiles, W)). Returns (q_s, order, dots, tile_table) where
     dots is the raw q·centroids IP matrix in CALLER query order.
+
+    tile_live (n_tiles,) bool (filtered search): tiles holding ZERO
+    allowed rows score -inf so the p_tiles budget goes only to tiles the
+    filter can hit — the selectivity-aware lever for CORRELATED filters
+    (a tenant clustered into few lists), where selectivity-blind planning
+    would spend most probes on dead tiles.
     """
     n_qt = q.shape[0] // tile_q
     dots = jax.lax.dot_general(
@@ -53,6 +60,8 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int):
     # W→128 inflates the temp ~16× — 2.0 GB at 61k tiles/64 groups, which
     # OOMs config #5 serving next to 13.5 GB of resident arenas.
     ts = jnp.max(g_max[:, tile_window.T], axis=1)  # (n_qt, n_tiles)
+    if tile_live is not None:
+        ts = jnp.where(tile_live[None, :], ts, -jnp.inf)
     _, tile_table = jax.lax.top_k(ts, p_tiles)
     return q_s, order, dots, tile_table
 
@@ -67,7 +76,7 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int):
 )
 def _pq_tiles_plan_search(
     q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
-    centroid_tiles=None, n_valid=None, local_rm=None,
+    centroid_tiles=None, n_valid=None, local_rm=None, row_mask=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
     row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
     refine_residual: bool = False,
@@ -93,15 +102,22 @@ def _pq_tiles_plan_search(
 
     NEG_INF = float("-inf")
     b = q.shape[0]
+    # row_mask: kernel-ready arena-order allow bits — the index layer's
+    # CACHED form (_arena_row_mask; per-segment tuple on segmented arenas)
+    tile_live = None
+    if row_mask is not None:  # selectivity-aware planning (_plan_tiles doc)
+        flat = (jnp.concatenate([p[0][: -tile_n] for p in row_mask])
+                if isinstance(row_mask, (list, tuple)) else row_mask[0])
+        tile_live = flat.reshape(-1, tile_n).max(axis=1) > 0
     q_s, order, dots, tile_table = _plan_tiles(
-        q, centroids, tile_window, tile_q, p_tiles)
+        q, centroids, tile_window, tile_q, p_tiles, tile_live=tile_live)
 
     v, rows = pq_tiles_topk_pallas(
         codes_cm, codebooks, q_s, tile_table, k_cand,
         centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
         row_major=row_major, local_ids=local_rm, n_pools=n_pools,
-        l_buckets=l_buckets,
+        l_buckets=l_buckets, row_mask=row_mask,
     )
     if refine_scale > 0:
         # probed lists can hold < k_cand real rows: unfilled merge slots sit
@@ -155,6 +171,8 @@ def _pq_tiles_plan_search(
         v = v[:, :k]
         rows = rows[:, :k]
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
+    if row_mask is not None:  # unfilled slots keep the (-inf, -1) convention
+        gids = jnp.where(v > NEG_INF, gids, -1)
     inv = jnp.argsort(order)
     return v[inv], gids[inv]
 
@@ -197,6 +215,26 @@ def _tiles_plan_search(
     return v[inv], gids[inv]
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _arena_mask_from_ids(ids, allowed, n_pad=None):
+    """(1, n_pad) int8 arena-order allow bits: allow bitmap (by GLOBAL id,
+    index/filters.py) gathered through the live id table. A random-access
+    (N,) gather — ~25 ms at 12.5M rows, measured — so the index layer
+    CACHES the result per (filter, id-table object): every mutation path
+    rebinds the device ids array (donated scatters return new objects),
+    making object identity a sound invalidation key.
+
+    n_pad: the PADDED arena row count (a tile_n multiple). The id table
+    may be shorter than the arena (compact builds don't pad it); the mask
+    MUST cover every arena row or the tail tile's kernel block reads out
+    of bounds. Pad rows are 0 (disallowed) — they are pad by definition."""
+    ok = allowed[jnp.clip(ids, 0, allowed.shape[0] - 1)]
+    ok = jnp.where(ids >= 0, ok, 0).astype(jnp.int8)
+    if n_pad is not None and n_pad != ok.shape[0]:
+        ok = jnp.zeros((n_pad,), jnp.int8).at[: ok.shape[0]].set(ok)
+    return ok[None, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret",
@@ -204,7 +242,7 @@ def _tiles_plan_search(
 )
 def _tiles_resid_plan_search(
     q, centroids, payload, local_ids, centroid_tiles, resid_scale, ids,
-    tile_window, valid_end, allowed=None,
+    tile_window, valid_end, allowed=None, row_mask=None,
     *, k, p_tiles, tile_n, tile_q, interpret, int8_q: bool = True,
 ):
     """One-dispatch residual-int8 search: identical planning to
@@ -213,26 +251,32 @@ def _tiles_resid_plan_search(
     valid_end (n_tiles, W) i32 masks tail padding and slack holes
     per tile-list (ops/pallas_band.py::_tiles_resid_kernel doc).
 
-    allowed (n_gid_pad,) int8 allow bits by GLOBAL id (index/filters.py):
-    gathered through the live id table into arena order here — one (N,)
-    int8 gather, always coherent with in-place adds/removes — and masked
-    at score time in the kernel. Filtered unfilled slots return (-inf, -1)."""
+    Filtered search: pass row_mask ((1, N_pad) arena-order allow bits —
+    the index layer's cached form, _arena_mask_from_ids) or allowed
+    (gid-keyed bitmap, gathered per call — the sharded path, where each
+    shard owns a different id table). Filtered unfilled slots return
+    (-inf, -1)."""
     from cloudvectordb_tpu.ops.pallas_band import tiles_topk_resid_pallas
 
+    if row_mask is None and allowed is not None:
+        row_mask = _arena_mask_from_ids(ids, allowed,
+                                        n_pad=payload.shape[0])
+    tile_live = None
+    if row_mask is not None:
+        # selectivity-aware planning: tiles with zero allowed rows drop
+        # out of the p_tiles budget (_plan_tiles doc) — one (N,) reduce,
+        # fused into the planning dispatch
+        tile_live = row_mask[0].reshape(-1, tile_n).max(axis=1) > 0
     q_s, order, _, tile_table = _plan_tiles(
-        q, centroids, tile_window, tile_q, p_tiles)
+        q, centroids, tile_window, tile_q, p_tiles, tile_live=tile_live)
 
-    row_mask = None
-    if allowed is not None:
-        ok = allowed[jnp.clip(ids, 0, allowed.shape[0] - 1)]
-        row_mask = jnp.where(ids >= 0, ok, 0).astype(jnp.int8)[None, :]
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
         valid_end, tile_n=tile_n, tile_q=tile_q, interpret=interpret,
         int8_q=int8_q, row_mask=row_mask,
     )
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
-    if allowed is not None:
+    if row_mask is not None:
         gids = jnp.where(v > -jnp.inf, gids, -1)
     inv = jnp.argsort(order)
     return v[inv], gids[inv]
@@ -1356,6 +1400,37 @@ class BandIVFIndex(Index):
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
         return p_tiles, tq
 
+    def _arena_row_mask(self, flt):
+        """Kernel-ready arena-order allow mask for `flt`, cached per
+        (filter, device id-table object) — the (N,) gid gather costs
+        ~25 ms at 12.5M rows (measured: 101k → 26k qps when run per
+        call), so it runs once per filter per arena state. Mutation
+        paths rebind the device ids array (donated scatters and
+        re-staging return new objects), so object identity is a sound
+        invalidation key; entries hold refs so ids stay unique."""
+        st = self._device_state()
+        ids_obj = st["ids"]
+        cache = getattr(self, "_flt_cache", None)
+        if cache is None:
+            cache = self._flt_cache = {}
+        key = (id(flt), id(ids_obj))
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) > 32:  # bound multi-tenant rotation
+                cache.clear()
+            rm = self._split_row_mask(_arena_mask_from_ids(
+                ids_obj, flt.mask_device(), n_pad=self._mask_pad_rows()))
+            cache[key] = hit = (flt, ids_obj, rm)
+        return hit[2]
+
+    def _mask_pad_rows(self) -> int:
+        """PADDED arena row count the filter mask must cover (see
+        _arena_mask_from_ids)."""
+        return int(self._payload.shape[0])
+
+    def _split_row_mask(self, rm):
+        return rm  # PQ family re-slices for segmented arenas
+
     def _tiles_kernel_dispatch(self, qp, k, p_tiles, tq, scoring, interpret,
                                flt=None):
         """One device dispatch of the tiles search over the arena (pending/
@@ -1368,7 +1443,8 @@ class BandIVFIndex(Index):
                 qp, st["centroids"], st["payload"], st["local"],
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], st["valid_end"],
-                allowed=flt.mask_device() if flt is not None else None,
+                row_mask=self._arena_row_mask(flt) if flt is not None
+                else None,
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret, int8_q=(scoring != "precise"),
             )
@@ -2744,6 +2820,25 @@ class BandIVFPQIndex(BandIVFIndex):
             )
         return self._dev
 
+    def _mask_pad_rows(self) -> int:
+        return self._n_pad_rows  # _payload is the code matrix, not rows
+
+    def _split_row_mask(self, rm):
+        """Segmented arenas take the filter mask as per-segment slices,
+        each with the trailing pad tile zeroed (disallowed); the cached
+        form is kernel-ready (see ops/pallas_pq.py segment dispatch)."""
+        if not self._segmented:
+            return rm
+        ok = rm[0]
+        parts, t_off = [], 0
+        for seg in self._device_state()["codes"]:
+            seg_tiles = seg.shape[0] // self.tile_n - 1  # minus pad tile
+            sl = ok[t_off * self.tile_n : (t_off + seg_tiles) * self.tile_n]
+            parts.append(jnp.concatenate(
+                [sl, jnp.zeros((self.tile_n,), jnp.int8)])[None, :])
+            t_off += seg_tiles
+        return tuple(parts)
+
     def _refine_scan_state(self):
         """Device aux for serving DIRECTLY from the residual-int8 refine
         arena (serve_from='refine'): the refine rows share the code arena's
@@ -2900,10 +2995,6 @@ class BandIVFPQIndex(BandIVFIndex):
         serve_from, refine_factor, p_tiles, tq, n_pools = \
             self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
                                    refine_factor, n_pools, serve_from)
-        assert flt is None or serve_from == "refine", (
-            "where= masks at score time in the residual tiles kernel "
-            "(serve_from='refine'); the PQ-code kernel path takes "
-            "index.filters.filtered_search")
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
@@ -2913,7 +3004,8 @@ class BandIVFPQIndex(BandIVFIndex):
                 jnp.asarray(qp), st["centroids"], st["refine"],
                 st["refine_local"], st["centroid_tiles"], self._scale,
                 st["ids"], st["tile_window"], st["refine_valid_end"],
-                allowed=flt.mask_device() if flt is not None else None,
+                row_mask=(self._arena_row_mask(flt) if flt is not None
+                          else None),
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret,
             )
@@ -2931,6 +3023,8 @@ class BandIVFPQIndex(BandIVFIndex):
             qp_dev, st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"], st["centroid_tiles"],
             nv, st.get("local_rm"),
+            row_mask=(self._arena_row_mask(flt) if flt is not None
+                      else None),
             k=k_stage1, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=tq, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,
@@ -3003,10 +3097,6 @@ class BandIVFPQIndex(BandIVFIndex):
         serve_from, refine_factor, p_tiles, tq, n_pools = \
             self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
                                    refine_factor, n_pools, serve_from)
-        assert flt is None or serve_from == "refine", (
-            "where= masks at score time in the residual tiles kernel "
-            "(serve_from='refine'); the PQ-code kernel path takes "
-            "index.filters.filtered_search")
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else jnp.concatenate(
             [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
@@ -3016,7 +3106,8 @@ class BandIVFPQIndex(BandIVFIndex):
                 qp, st["centroids"], st["refine"], st["refine_local"],
                 st["centroid_tiles"], self._scale, st["ids"],
                 st["tile_window"], st["refine_valid_end"],
-                allowed=flt.mask_device() if flt is not None else None,
+                row_mask=(self._arena_row_mask(flt) if flt is not None
+                      else None),
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret,
             )
@@ -3033,6 +3124,8 @@ class BandIVFPQIndex(BandIVFIndex):
             qp, st["centroids"], st["codes"], st["codebooks"],
             st["refine"], st["ids"], st["tile_window"],
             st["centroid_tiles"], nv, st.get("local_rm"),
+            row_mask=(self._arena_row_mask(flt) if flt is not None
+                      else None),
             k=k_stage1, k_cand=k_cand, p_tiles=p_tiles, tile_n=self.tile_n,
             tile_q=tq, interpret=interpret,
             refine_scale=self._scale if self.refine == "int8" else 0.0,

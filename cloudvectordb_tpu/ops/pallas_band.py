@@ -436,14 +436,6 @@ def _tiles_resid_kernel(
     for wi in range(w_lists):
         c_scores = c_scores + qc[:, wi : wi + 1] * (local[None, :] == wi)
     scores = c_scores + scale_ref[:] * r_scores
-    if masked:
-        # filtered search: per-row allow bit in arena order (tile_n int8
-        # per tile — 0.13% of the payload's HBM traffic); disallowed rows
-        # can never enter a candidate slot. Widen to i32 for the compare:
-        # v5e Mosaic rejects vector cmpi on i8 ("Target does not support
-        # this comparison").
-        allow = mask_ref[0, :].astype(jnp.int32) > 0
-        scores = jnp.where(allow[None, :], scores, NEG_INF)
 
     tile_sz = scores.shape[1]
     # per-row valid end: ve of the row's local list (int32-exact select;
@@ -451,6 +443,15 @@ def _tiles_resid_kernel(
     ve_row = jnp.zeros((tile_sz,), jnp.int32)
     for wi in range(w_lists):
         ve_row = ve_row + ve_ref[0, 0, wi] * (local == wi).astype(jnp.int32)
+    if masked:
+        # filtered search: per-row allow bit in arena order (tile_n int8
+        # per tile — 0.13% of the payload's HBM traffic). Folded into the
+        # EXISTING validity threshold (ve 0 masks the row in the g<ve
+        # compare below) — one (T,) i32 multiply, no extra (Q, T) select
+        # pass (a scores-level where cost ~20% QPS at the headline op
+        # point, measured). int8→i32 widen: v5e Mosaic rejects vector
+        # cmpi on i8.
+        ve_row = ve_row * mask_ref[0, :].astype(jnp.int32)
     qt = pl.program_id(0)
     at = tile_table_ref[qt, j]
     rows_per_bucket = tile_sz // l_buckets

@@ -93,7 +93,7 @@ def _ceil_to(x: int, mult: int) -> int:
 
 def _pq_tiles_kernel(
     tile_table_ref, nv_ref, *refs, l_buckets, m, ncode, dsub, w_lists,
-    row_major=False, n_pools=1, n_live_tiles=None,
+    row_major=False, n_pools=1, n_live_tiles=None, masked=False,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -125,8 +125,15 @@ def _pq_tiles_kernel(
     this shadowing caps candidate quality and makes recall plateau in k_cand.
     n_pools pools cut the competitors per slot by n_pools AND multiply the
     candidate budget to n_pools·l_buckets, at zero extra HBM traffic."""
-    if row_major and w_lists:
+    mask_ref = None
+    if row_major and w_lists and masked:
+        (q_ref, codes_ref, local_ref, mask_ref, cbt_ref, ct_ref,
+         out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc) = refs
+    elif row_major and w_lists:
         (q_ref, codes_ref, local_ref, cbt_ref, ct_ref,
+         out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc) = refs
+    elif masked:
+        (q_ref, codes_ref, mask_ref, cbt_ref, ct_ref,
          out_v_ref, out_i_ref, xhat_sc, val_sc, idx_sc) = refs
     else:
         (q_ref, codes_ref, cbt_ref, ct_ref,
@@ -187,10 +194,18 @@ def _pq_tiles_kernel(
         )
         rows_per_bucket = tile_sz // l_buckets
         base = at * tile_sz
+        if masked:
+            # filtered search: per-row allow bit (arena order) folded into
+            # the EXISTING validity threshold — each row's cutoff becomes
+            # allow·n, so disallowed rows fail the g<cutoff compare below
+            # with no extra (Q, T) select pass (i32 widen: v5e Mosaic
+            # rejects vector cmpi on i8)
+            n_row = mask_ref[0, :].astype(jnp.int32) * n
         if rows_per_bucket == 1:
             # L == tile: pure elementwise merge, no reduction/argmax passes
             g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            mx = jnp.where(g < n, scores, NEG_INF)
+            mx = jnp.where(g < (n_row[None, :] if masked else n),
+                           scores, NEG_INF)
             new_idx = g
         else:
             s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
@@ -199,7 +214,9 @@ def _pq_tiles_kernel(
                 + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
                 + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
             )
-            s3 = jnp.where(g_idx < n, s3, NEG_INF)
+            s3 = jnp.where(
+                g_idx < (n_row.reshape(1, rows_per_bucket, l_buckets)
+                         if masked else n), s3, NEG_INF)
             mx = jnp.max(s3, axis=1)
             is_max = s3 >= mx[:, None, :]
             r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
@@ -249,6 +266,9 @@ def pq_tiles_topk_pallas(
                        # n_pools·l_buckets ≲ 4096 at tile_q=128
     n_live_tiles: int | None = None,  # segmented dispatch: tiles ≥ this are
                                       # the pad tile — skip their compute
+    row_mask=None,  # (1, N_pad) int8 arena-order allow bits (filtered
+                    # search) — None compiles the unmasked kernel; a tuple
+                    # parallels segmented codes_cm
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -288,6 +308,7 @@ def pq_tiles_topk_pallas(
                 interpret=interpret, n_valid=n_valid[si], row_major=True,
                 local_ids=(local_ids[si] if local_ids is not None else None),
                 n_pools=n_pools, n_live_tiles=seg_tiles,
+                row_mask=(row_mask[si] if row_mask is not None else None),
             )
             outs_v.append(v)
             outs_i.append(i + t_off * tile_n)
@@ -341,6 +362,10 @@ def pq_tiles_topk_pallas(
         in_specs_head.append(
             pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
                          memory_space=pltpu.VMEM))
+    if row_mask is not None:  # allow bits ride the local-ids layout
+        in_specs_head.append(
+            pl.BlockSpec((1, tile_n), lambda i, j, tt, nv: (0, tt[i, j]),
+                         memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_qt, p),
@@ -373,12 +398,14 @@ def pq_tiles_topk_pallas(
     kernel = functools.partial(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
         w_lists=w_lists, row_major=row_major, n_pools=n_pools,
-        n_live_tiles=n_live_tiles,
+        n_live_tiles=n_live_tiles, masked=row_mask is not None,
     )
     args = [tile_table.astype(jnp.int32), nv, qp,
             codes_cm.T if row_major else codes_cm]
     if row_major and residual:
         args.append(local_ids)
+    if row_mask is not None:
+        args.append(row_mask.astype(jnp.int8))
     args += [cbt, centroid_tiles.astype(jnp.bfloat16)]
     out_v, out_i = pl.pallas_call(
         kernel,

@@ -110,6 +110,31 @@ def test_filtered_pending_and_annex(data):
     assert (f2[:, 0] == np.arange(3000, 3050)).mean() >= 0.95
 
 
+def test_filtered_correlated_selectivity_planning(data, resid_index):
+    """Correlated filter (all allowed rows in 2 IVF lists — the
+    multi-tenant shape): selectivity-aware planning drops zero-allowed
+    tiles from the p_tiles budget, so a budget FAR too small for blind
+    planning still covers every live tile and hits the restricted-oracle
+    ceiling."""
+    db, q = data
+    idx = resid_index
+    cap = np.repeat(np.arange(idx.nlist), np.diff(idx._offsets))
+    ids_arr = np.asarray(idx._ids[: idx._n], np.int64)
+    keep = np.isin(cap, [3, 11]) & (ids_arr >= 0)
+    allowed = ids_arr[keep]
+    assert 100 < allowed.size < 1500  # genuinely sparse + correlated
+    mask = np.zeros(db.shape[0], bool)
+    mask[allowed] = True
+    gt_f = _oracle_filtered(db, q, 10, mask)
+    n_tiles = int(np.asarray(idx._payload).shape[0]) // idx.tile_n
+    live_tiles = int(np.ceil(allowed.size / idx.tile_n)) + 2  # + boundary
+    p_small = min(n_tiles, max(2, live_tiles))
+    assert p_small < n_tiles // 2  # the budget IS too small for blind scan
+    v, f = idx.search(q, 10, interpret=True, p_tiles=p_small, where=mask)
+    assert mask[f[f >= 0]].all()
+    assert recall_at_k(f, gt_f) >= 0.9, recall_at_k(f, gt_f)
+
+
 def test_filtered_search_device_parity(data, resid_index):
     """search_device(where=) matches search(where=) bit-for-bit (same
     kernels, same filter path on device)."""
@@ -160,8 +185,9 @@ def test_filtered_search_fallback_flat(data):
 
 
 def test_filter_pq_family_refine_scan(data):
-    """BandIVFPQIndex: where= rides the serve_from='refine' direct scan;
-    the PQ-code kernel path raises (use the fallback there)."""
+    """BandIVFPQIndex: where= rides BOTH serving forms — the
+    serve_from='refine' direct scan and the PQ-code kernel path (masked
+    candidate generation + refine rescore of an all-allowed shortlist)."""
     from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
 
     db, q = data
@@ -176,6 +202,31 @@ def test_filter_pq_family_refine_scan(data):
                       serve_from="refine", where=mask)
     assert mask[f[f >= 0]].all()
     assert recall_at_k(f, gt_f) >= 0.9
-    with pytest.raises(AssertionError, match="filtered_search"):
-        idx.search(q, 10, interpret=True, p_tiles=n_tiles,
-                   serve_from="pq", where=mask)
+    v2, f2 = idx.search(q, 10, interpret=True, p_tiles=n_tiles,
+                        serve_from="pq", refine_factor=16, where=mask)
+    assert mask[f2[f2 >= 0]].all(), "PQ kernel path leaked a disallowed id"
+    assert recall_at_k(f2, gt_f) >= 0.85
+
+
+def test_filter_pq_family_opq_and_pq2(data):
+    """Filters survive OPQ rotation (the bitmap is id-keyed, not
+    vector-space) and the pq2 two-stage rescore; a low-selectivity filter
+    pads (-inf, -1) on the PQ path too."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q = data
+    idx = BandIVFPQIndex.build(db, nlist=16, m=8, nbits=6, refine="pq2",
+                               m2=16, opq=True, kmeans_iters=5,
+                               pq_train_iters=5, tile_n=256, tile_q=16)
+    rng = np.random.default_rng(4)
+    mask = rng.random(db.shape[0]) < 0.4
+    gt_f = _oracle_filtered(db, q, 10, mask)
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    v, f = idx.search(q, 10, interpret=True, p_tiles=n_tiles,
+                      refine_factor=16, where=mask)
+    assert mask[f[f >= 0]].all()
+    assert recall_at_k(f, gt_f) >= 0.7  # pq2 ranking ceiling on this data
+    few = np.array([4, 44, 444])
+    v3, f3 = idx.search(q, 10, interpret=True, p_tiles=n_tiles, where=few)
+    assert set(f3[f3 >= 0].ravel()) <= set(few.tolist())
+    assert (f3[:, 3:] == -1).all() and np.isneginf(v3[:, 3:]).all()
