@@ -461,14 +461,14 @@ def _tiles_resid_kernel(
         mx = jnp.where(g < ve_row[None, :], scores, NEG_INF)
         new_idx = g
     else:
+        # per-row cutoff VECTOR (ve_row): compare in the 2-D (Q, T) domain
+        # BEFORE the bucket reshape — reshaping the (T,) cutoff to 3-D is a
+        # vector shape cast Mosaic rejects for l_buckets > 128 (measured on
+        # v5e: (1024,)→(1, 4, 256) fails; the 128-lane minor happened to
+        # work, which is all the headline op points ever exercised).
+        g2 = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(g2 < ve_row[None, :], scores, NEG_INF)
         s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
-        g_idx = (
-            base
-            + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
-            + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-        )
-        s3 = jnp.where(g_idx < ve_row.reshape(1, rows_per_bucket, l_buckets),
-                       s3, NEG_INF)
         mx = jnp.max(s3, axis=1)
         is_max = s3 >= mx[:, None, :]
         r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)

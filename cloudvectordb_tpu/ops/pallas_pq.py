@@ -208,15 +208,23 @@ def _pq_tiles_kernel(
                            scores, NEG_INF)
             new_idx = g
         else:
+            if masked:
+                # per-row cutoff VECTOR: compare in the 2-D (Q, T) domain
+                # BEFORE the bucket reshape — reshaping the (T,) cutoff to
+                # 3-D is a vector shape cast Mosaic rejects for
+                # l_buckets > 128 ("infer-vector-layout: unsupported shape
+                # cast", measured on v5e at (1024,)→(1, 4, 256)); same
+                # element count either way.
+                g2 = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                scores = jnp.where(g2 < n_row[None, :], scores, NEG_INF)
             s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
-            g_idx = (
-                base
-                + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
-                + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-            )
-            s3 = jnp.where(
-                g_idx < (n_row.reshape(1, rows_per_bucket, l_buckets)
-                         if masked else n), s3, NEG_INF)
+            if not masked:
+                g_idx = (
+                    base
+                    + lax.broadcasted_iota(jnp.int32, s3.shape, 1) * l_buckets
+                    + lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+                )
+                s3 = jnp.where(g_idx < n, s3, NEG_INF)
             mx = jnp.max(s3, axis=1)
             is_max = s3 >= mx[:, None, :]
             r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)

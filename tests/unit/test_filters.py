@@ -208,6 +208,36 @@ def test_filter_pq_family_refine_scan(data):
     assert recall_at_k(f2, gt_f) >= 0.85
 
 
+def test_filter_pq_family_bucketed_merge(data):
+    """Masked PQ kernel with rows_per_bucket > 1 (l_buckets < tile_n): the
+    per-row cutoff vector must fold in the 2-D (Q, T) domain — reshaping
+    the (T,) cutoff to (1, R, L) is a vector shape cast Mosaic rejects for
+    L > 128 on v5e (caught on-chip at tile_n=1024/l_buckets=256; this
+    pins the restructured branch's semantics at R=2)."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q = data
+    idx = BandIVFPQIndex.build(db, nlist=16, m=8, nbits=6, refine="int8",
+                               kmeans_iters=5, pq_train_iters=5,
+                               tile_n=256, tile_q=16)
+    rng = np.random.default_rng(7)
+    mask = rng.random(db.shape[0]) < 0.5
+    gt_f = _oracle_filtered(db, q, 10, mask)
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    # k_cand = 10*10 = 100 -> l_buckets = 128 (floor), R = 256/128 = 2
+    assert idx._derive_l_buckets(100, 1) == 128
+    v, f = idx.search(q, 10, interpret=True, p_tiles=n_tiles,
+                      serve_from="pq", refine_factor=10, n_pools=1,
+                      where=mask)
+    assert mask[f[f >= 0]].all(), "bucketed masked merge leaked an id"
+    assert recall_at_k(f, gt_f) >= 0.85
+    # unmasked same op point still agrees with the unrestricted oracle
+    gt_u = _oracle_filtered(db, q, 10, np.ones(db.shape[0], bool))
+    _, fu = idx.search(q, 10, interpret=True, p_tiles=n_tiles,
+                       serve_from="pq", refine_factor=10, n_pools=1)
+    assert recall_at_k(fu, gt_u) >= 0.8
+
+
 def test_filter_pq_family_opq_and_pq2(data):
     """Filters survive OPQ rotation (the bitmap is id-keyed, not
     vector-space) and the pq2 two-stage rescore; a low-selectivity filter
