@@ -71,7 +71,7 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int,
     static_argnames=(
         "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
         "refine_scale", "row_major", "n_pools", "l_buckets",
-        "refine_residual",
+        "refine_residual", "l2",
     ),
 )
 def _pq_tiles_plan_search(
@@ -79,7 +79,7 @@ def _pq_tiles_plan_search(
     centroid_tiles=None, n_valid=None, local_rm=None, row_mask=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
     row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
-    refine_residual: bool = False,
+    refine_residual: bool = False, l2: bool = False,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
 
@@ -117,13 +117,25 @@ def _pq_tiles_plan_search(
         centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
         row_major=row_major, local_ids=local_rm, n_pools=n_pools,
-        l_buckets=l_buckets, row_mask=row_mask,
+        l_buckets=l_buckets, row_mask=row_mask, l2=l2,
     )
     if refine_scale > 0:
         # probed lists can hold < k_cand real rows: unfilled merge slots sit
         # at (NEG_INF, row 0) and must not be exactly rescored into results.
         valid = v > NEG_INF
         rows = jnp.clip(rows, 0, refine_rows.shape[0] - 1)
+        lists = jnp.zeros_like(rows)
+        if refine_residual:
+            # row → local-list byte → global list id (tile_window gather);
+            # feeds the exact post-map centroid IP AND (l2) the in-map
+            # centroid gather for the refine reconstruction's norm
+            assert not isinstance(codes_cm, (list, tuple)), (
+                "residual refine is bounded to one arena segment "
+                "(guarded at build/merge)"
+            )
+            loc = (local_rm[0, rows] if row_major
+                   else codes_cm[-1, rows]).astype(jnp.int32)
+            lists = tile_window[rows // tile_n, loc]
 
         # rescore in query sub-batches: materializing the full gathered
         # (B, k_cand, D) f32 candidate tensor is 12.9 GB at B=4096,
@@ -132,14 +144,30 @@ def _pq_tiles_plan_search(
         # + f32 accumulation halve the gather temp and double the MXU rate,
         # and the dominant (centroid) term is added back in exact f32.
         def rescore(args):
-            qb, rb = args
+            qb, rb, lb = args
             if refine_residual:
                 cand = refine_rows[rb].astype(jnp.bfloat16)
-                return refine_scale * jnp.einsum(
+                ex = refine_scale * jnp.einsum(
                     "bd,brd->br", qb.astype(jnp.bfloat16), cand,
                     preferred_element_type=jnp.float32)
+                if l2:
+                    # −‖x̂‖²/2 of the refine reconstruction x̂ = c + s·r:
+                    # the c·r cross term needs the candidates' centroid
+                    # ROWS — the one l2 cost the derived biases elsewhere
+                    # avoid; chunked by the same cap as the row gather
+                    ca = centroids[lb]
+                    c32 = cand.astype(jnp.float32)
+                    ex = ex - 0.5 * (
+                        jnp.sum(ca * ca, axis=2)
+                        + (2.0 * refine_scale) * jnp.sum(ca * c32, axis=2)
+                        + (refine_scale * refine_scale)
+                        * jnp.sum(c32 * c32, axis=2))
+                return ex
             cand = refine_rows[rb].astype(jnp.float32) * refine_scale
-            return jnp.einsum("bd,brd->br", qb, cand)
+            ex = jnp.einsum("bd,brd->br", qb, cand)
+            if l2:
+                ex = ex - 0.5 * jnp.sum(cand * cand, axis=2)
+            return ex
 
         # largest divisor of b ≤ cap (a non-divisible fallback to ONE batch
         # would re-create the 12.9 GB gather this chunking exists to avoid);
@@ -147,22 +175,17 @@ def _pq_tiles_plan_search(
         # temp stays ≲1.6 GB — at k_cand=4096 a 512-query sub-batch peaked
         # ~5 GB and OOMed next to a 10M refined index (r3, measured)
         cap = max(1, min(512, (1 << 20) // max(k_cand, 1)))
+        if l2 and refine_residual:
+            cap = max(1, cap // 2)  # the f32 centroid gather doubles temps
         sub = max(d for d in range(1, min(cap, b) + 1) if b % d == 0)
         nb = b // sub
         ex = jax.lax.map(rescore, (
             q_s.reshape(nb, b // nb, q_s.shape[1]),
             rows.reshape(nb, b // nb, rows.shape[1]),
+            lists.reshape(nb, b // nb, rows.shape[1]),
         )).reshape(rows.shape)
         if refine_residual:
-            # exact centroid term: row → local-list byte → global list id
-            # (tile_window gather) → dots[b, list] scalar gather
-            assert not isinstance(codes_cm, (list, tuple)), (
-                "residual refine is bounded to one arena segment "
-                "(guarded at build/merge)"
-            )
-            loc = (local_rm[0, rows] if row_major
-                   else codes_cm[-1, rows]).astype(jnp.int32)
-            lists = tile_window[rows // tile_n, loc]
+            # exact centroid IP term via a dots scalar gather
             ex = ex + jnp.take_along_axis(dots[order], lists, axis=1)
         ex = jnp.where(valid, ex, NEG_INF)
         v, pos = jax.lax.top_k(ex, k)
@@ -174,7 +197,13 @@ def _pq_tiles_plan_search(
     if row_mask is not None:  # unfilled slots keep the (-inf, -1) convention
         gids = jnp.where(v > NEG_INF, gids, -1)
     inv = jnp.argsort(order)
-    return v[inv], gids[inv]
+    v = v[inv]
+    if l2:
+        # ranking key q·x̂ − ‖x̂‖²/2 → −‖q − x̂‖² (the l2 score convention);
+        # two-stage callers (pq2/host) receive k_cand candidates in this
+        # form and must keep their corrections in the same units
+        v = 2.0 * v - jnp.sum(q * q, axis=1, keepdims=True)
+    return v, gids[inv]
 
 
 @functools.partial(
@@ -238,12 +267,13 @@ def _arena_mask_from_ids(ids, allowed, n_pad=None):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret",
-                     "int8_q"),
+                     "int8_q", "l2"),
 )
 def _tiles_resid_plan_search(
     q, centroids, payload, local_ids, centroid_tiles, resid_scale, ids,
     tile_window, valid_end, allowed=None, row_mask=None,
     *, k, p_tiles, tile_n, tile_q, interpret, int8_q: bool = True,
+    l2: bool = False,
 ):
     """One-dispatch residual-int8 search: identical planning to
     _tiles_plan_search, residual kernel for scoring (int8 residual rows +
@@ -273,13 +303,18 @@ def _tiles_resid_plan_search(
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
         valid_end, tile_n=tile_n, tile_q=tile_q, interpret=interpret,
-        int8_q=int8_q, row_mask=row_mask,
+        int8_q=int8_q, row_mask=row_mask, l2=l2,
     )
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
     if row_mask is not None:
         gids = jnp.where(v > -jnp.inf, gids, -1)
     inv = jnp.argsort(order)
-    return v[inv], gids[inv]
+    v = v[inv]
+    if l2:
+        # kernel key q·x̂ − ‖x̂‖²/2 → −‖q − x̂‖² (FlatIndex/IVFFlat's l2
+        # convention); −inf unfilled slots stay −inf
+        v = 2.0 * v - jnp.sum(q * q, axis=1, keepdims=True)
+    return v, gids[inv]
 
 
 def _next_pow2(x: int) -> int:
@@ -298,8 +333,9 @@ def _rescore_nsub(b: int, kc: int, m2: int, budget: int = 1 << 25) -> int:
     return nsub
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _pq2_rescore(q, v, gids, codes2, codebooks2, *, k):
+@functools.partial(jax.jit, static_argnames=("k", "l2"))
+def _pq2_rescore(q, v, gids, codes2, codebooks2, s2=None, *, k,
+                 l2: bool = False):
     """Tier-2 ADC correction (refine='pq2'): candidates' tier-1 kernel score
     v already contains centroid + tier-1 decode; the tier-2 codebooks encode
     the tier-1 reconstruction ERROR, so the refined score is simply
@@ -325,6 +361,15 @@ def _pq2_rescore(q, v, gids, codes2, codebooks2, *, k):
         corr = jnp.sum(
             jnp.take_along_axis(jnp.transpose(lut, (0, 2, 1)), c2, axis=1),
             axis=2)
+        if l2:
+            # tier-1 keys arrive as −‖q−x̂₁‖²; −‖q−x̂₂‖² = that + 2q·d₂
+            # − (2x̂₁·d₂ + ‖d₂‖²). The bracket is the per-ROW scalar s₂
+            # stored gid-keyed beside the tier-2 codes (_encode_tier2) —
+            # EXACT, one extra f32 gather per candidate. (A norm-LUT
+            # ‖d₂‖²-only form was measured 0.04 recall BELOW tier-1-only
+            # at small scale: the dropped cross term dominates when
+            # tier-2 errors are large relative to the recon.)
+            corr = 2.0 * corr - s2[g]
         ex = jnp.where(valid, vb + corr, NEG)
         v2, pos = jax.lax.top_k(ex, k)
         return v2, jnp.take_along_axis(gb, pos, axis=1)
@@ -338,15 +383,20 @@ def _pq2_rescore(q, v, gids, codes2, codebooks2, *, k):
     return v2.reshape(b, k), g2.reshape(b, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "resid"))
-def _host_rescore(q, v, gids, r8, assign, centroids, scale, *, k,
-                  resid: bool = True):
+@functools.partial(jax.jit, static_argnames=("k", "resid", "l2"))
+def _host_rescore(q, v, gids, r8, assign, centroids, scale, x_sq=None, *, k,
+                  resid: bool = True, l2: bool = False):
     """Exact rescore of host-gathered int8 rows (refine='host'): r8
     (B, k_cand, D) int8 shipped from host RAM for just the shortlist.
     resid=True (residual PQ): rows store residuals and the centroid term
     is recovered from q·centroids via each candidate's list; resid=False:
     rows store WHOLE rows and no centroid term may be added (adding it
-    inflated non-residual scores by q·c — review finding, r3)."""
+    inflated non-residual scores by q·c — review finding, r3).
+    l2: exact −‖q − x̂‖² keys (x̂ = [c +] scale·r). Residual mode needs
+    x_sq (B, k_cand) ‖x̂‖² per candidate — gathered HOST-side from the
+    store's lazy per-row norm table (an on-device centroid gather would
+    be a (B, k_cand, D) f32 temp: 6.4 GB at the 125M op point);
+    non-residual derives it from r8 directly."""
     NEG = float("-inf")
     valid = v > NEG
     ex = scale * jnp.einsum(
@@ -357,6 +407,11 @@ def _host_rescore(q, v, gids, r8, assign, centroids, scale, *, k,
             q, centroids, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ex = ex + jnp.take_along_axis(dots, assign, axis=1)
+    if l2:
+        if not resid:
+            r32 = r8.astype(jnp.float32)
+            x_sq = (scale * scale) * jnp.sum(r32 * r32, axis=2)
+        ex = 2.0 * ex - x_sq - jnp.sum(q * q, axis=1, keepdims=True)
     ex = jnp.where(valid, ex, NEG)
     v2, pos = jax.lax.top_k(ex, k)
     return v2, jnp.take_along_axis(gids, pos, axis=1)
@@ -401,29 +456,37 @@ def _ids_swap_free(ids, src, dst, freed):
     return ids.at[freed].set(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _pending_scan(q, rows, scale, n_valid, *, k):
+@functools.partial(jax.jit, static_argnames=("k", "l2"))
+def _pending_scan(q, rows, scale, n_valid, *, k, l2: bool = False):
     """Exact top-k over the (small) pending buffer: one dense matmul.
 
     rows (P_pad, D) int8/f32 (padded to bucket compiles), n_valid real rows.
     Scores are dequantized IP — same scale as the arena path, so the two
-    top-k sets merge comparably.
-    """
+    top-k sets merge comparably. l2: scores are −‖q − scale·row‖² instead,
+    matching the arena paths' converted keys."""
+    r32 = rows.astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, rows.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        q, r32, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if l2:
+        x_sq = (scale * scale) * jnp.sum(r32 * r32, axis=1)
+        s = 2.0 * s - x_sq[None, :] - jnp.sum(q * q, axis=1)[:, None]
     mask = jnp.arange(rows.shape[0]) < n_valid
     s = jnp.where(mask[None, :], s, -jnp.inf)
     return jax.lax.top_k(s, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "resid"))
-def _annex_scan(q, rows8, assign, centroids, scale, n_valid, *, k, resid):
+@functools.partial(jax.jit, static_argnames=("k", "resid", "l2"))
+def _annex_scan(q, rows8, assign, centroids, scale, n_valid, *, k, resid,
+                l2: bool = False):
     """Exact top-k over the device ANNEX arena (int8 rows folded from
     pending — see _fold_pending): one bf16 matmul over the annex + the
     exact centroid term for residual rows. Scores are dequantized IP,
-    merge-comparable with both the arena kernel and the pending scan."""
+    merge-comparable with both the arena kernel and the pending scan.
+    l2: −‖q − x̂‖² keys (x̂ = c[assign] + scale·r for residual rows); the
+    annex is small, so the per-row centroid gather is cheap."""
+    r32 = rows8.astype(jnp.float32)
     ex = jax.lax.dot_general(
         q.astype(jnp.bfloat16), rows8.astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -433,6 +496,13 @@ def _annex_scan(q, rows8, assign, centroids, scale, n_valid, *, k, resid):
             q, centroids, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ex = ex + dots[:, assign]
+    if l2:
+        x_sq = (scale * scale) * jnp.sum(r32 * r32, axis=1)
+        if resid:
+            ca = centroids[assign]  # (cap, D) — annex caps are small
+            x_sq = x_sq + (2.0 * scale) * jnp.sum(ca * r32, axis=1) \
+                + jnp.sum(ca * ca, axis=1)
+        ex = 2.0 * ex - x_sq[None, :] - jnp.sum(q * q, axis=1)[:, None]
     mask = jnp.arange(rows8.shape[0]) < n_valid
     ex = jnp.where(mask[None, :], ex, -jnp.inf)
     return jax.lax.top_k(ex, k)
@@ -462,6 +532,7 @@ class BandIVFIndex(Index):
         tile_q: int = 256,
         residual: bool = False,
         slack: float = 0.0,
+        metric: str = "ip",
     ):
         """residual=True (int8 only): the arena stores int8 RESIDUALS
         (row − its list centroid) and the kernel adds the centroid term back
@@ -480,8 +551,17 @@ class BandIVFIndex(Index):
             "slack slots require the residual-int8 arena (the valid_end "
             "masking lives in the residual kernel)"
         )
+        assert metric in ("ip", "l2")
+        if metric == "l2" and type(self) is BandIVFIndex:
+            # l2 rides the residual kernel's in-kernel derived bias
+            # (ops/pallas_band.py); the whole-row band arenas don't carry
+            # it — IVFFlat/FlatIndex serve l2 at those shapes
+            assert residual and dtype == "int8", (
+                "BandIVFIndex metric='l2' requires the residual-int8 arena "
+                "(residual=True, dtype='int8'); use IVFFlatIndex for "
+                "whole-row l2 serving")
         self.dim = dim
-        self.metric = "ip"
+        self.metric = metric
         self.nlist = nlist
         self.dtype = dtype
         self.residual = residual
@@ -1252,7 +1332,7 @@ class BandIVFIndex(Index):
             scale = self._pending_scan_scale()
             pv, pi = _pending_scan(
                 jnp.asarray(queries, jnp.float32), rows_dev, scale, n_pend,
-                k=min(k, n_pend),
+                k=min(k, n_pend), l2=self.metric == "l2",
             )
             extra_v.append(np.asarray(pv))
             extra_i.append(pids[np.asarray(pi)])
@@ -1262,6 +1342,7 @@ class BandIVFIndex(Index):
                 jnp.asarray(queries, jnp.float32), ax["rows"], ax["assign"],
                 jnp.asarray(self.centroids), self._scale, ax["n"],
                 k=min(k, ax["n"]), resid=self._resid8,
+                l2=self.metric == "l2",
             )
             extra_v.append(np.asarray(av))
             extra_i.append(ax["ids"][np.asarray(ap)])
@@ -1447,6 +1528,7 @@ class BandIVFIndex(Index):
                 else None,
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret, int8_q=(scoring != "precise"),
+                l2=self.metric == "l2",
             )
         assert flt is None, (
             "where= masks at score time in the residual-int8 kernel; for "
@@ -1546,7 +1628,7 @@ class BandIVFIndex(Index):
             rows_dev, _, pids_dev, n_pend = pdev
             pv, pi = _pending_scan(
                 queries, rows_dev, self._pending_scan_scale(), n_pend,
-                k=min(k, n_pend))
+                k=min(k, n_pend), l2=self.metric == "l2")
             extra_v.append(pv)
             extra_i.append(pids_dev[pi])
         ax = self._annex
@@ -1555,6 +1637,7 @@ class BandIVFIndex(Index):
                 queries, ax["rows"], ax["assign"],
                 self._device_state()["centroids"],
                 self._scale, ax["n"], k=min(k, ax["n"]), resid=self._resid8,
+                l2=self.metric == "l2",
             )
             extra_v.append(av)
             extra_i.append(self._annex_ids_device()[ap])
@@ -1725,7 +1808,8 @@ class BandIVFIndex(Index):
         idx = cls(manifest["dim"], m["nlist"], m["dtype"], m["kmeans_iters"],
                   m["seed"], m["tile_n"], m["tile_q"],
                   residual=m.get("residual", False),
-                  slack=m.get("slack", 0.0))
+                  slack=m.get("slack", 0.0),
+                  metric=manifest.get("metric", "ip"))
         idx.centroids = np.asarray(arrays["centroids"])
         idx._payload = np.asarray(arrays["payload"])
         # ids/list_lens are mutated in place by the slack add() path, but
@@ -1784,6 +1868,7 @@ class BandIVFPQIndex(BandIVFIndex):
         aniso_eta: float = 0.0,
         m2: int = 32,
         nbits2: int = 8,
+        metric: str = "ip",
     ):
         """refine tiers (r3 adds the two 1B-scale options):
 
@@ -1803,7 +1888,8 @@ class BandIVFPQIndex(BandIVFIndex):
                     is minutes, so at-scale QPS is quoted for PCIe).
         """
         super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
-                         seed=seed, tile_n=tile_n, tile_q=tile_q)
+                         seed=seed, tile_n=tile_n, tile_q=tile_q,
+                         metric=metric)
         assert dim % m == 0 and refine in ("none", "int8", "pq2", "host")
         assert dim % m2 == 0
         self.opq_matrix = opq_matrix  # x' = x @ Rᵀ before coarse+PQ
@@ -1820,6 +1906,8 @@ class BandIVFPQIndex(BandIVFIndex):
         self.nbits2 = nbits2
         self.codebooks2: np.ndarray | None = None
         self._codes2 = None           # (N_cap, m2) uint8 keyed by GLOBAL id
+        self._s2 = None               # (N_cap,) f32 ‖x̂₂‖²−‖x̂₁‖² (l2 only)
+        self._s2_pending: list[np.ndarray] = []
         self._host_rows = None        # (N_cap, dim) int8 host, by global id
         self._host_assign = None      # (N_cap,) int32 list id, by global id
         self._host_scale = 0.0
@@ -1969,12 +2057,33 @@ class BandIVFPQIndex(BandIVFIndex):
             self._codes2 = (jnp.concatenate(parts) if len(parts) > 1
                             else parts[0])
             self._codes2_pending = []
+        if (fold or self._s2 is None) and self._s2_pending:
+            sparts = ([jnp.asarray(self._s2)] if self._s2 is not None
+                      else [])
+            sparts.append(jnp.asarray(np.concatenate(self._s2_pending)))
+            self._s2 = (jnp.concatenate(sparts) if len(sparts) > 1
+                        else sparts[0])
+            self._s2_pending = []
         # identity-keyed device cache: a disk-loaded (numpy/mmap) table
         # must not re-cross the host link per search (4 GB at 125M/m2=32)
         if getattr(self, "_codes2_dev_src", None) is not self._codes2:
             self._codes2_dev = jnp.asarray(self._codes2)
             self._codes2_dev_src = self._codes2
         return self._codes2_dev
+
+    def _s2_device(self):
+        """Device twin of the s₂ table (l2 pq2 — _encode_tier2 doc), folded
+        and cached alongside _codes2_device. The serving path calls this
+        AFTER _codes2_device(fold=False): gid alignment between the two
+        tables is maintained by the shared append sites."""
+        self._codes2_device(fold=False)  # fold s2_pending when table is None
+        assert self._s2 is not None, (
+            "metric='l2' pq2 rescore needs the s₂ table; this index was "
+            "built/loaded without it (pre-l2 artifact?)")
+        if getattr(self, "_s2_dev_src", None) is not self._s2:
+            self._s2_dev = jnp.asarray(self._s2)
+            self._s2_dev_src = self._s2
+        return self._s2_dev
 
     def _host_store(self):
         """(rows, assign) host arrays (gid-keyed) with pending folded."""
@@ -1991,6 +2100,27 @@ class BandIVFPQIndex(BandIVFIndex):
             self._host_pending_assign = []
         return self._host_rows, self._host_assign
 
+    def _host_row_sq(self) -> np.ndarray:
+        """(N,) f32 ‖x̂‖² per host-store row (x̂ = c[assign] + s·r) — the
+        metric='l2' host-rescore bias source. Computed lazily HOST-side in
+        chunks (one pass over the store) and cached per store object; a
+        device-side per-candidate centroid gather would need a
+        (B, k_cand, D) f32 temp (6.4 GB at the 125M op point)."""
+        rows, assign = self._host_store()
+        cache = getattr(self, "_host_row_sq_cache", None)
+        if cache is not None and cache[0] is rows:
+            return cache[1]
+        n = rows.shape[0]
+        out = np.empty(n, np.float32)
+        s = np.float32(self._host_scale)
+        for lo in range(0, n, 1 << 20):
+            hi = min(n, lo + (1 << 20))
+            x = self.centroids[assign[lo:hi]] + \
+                rows[lo:hi].astype(np.float32) * s
+            out[lo:hi] = np.einsum("nd,nd->n", x, x)
+        self._host_row_sq_cache = (rows, out)
+        return out
+
     def _train_tier2(self, enc_sample, xdir) -> None:
         """Tier-2 codebooks (refine='pq2') on the tier-1 reconstruction
         error of the training sample — additive residual PQ."""
@@ -2004,13 +2134,29 @@ class BandIVFPQIndex(BandIVFIndex):
             err, self.m2, self.nbits2, iters=self.pq_train_iters,
             seed=self.seed + 1))
 
-    def _encode_tier2(self, enc_in, codes):
-        """Tier-2 codes for rows whose tier-1 codes are ``codes``."""
+    def _encode_tier2(self, enc_in, codes, c_rows=None, with_s2=False):
+        """Tier-2 codes for rows whose tier-1 codes are ``codes``.
+
+        with_s2 (metric='l2'): also return s₂ = ‖x̂₂‖² − ‖x̂₁‖²
+        = 2·x̂₁·d₂ + ‖d₂‖² per row (x̂₁ = [c +] decode1, d₂ = decode2) —
+        the one scalar the EXACT l2 pq2 rescore needs per candidate
+        (_pq2_rescore): the tier-2 correction on −‖q−x̂₁‖² keys is
+        2·q·d₂ − s₂, and neither term is recoverable from tier-2 codes
+        alone at rescore time. c_rows: the rows' centroids (residual
+        mode; None = non-residual, x̂₁ = decode1)."""
         from cloudvectordb_tpu.index.pq import pq_decode, pq_encode
 
         err = jnp.asarray(enc_in) - pq_decode(
             jnp.asarray(codes), jnp.asarray(self.codebooks))
-        return pq_encode(err, jnp.asarray(self.codebooks2))
+        codes2 = pq_encode(err, jnp.asarray(self.codebooks2))
+        if not with_s2:
+            return codes2
+        d2 = pq_decode(codes2, jnp.asarray(self.codebooks2))
+        xhat1 = jnp.asarray(enc_in) - err  # = decode1, exactly
+        if c_rows is not None:
+            xhat1 = xhat1 + c_rows
+        s2 = 2.0 * jnp.sum(xhat1 * d2, axis=1) + jnp.sum(d2 * d2, axis=1)
+        return codes2, s2
 
     def _set_host_scale(self, enc_sample) -> None:
         rms = float(jnp.sqrt(jnp.mean(enc_sample * enc_sample)))
@@ -2119,8 +2265,16 @@ class BandIVFPQIndex(BandIVFIndex):
                 refine_chunks.append(np.asarray(
                     jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)))
             elif idx.refine == "pq2":  # gid = insertion order: plain append
-                idx._codes2_pending.append(
-                    np.asarray(idx._encode_tier2(enc_in, codes)))
+                if idx.metric == "l2":
+                    c2_b, s2_b = idx._encode_tier2(
+                        enc_in, codes,
+                        c_rows=cdev[a] if idx.residual else None,
+                        with_s2=True)
+                    idx._codes2_pending.append(np.asarray(c2_b))
+                    idx._s2_pending.append(np.asarray(s2_b))
+                else:
+                    idx._codes2_pending.append(
+                        np.asarray(idx._encode_tier2(enc_in, codes)))
             elif idx.refine == "host":
                 idx._host_pending_rows.append(np.asarray(jnp.clip(
                     jnp.round(enc_in / idx._host_scale), -127, 127
@@ -2284,6 +2438,8 @@ class BandIVFPQIndex(BandIVFIndex):
         # tier-2 codes keyed by GLOBAL id (= source row index): insertion-
         # order slots, gathered by gid at rescore — merge-invariant
         codes2 = jnp.zeros((n if do_pq2 else 1, idx.m2), jnp.uint8)
+        need_s2 = do_pq2 and idx.metric == "l2"
+        s2_ar = jnp.zeros((n if need_s2 else 1,), jnp.float32)
         if do_host:
             idx._host_rows = np.empty((n, idx.dim), np.int8)
             idx._host_assign = assign_all.astype(np.int32)
@@ -2329,21 +2485,33 @@ class BandIVFPQIndex(BandIVFIndex):
         # tier-1 encode peak; sub-batched via lax.map to bound them. At 125M
         # a fused single-jit version needed 21.3 GB HBM (observed OOM):
         # 8.1 GB tier-1 arena + 4 GB tier-2 table + all temps live at once.
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def tier2_scatter(codes2_ar, chunk, codes_b, gid, a, c, cb, cb2):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def tier2_scatter(codes2_ar, s2_a, chunk, codes_b, gid, a, c, cb,
+                          cb2):
             def sub(args):
                 ch_b, c_b, a_b = args
                 tr = ch_b @ rot_dev if rot_dev is not None else ch_b
                 enc = tr - c[a_b] if resid else tr
-                err = enc - pq_decode(c_b, cb)
-                return pq_encode(err, cb2)
+                dec1 = pq_decode(c_b, cb)
+                err = enc - dec1
+                c2 = pq_encode(err, cb2)
+                if not need_s2:
+                    return c2, jnp.zeros((c2.shape[0],), jnp.float32)
+                # s₂ = 2·x̂₁·d₂ + ‖d₂‖² (l2 pq2 rescore — _encode_tier2 doc)
+                d2 = pq_decode(c2, cb2)
+                xh1 = dec1 + c[a_b] if resid else dec1
+                return c2, (2.0 * jnp.sum(xh1 * d2, axis=1)
+                            + jnp.sum(d2 * d2, axis=1))
 
             b = chunk.shape[0]
             nsub = 4 if b % 4 == 0 else 1
-            c2 = jax.lax.map(sub, (chunk.reshape(nsub, b // nsub, -1),
-                                   codes_b.reshape(nsub, b // nsub, m),
-                                   a.reshape(nsub, b // nsub)))
-            return codes2_ar.at[gid].set(c2.reshape(b, idx.m2))
+            c2, s2_b = jax.lax.map(sub, (chunk.reshape(nsub, b // nsub, -1),
+                                         codes_b.reshape(nsub, b // nsub, m),
+                                         a.reshape(nsub, b // nsub)))
+            codes2_ar = codes2_ar.at[gid].set(c2.reshape(b, idx.m2))
+            if need_s2:
+                s2_a = s2_a.at[gid].set(s2_b.reshape(b))
+            return codes2_ar, s2_a
 
         base = 0
         for ci in range(n_chunks):
@@ -2354,8 +2522,9 @@ class BandIVFPQIndex(BandIVFIndex):
                 codes_rm, refine, chunk, d, a_dev, cdev, cbdev)
             if do_pq2:
                 gid = jnp.arange(base, base + sizes[ci], dtype=jnp.int32)
-                codes2 = tier2_scatter(codes2, chunk, codes_b, gid, a_dev,
-                                       cdev, cbdev, cb2dev)
+                codes2, s2_ar = tier2_scatter(codes2, s2_ar, chunk, codes_b,
+                                              gid, a_dev, cdev, cbdev,
+                                              cb2dev)
             if do_host:  # per-chunk host fetch (PCIe copy on real hardware)
                 idx._host_rows[base : base + sizes[ci]] = np.asarray(host_r8)
             base += sizes[ci]
@@ -2365,6 +2534,7 @@ class BandIVFPQIndex(BandIVFIndex):
         idx._payload = idx._codes_cm
         idx._refine_rows = refine
         idx._codes2 = codes2 if do_pq2 else None
+        idx._s2 = s2_ar if need_s2 else None
         if not do_refine:
             idx._scale = 0.0
         # keep the gid-keyed assignments host-side (0.5 GB at 125M):
@@ -2503,7 +2673,15 @@ class BandIVFPQIndex(BandIVFIndex):
             if self.refine == "pq2":
                 # tier-2 codes keyed by GLOBAL id: row i of enc_in (arena
                 # order) is global id order[i]
-                c2_sorted = self._encode_tier2(enc_in, codes)
+                if self.metric == "l2":
+                    c2_sorted, s2_sorted = self._encode_tier2(
+                        enc_in, codes,
+                        c_rows=cdev[a_sorted] if self.residual else None,
+                        with_s2=True)
+                    self._s2 = (jnp.zeros((n,), jnp.float32)
+                                .at[jnp.asarray(order)].set(s2_sorted))
+                else:
+                    c2_sorted = self._encode_tier2(enc_in, codes)
                 self._codes2 = (
                     jnp.zeros((n, self.m2), jnp.uint8)
                     .at[jnp.asarray(order)].set(c2_sorted))
@@ -2560,8 +2738,15 @@ class BandIVFPQIndex(BandIVFIndex):
         ids = self._alloc_ids(b)
         # tier-2 stores are gid-keyed: sequential ids → in-order appends
         if self.refine == "pq2" and self.codebooks2 is not None:
-            self._codes2_pending.append(
-                np.asarray(self._encode_tier2(enc_in, codes)))
+            if self.metric == "l2":
+                c2_b, s2_b = self._encode_tier2(
+                    enc_in, codes,
+                    c_rows=cdev[a] if self.residual else None, with_s2=True)
+                self._codes2_pending.append(np.asarray(c2_b))
+                self._s2_pending.append(np.asarray(s2_b))
+            else:
+                self._codes2_pending.append(
+                    np.asarray(self._encode_tier2(enc_in, codes)))
         elif self.refine == "host" and self._host_scale > 0:
             # gate on the SCALE, not _host_rows: after build_streaming the
             # whole store is still in _host_pending_rows (_host_rows None)
@@ -2983,7 +3168,15 @@ class BandIVFPQIndex(BandIVFIndex):
         scan — whenever the int8 rows fit in HBM (≤ ~16M rows/chip at
         768-d) the direct scan is BOTH more accurate (no PQ candidate
         ceiling) and ~10–50× faster. PQ codes remain the memory format for
-        scales where refine rows cannot fit (config #5)."""
+        scales where refine rows cannot fit (config #5).
+
+        metric='l2' + serve_from='pq': the kernel's −‖x̂‖²/2 bias uses the
+        PQ reconstruction's norm, whose error at small m scatters candidate
+        keys more than the IP form — size refine_factor generously (on-chip
+        at 200k×256/m=16 with 6× norm spread: candidate recall 0.60 at
+        k_cand=320 vs 0.91 at 1280; IP reaches 0.87 at 320). Where the
+        refine arena fits, serve_from='refine' has no such loss (0.95 at
+        the same op point, measured r3)."""
         assert self._n, "empty index"
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
@@ -2998,6 +3191,7 @@ class BandIVFPQIndex(BandIVFIndex):
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
+        l2 = self.metric == "l2"
         if serve_from == "refine":
             st = self._refine_scan_state()
             v, gids = _tiles_resid_plan_search(
@@ -3007,7 +3201,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 row_mask=(self._arena_row_mask(flt) if flt is not None
                           else None),
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
-                interpret=interpret,
+                interpret=interpret, l2=l2,
             )
             v = np.asarray(v)[:nq]
             gids = np.asarray(gids)[:nq].astype(np.int64)
@@ -3030,21 +3224,26 @@ class BandIVFPQIndex(BandIVFIndex):
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
             l_buckets=l_buckets, refine_residual=self._refine_residual,
+            l2=l2,
         )
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(
                 qp_dev, v, gids, self._codes2_device(fold=False),
-                self._codebooks2_device(), k=k)
+                self._codebooks2_device(),
+                self._s2_device() if l2 else None, k=k, l2=l2)
         elif two_stage and self.refine == "host":
             host_rows, host_assign = self._host_store()
             gids_h = np.asarray(gids)
             g = np.clip(gids_h, 0, host_rows.shape[0] - 1)
             r8 = host_rows[g]                # host RAM gather (shortlist)
             assign = host_assign[g].astype(np.int32)
+            x_sq = (jnp.asarray(self._host_row_sq()[g])
+                    if l2 and self.residual else None)
             v, gids = _host_rescore(
                 qp_dev, v, jnp.asarray(gids_h), jnp.asarray(r8),
                 jnp.asarray(assign), st["centroids"],
-                jnp.float32(self._host_scale), k=k, resid=self.residual)
+                jnp.float32(self._host_scale), x_sq, k=k,
+                resid=self.residual, l2=l2)
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
         return self._merge_pending_topk(v, gids, queries[:nq], k)
@@ -3100,6 +3299,7 @@ class BandIVFPQIndex(BandIVFIndex):
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else jnp.concatenate(
             [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
+        l2 = self.metric == "l2"
         if serve_from == "refine":
             st = self._refine_scan_state()
             v, gids = _tiles_resid_plan_search(
@@ -3109,7 +3309,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 row_mask=(self._arena_row_mask(flt) if flt is not None
                       else None),
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
-                interpret=interpret,
+                interpret=interpret, l2=l2,
             )
             return self._merge_pending_topk_device(v[:nq], gids[:nq],
                                                    queries, k, flt=flt)
@@ -3131,11 +3331,13 @@ class BandIVFPQIndex(BandIVFIndex):
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
             l_buckets=l_buckets, refine_residual=self._refine_residual,
+            l2=l2,
         )
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(
                 qp, v, gids, self._codes2_device(fold=False),
-                self._codebooks2_device(), k=k)
+                self._codebooks2_device(),
+                self._s2_device() if l2 else None, k=k, l2=l2)
         return self._merge_pending_topk_device(v[:nq], gids[:nq], queries, k)
 
     # -- persistence ------------------------------------------------------
@@ -3157,6 +3359,8 @@ class BandIVFPQIndex(BandIVFIndex):
                                      or self._codes2_pending):
             out["codes2"] = np.asarray(self._codes2_device())
             out["codebooks2"] = self.codebooks2
+            if self.metric == "l2":
+                out["s2"] = np.asarray(self._s2_device())
         if self.refine == "host" and (self._host_rows is not None
                                       or self._host_pending_rows):
             rows_h, assign_h = self._host_store()
@@ -3186,13 +3390,16 @@ class BandIVFPQIndex(BandIVFIndex):
                   m["pq_train_iters"], m["kmeans_iters"], m["seed"],
                   m["tile_n"], m["tile_q"], residual=m.get("residual", False),
                   aniso_eta=m.get("aniso_eta", 0.0),
-                  m2=m.get("m2", 32), nbits2=m.get("nbits2", 8))
+                  m2=m.get("m2", 32), nbits2=m.get("nbits2", 8),
+                  metric=manifest.get("metric", "ip"))
         # older manifests carry whole-row refine rows regardless of mode
         idx._refine_residual = m.get("refine_residual", False)
         idx._host_scale = m.get("host_scale", 0.0)
         if "codes2" in arrays:
             idx._codes2 = np.asarray(arrays["codes2"])
             idx.codebooks2 = np.asarray(arrays["codebooks2"])
+            if "s2" in arrays:
+                idx._s2 = np.asarray(arrays["s2"])
         if "host_rows" in arrays:
             idx._host_rows = np.asarray(arrays["host_rows"])
             idx._host_assign = np.array(arrays["host_assign"], np.int32,

@@ -44,6 +44,7 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
                 dtype=dtype, residual=resid,
                 slack=(cfg.slack if resid else 0.0),
                 kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
+                metric=cfg.metric,
             )
         if cfg.kind == "ivf_pq":
             from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
@@ -65,7 +66,7 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
         return BandIVFIndex.build(
             vectors, nlist, train_sample=cfg.train_sample, dtype=dtype,
             residual=resid, slack=(cfg.slack if resid else 0.0),
-            kmeans_iters=cfg.kmeans_iters, seed=cfg.seed,
+            kmeans_iters=cfg.kmeans_iters, seed=cfg.seed, metric=cfg.metric,
         )
     if cfg.kind == "band_ivf_pq":
         return BandIVFPQIndex.build(
@@ -73,6 +74,7 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
             opq=cfg.opq, train_sample=cfg.train_sample,
             kmeans_iters=cfg.kmeans_iters, aniso_eta=cfg.aniso_eta,
             pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
+            metric=cfg.metric,
         )
     if cfg.kind == "ivf_flat":
         return IVFFlatIndex.build(

@@ -364,7 +364,7 @@ def band_topk_pallas(
 
 def _tiles_resid_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile ids
-    *refs, l_buckets, w_lists, int8_q, masked=False,
+    *refs, l_buckets, w_lists, int8_q, masked=False, l2=False,
 ):
     """Residual-int8 tiles scan: db rows hold int8 RESIDUALS (row − its list
     centroid). Residual norms are a fraction of row norms, so the same 8
@@ -391,19 +391,17 @@ def _tiles_resid_kernel(
     have not yet filled — a zero residual reconstructs to the list
     centroid, a plausible high-IP phantom if left unmasked.
     """
-    mask_ref = None
-    if int8_q and masked:
-        (q_ref, q8_ref, db_ref, local_ref, mask_ref, ct_ref, scale_ref,
-         ve_ref, out_v_ref, out_i_ref, val_sc, idx_sc) = refs
-    elif int8_q:
-        (q_ref, q8_ref, db_ref, local_ref, ct_ref, scale_ref, ve_ref,
-         out_v_ref, out_i_ref, val_sc, idx_sc) = refs
-    elif masked:
-        (q_ref, db_ref, local_ref, mask_ref, ct_ref, scale_ref, ve_ref,
-         out_v_ref, out_i_ref, val_sc, idx_sc) = refs
-    else:
-        (q_ref, db_ref, local_ref, ct_ref, scale_ref, ve_ref,
-         out_v_ref, out_i_ref, val_sc, idx_sc) = refs
+    rl = list(refs)
+    q_ref = rl.pop(0)
+    q8_ref = rl.pop(0) if int8_q else None
+    db_ref = rl.pop(0)
+    local_ref = rl.pop(0)
+    mask_ref = rl.pop(0) if masked else None
+    ct_ref = rl.pop(0)
+    scale_ref = rl.pop(0)
+    rs_ref = rl.pop(0) if l2 else None  # (1, 1) GLOBAL residual scale
+    ve_ref = rl.pop(0)
+    out_v_ref, out_i_ref, val_sc, idx_sc = rl
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -436,6 +434,39 @@ def _tiles_resid_kernel(
     for wi in range(w_lists):
         c_scores = c_scores + qc[:, wi : wi + 1] * (local[None, :] == wi)
     scores = c_scores + scale_ref[:] * r_scores
+    if l2:
+        # L2 ranking key q·x̂ − ‖x̂‖²/2 (argmin ‖q−x̂‖² ≡ argmax of it):
+        # the bias derives ENTIRELY from data already in VMEM — x̂ = c + s·r
+        # gives ‖x̂‖² = ‖c‖² + 2s·(c·r) + s²‖r‖² with c the row's list
+        # centroid and s the GLOBAL residual scale (rs_ref; scale_ref folds
+        # the per-QUERY dequant and must not touch the bias). No stored
+        # norms → zero mutation-path/persistence plumbing. All terms stay
+        # in the (1, T) lane layout via (1, D)·(D, T) matmul reductions —
+        # a jnp.sum(axis=1) would land (T,) in sublanes and need a Mosaic
+        # relayout to broadcast against (Q, T) scores. Cost: (W+1) skinny
+        # matmuls ≈ 13% of the main matmul at W=16, L2 searches only.
+        s = rs_ref[0, 0]
+        r32 = db_ref[:].astype(jnp.float32)  # int8 exact in f32
+        ones = jnp.ones((1, r32.shape[1]), jnp.float32)
+        bias = (-0.5 * s * s) * lax.dot_general(
+            ones, r32 * r32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, T) = −s²‖r‖²/2
+        ct32 = ct_ref[0].astype(jnp.float32)  # (W, D)
+        loc2 = local[None, :]
+        for wi in range(w_lists):
+            sel = (loc2 == wi).astype(jnp.float32)  # (1, T)
+            cw = lax.dot_general(
+                ct32[wi : wi + 1], r32, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, T) = c_w·r
+            cc = lax.dot_general(
+                ct32[wi : wi + 1], ct32[wi : wi + 1],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, 1) = ‖c_w‖²
+            bias = bias - sel * (s * cw + 0.5 * cc)
+        scores = scores + bias
 
     tile_sz = scores.shape[1]
     # per-row valid end: ve of the row's local list (int32-exact select;
@@ -488,7 +519,7 @@ def _tiles_resid_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
-                     "int8_q"),
+                     "int8_q", "l2"),
 )
 def tiles_topk_resid_pallas(
     db_resid,        # (N_pad, D) int8 residual rows
@@ -509,6 +540,14 @@ def tiles_topk_resid_pallas(
     int8_q: bool = True,  # residual matmul on the int8 MXU path (2× rate)
     row_mask=None,   # (1, N_pad) int8 arena-order allow bits (filtered
                      # search) — None compiles the unmasked kernel
+    l2: bool = False,  # L2 metric: in-kernel ranking key q·x̂ − ‖x̂‖²/2
+                       # (kernel doc); scores return as the key, callers
+                       # convert to −‖q−x̂‖² with their own ‖q‖². Converted
+                       # scores carry the quantized path's ABSOLUTE noise
+                       # ~(‖q‖+‖x̂‖)·‖x̂‖·2⁻⁸ (bf16 inputs + int8 query
+                       # rounding; measured on-chip ≤0.25× that bound) —
+                       # ranking-safe, but near-duplicate distances (‖q−x̂‖²
+                       # ≈ 0) see it as large RELATIVE error by cancellation
 ):
     """Top-k over residual-int8 arena tiles (see _tiles_resid_kernel)."""
     n, d = db_resid.shape
@@ -563,6 +602,11 @@ def tiles_topk_resid_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_q, 1), lambda i, j, tt: (i, 0),
                      memory_space=pltpu.VMEM),
+    ]
+    if l2:  # global residual scale (the bias term needs it un-folded)
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j, tt: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [
         pl.BlockSpec((1, 1, w), lambda i, j, tt: (tt[i, j], 0, 0),
                      memory_space=pltpu.VMEM),  # valid_end as (n_tiles,1,W):
         # Mosaic requires the last two block dims to equal the array dims
@@ -585,7 +629,7 @@ def tiles_topk_resid_pallas(
     )
     kernel = functools.partial(
         _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w, int8_q=int8_q,
-        masked=row_mask is not None,
+        masked=row_mask is not None, l2=l2,
     )
     args = [tile_table.astype(jnp.int32), qf.astype(jnp.bfloat16)]
     if int8_q:
@@ -593,9 +637,10 @@ def tiles_topk_resid_pallas(
     args += [db_resid, local_ids]
     if row_mask is not None:
         args.append(row_mask.astype(jnp.int8))
-    args += [centroid_tiles.astype(jnp.bfloat16),
-             row_scale,
-             valid_end.astype(jnp.int32).reshape(valid_end.shape[0], 1, w)]
+    args += [centroid_tiles.astype(jnp.bfloat16), row_scale]
+    if l2:
+        args.append(jnp.asarray(resid_scale, jnp.float32).reshape(1, 1))
+    args += [valid_end.astype(jnp.int32).reshape(valid_end.shape[0], 1, w)]
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

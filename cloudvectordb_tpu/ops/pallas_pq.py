@@ -93,7 +93,7 @@ def _ceil_to(x: int, mult: int) -> int:
 
 def _pq_tiles_kernel(
     tile_table_ref, nv_ref, *refs, l_buckets, m, ncode, dsub, w_lists,
-    row_major=False, n_pools=1, n_live_tiles=None, masked=False,
+    row_major=False, n_pools=1, n_live_tiles=None, masked=False, l2=False,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -192,6 +192,18 @@ def _pq_tiles_kernel(
             q_ref[:], xhat_sc[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if l2:
+            # L2 ranking key q·x̂ − ‖x̂‖²/2: the decoded reconstruction
+            # already sits in the (D, T) f32 scratch, so the bias is one
+            # (1, D)·(D, T) ones-matmul reduction — lane layout, no stored
+            # norms, no extra HBM traffic. Pad rows decode to a plausible
+            # vector either way and stay masked by the validity cutoff.
+            ones = jnp.ones((1, xhat_sc.shape[0]), jnp.float32)
+            x2 = xhat_sc[:, :]
+            scores = scores - 0.5 * lax.dot_general(
+                ones, x2 * x2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, T) broadcasts over (Q, T)
         rows_per_bucket = tile_sz // l_buckets
         base = at * tile_sz
         if masked:
@@ -253,7 +265,7 @@ def _pq_tiles_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
-                     "row_major", "n_pools", "n_live_tiles"),
+                     "row_major", "n_pools", "n_live_tiles", "l2"),
 )
 def pq_tiles_topk_pallas(
     codes_cm,
@@ -277,6 +289,8 @@ def pq_tiles_topk_pallas(
     row_mask=None,  # (1, N_pad) int8 arena-order allow bits (filtered
                     # search) — None compiles the unmasked kernel; a tuple
                     # parallels segmented codes_cm
+    l2: bool = False,  # L2 metric: kernel ranks by q·x̂ − ‖x̂‖²/2 (see
+                       # _pq_tiles_kernel); callers convert to −‖q−x̂‖²
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -317,6 +331,7 @@ def pq_tiles_topk_pallas(
                 local_ids=(local_ids[si] if local_ids is not None else None),
                 n_pools=n_pools, n_live_tiles=seg_tiles,
                 row_mask=(row_mask[si] if row_mask is not None else None),
+                l2=l2,
             )
             outs_v.append(v)
             outs_i.append(i + t_off * tile_n)
@@ -406,7 +421,7 @@ def pq_tiles_topk_pallas(
     kernel = functools.partial(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
         w_lists=w_lists, row_major=row_major, n_pools=n_pools,
-        n_live_tiles=n_live_tiles, masked=row_mask is not None,
+        n_live_tiles=n_live_tiles, masked=row_mask is not None, l2=l2,
     )
     args = [tile_table.astype(jnp.int32), nv, qp,
             codes_cm.T if row_major else codes_cm]

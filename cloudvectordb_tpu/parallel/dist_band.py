@@ -27,12 +27,13 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 @functools.partial(
     jax.jit,
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret", "mesh",
-                     "int8_mode"),
+                     "int8_mode", "l2"),
 )
 def _sharded_band_search(
     q, centroids, payload, ids, tile_window, n_valid, db_scale,
     local_ids=None, centroid_tiles=None, valid_end=None, allowed=None,
     *, k, p_tiles, tile_n, tile_q, interpret, mesh, int8_mode=True,
+    l2: bool = False,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
     (S, n_tiles, W), n_valid (S,) true per-shard row counts — all sharded on
@@ -71,6 +72,7 @@ def _sharded_band_search(
                 k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
                 interpret=interpret,
                 int8_q=(int8_mode != "precise"),  # scoring='precise' plumb
+                l2=l2,  # per-shard −‖q−x̂‖² keys merge comparably (same q)
             )
             return merge(v, gid)
 
@@ -427,9 +429,10 @@ class ShardedBandIndex(TunableMixin):
         scoring_code = {"precise": 0, "int8": 1}.get(scoring, 2)
         flt_crc = (zlib.crc32(flt.mask_np.tobytes())
                    if flt is not None else 0)
+        l2 = sh0.metric == "l2"
         qg = stage_queries(qp, self.mesh,
                            statics=(p_tiles, k, scoring_code, int(interpret),
-                                    flt_crc))
+                                    flt_crc, int(l2)))
         v, i = _sharded_band_search(
             qg, st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
@@ -440,6 +443,7 @@ class ShardedBandIndex(TunableMixin):
             interpret=interpret, mesh=self.mesh,
             int8_mode=("precise" if scoring == "precise"
                        else True if scoring == "int8" else "hybrid"),
+            l2=l2,
         )
         out_v = fetch_local(v)[:nq]
         out_i = fetch_local(i)[:nq].astype(np.int64)
