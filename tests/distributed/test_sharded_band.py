@@ -230,3 +230,31 @@ def test_sharded_band_add():
     idx.remove(ids[:100])
     ids2 = idx.add(extra[:50])
     assert ids2.min() >= 4096 + 256
+
+
+def test_sharded_band_range_search():
+    """RangeSearchMixin on the sharded wrapper, checked against the numpy
+    oracle: the dense radius ball here (~125 hits/query) exceeds a SINGLE
+    band index's per-query candidate pool (l_buckets = tile_n = 128, where
+    slot-max collisions drop in-ball rows), but the 8-shard merge pools
+    8 × 128 candidates — the sharded wrapper must surface the full ball."""
+    db = clustered_vectors(2048, 64, n_clusters=16, seed=190, normalize=True)
+    q = queries_from(db, 16, seed=191, normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    kw = dict(dtype="int8", kmeans_iters=6, tile_n=128, tile_q=16, seed=5)
+    sharded = ShardedBandIndex.build(db, nlist=16, mesh=mesh, **kw)
+    st = sharded._device_state()
+    radius = 0.6
+    lims_s, sc_s, ids_s = sharded.range_search(
+        q, radius, k_start=8, p_tiles=st["n_tiles"])
+    s_full = q.astype(np.float64) @ db.astype(np.float64).T
+    for i in range(q.shape[0]):
+        got = set(ids_s[lims_s[i]:lims_s[i + 1]].tolist())
+        # every clear in-ball row found (int8 noise margin on the edge) …
+        clear = set(np.flatnonzero(s_full[i] >= radius + 0.05).tolist())
+        assert clear <= got, (i, clear - got)
+        # … and every returned hit is a true near neighbor up to that noise
+        assert all(s_full[i, g] >= radius - 0.05 for g in got), i
+        # CSR scores sorted descending within the row
+        row = sc_s[lims_s[i]:lims_s[i + 1]]
+        assert (np.diff(row) <= 1e-6).all()

@@ -102,3 +102,23 @@ def test_sharded_ivfpq_2d_replica_mesh_parity():
     v2, i2 = twod.search(q, 10, nprobe=16)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_ivfpq_range_search_past_shard_capacity():
+    """range_search escalates k past any single shard's row count; the
+    refine stage must rescore the k_cand that exists (capped at the largest
+    shard) and pad the width back — k > per-shard ntotal used to crash
+    lax.top_k inside _refine_rescore. Hits check against the numpy oracle."""
+    db = clustered_vectors(2048, 32, n_clusters=16, seed=90, normalize=True)
+    q = queries_from(db, 8, seed=91, normalize=True)
+    mesh = make_mesh(axis_name="shard")  # 8 shards × 256 rows
+    idx = ShardedIVFPQIndex.build(
+        db, nlist=16, m=8, mesh=mesh, nbits=6, kmeans_iters=6,
+        pq_train_iters=6, refine="int8", seed=3)
+    radius = -1.0  # every row is a hit: escalation runs to k_max > 256
+    lims, _, ids = idx.range_search(q, radius, k_start=32, k_max=2048,
+                                    nprobe=16)
+    assert (np.diff(lims) > 256).all()  # wider than any one shard
+    for i in range(q.shape[0]):
+        row = ids[lims[i]:lims[i + 1]]
+        assert len(set(row.tolist())) == len(row)  # no duplicate ids
