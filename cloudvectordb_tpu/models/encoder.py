@@ -44,7 +44,8 @@ class SelfAttention(nn.Module):
         neg = jnp.finfo(jnp.float32).min
         logits = jnp.where(mask[:, None, None, :], logits.astype(jnp.float32), neg)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(c.dropout)(probs, deterministic=deterministic)
+        attn_p = c.dropout if c.attn_dropout is None else c.attn_dropout
+        probs = nn.Dropout(attn_p)(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(
             c.hidden_dim, axis=(-2, -1), dtype=self.dtype, name="out"

@@ -66,7 +66,13 @@ class Trainer:
             params=params,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
-            rng=jax.random.PRNGKey(seed),
+            # rbg (default) drives the TPU hardware RNG for dropout masks —
+            # threefry bit generation alone cost 16% of the MiniLM step
+            # (utils/config.py::TrainConfig.rng_impl). Stored as RAW key
+            # data (uint32) so checkpoints stay plain arrays; the step
+            # re-wraps it under the configured impl.
+            rng=jax.random.key_data(
+                jax.random.key(seed, impl=self.cfg.rng_impl)),
         )
         return jax.device_put(state, replicated(self.mesh))
 
@@ -102,8 +108,12 @@ class Trainer:
                 )
             return loss, acc
 
+        rng_impl = cfg.rng_impl
+
         def step_fn(state: TrainState, batch):
-            rng, new_rng = jax.random.split(state.rng)
+            key = jax.random.wrap_key_data(state.rng, impl=rng_impl)
+            rng, new_key = jax.random.split(key)
+            new_rng = jax.random.key_data(new_key)
             (loss, acc), grads = jax.value_and_grad(loss_of, has_aux=True)(
                 state.params, batch, rng
             )
