@@ -71,7 +71,7 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int,
     static_argnames=(
         "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
         "refine_scale", "row_major", "n_pools", "l_buckets",
-        "refine_residual", "l2",
+        "refine_residual", "l2", "top2",
     ),
 )
 def _pq_tiles_plan_search(
@@ -79,7 +79,7 @@ def _pq_tiles_plan_search(
     centroid_tiles=None, n_valid=None, local_rm=None, row_mask=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
     row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
-    refine_residual: bool = False, l2: bool = False,
+    refine_residual: bool = False, l2: bool = False, top2: bool = False,
 ):
     """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
 
@@ -117,7 +117,7 @@ def _pq_tiles_plan_search(
         centroid_tiles=centroid_tiles,
         tile_n=tile_n, tile_q=tile_q, interpret=interpret, n_valid=n_valid,
         row_major=row_major, local_ids=local_rm, n_pools=n_pools,
-        l_buckets=l_buckets, row_mask=row_mask, l2=l2,
+        l_buckets=l_buckets, row_mask=row_mask, l2=l2, top2=top2,
     )
     if refine_scale > 0:
         # probed lists can hold < k_cand real rows: unfilled merge slots sit
@@ -3069,6 +3069,12 @@ class BandIVFPQIndex(BandIVFIndex):
                         if rf is not None:
                             cfg["refine_factor"] = rf
                         out.append(cfg)
+                        if rf is not None and rf >= 64:
+                            # per-bucket top-2 merge: measured ≥ the same-
+                            # budget pool split at equal-or-better QPS
+                            # (ops/pallas_pq.py kernel doc) — offered at the
+                            # depths where candidate shadowing binds
+                            out.append({**cfg, "top2": True})
                 if p >= n_tiles:
                     break
         seen = set()
@@ -3076,7 +3082,8 @@ class BandIVFPQIndex(BandIVFIndex):
                if (key := tuple(sorted(c.items()))) not in seen
                and not seen.add(key)]
         out.sort(key=lambda c: (c["p_tiles"]
-                                * (1 + c.get("refine_factor", 0) / 256.0),
+                                * (1 + c.get("refine_factor", 0) / 256.0)
+                                * (1.02 if c.get("top2") else 1.0),
                                 -c["tile_q"]))
         return out
 
@@ -3091,7 +3098,7 @@ class BandIVFPQIndex(BandIVFIndex):
         return kw
 
     def _resolve_pq_knobs(self, nq, nprobe, p_tiles, tile_q, refine_factor,
-                          n_pools, serve_from):
+                          n_pools, serve_from, top2=None):
         """Shared knob resolution for the PQ host and device search paths
         (the twin of _resolve_tiles_knobs): tuned op-point fills for
         sentinel values, small-batch query-tile shrink, span-aware auto
@@ -3107,19 +3114,24 @@ class BandIVFPQIndex(BandIVFIndex):
             tile_q = op.get("tile_q")
         if n_pools <= 0:
             n_pools = op.get("n_pools", 0)
+        if top2 is None:
+            top2 = bool(op.get("top2", False))
         tq = tile_q or self.tile_q
         if tile_q is None and nq < tq:
             tq = max(8, _next_pow2(nq))  # small-batch: see _search_tiles
         if p_tiles <= 0:
             n_tiles = self._n_pad_rows // self.tile_n
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-        return serve_from, refine_factor, p_tiles, tq, n_pools
+        return serve_from, refine_factor, p_tiles, tq, n_pools, top2
 
-    def _pq_stage_plan(self, k, refine_factor, n_pools, tq, p_tiles):
+    def _pq_stage_plan(self, k, refine_factor, n_pools, tq, p_tiles,
+                       top2=False):
         """Candidate-budget derivation shared by search()/search_device():
         (two_stage, k_cand, n_pools, l_buckets, k_stage1). two_stage is
         true when a populated refine tier will rescore the kernel's
-        candidate set downstream."""
+        candidate set downstream. top2 doubles each pool's slots (best two
+        distinct rows per bucket — ops/pallas_pq.py kernel doc), so the
+        auto pool count halves and buckets derive from 2·n_pools."""
         two_stage = (self.refine == "int8"
                      or (self.refine == "pq2"
                          and self.codebooks2 is not None
@@ -3131,11 +3143,13 @@ class BandIVFPQIndex(BandIVFIndex):
         k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
         # scratch+output VMEM ≈ 16·tq·slots bytes; stay under ~4 MB
         slot_budget = max(min(262_144 // tq, 8192), self.tile_n)
+        mult = 2 if top2 else 1
         if n_pools <= 0:
-            n_pools = max(1, min(-(-k_cand // self.tile_n),
-                                 slot_budget // self.tile_n, p_tiles))
-        l_buckets = self._derive_l_buckets(k_cand, n_pools)
-        k_cand = min(k_cand, n_pools * l_buckets)
+            n_pools = max(1, min(-(-k_cand // (mult * self.tile_n)),
+                                 max(slot_budget // (mult * self.tile_n), 1),
+                                 p_tiles))
+        l_buckets = self._derive_l_buckets(k_cand, mult * n_pools)
+        k_cand = min(k_cand, mult * n_pools * l_buckets)
         # for 'pq2'/'host' the kernel stage returns the k_cand-candidate
         # set (tier-1 scores, refine_scale 0) for the tier-2 rescore below
         k_stage1 = k if self.refine == "int8" else (k_cand if two_stage
@@ -3145,7 +3159,8 @@ class BandIVFPQIndex(BandIVFIndex):
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                p_tiles: int = 0, refine_factor: int | None = None,
                n_pools: int = 0, tile_q: int | None = None,
-               serve_from: str | None = None, where=None, **_):
+               serve_from: str | None = None, where=None,
+               top2: bool | None = None, **_):
         """n_pools=0 (auto): enough independent kernel candidate pools to hold
         k_cand = k·refine_factor slots, within a VMEM slot budget that scales
         inversely with the query tile — deep refine_factor (≥ tile_n/k) only
@@ -3185,9 +3200,9 @@ class BandIVFPQIndex(BandIVFIndex):
             queries = queries @ self.opq_matrix.T
         nq = queries.shape[0]
         flt = self.make_filter(where) if where is not None else None
-        serve_from, refine_factor, p_tiles, tq, n_pools = \
+        serve_from, refine_factor, p_tiles, tq, n_pools, top2 = \
             self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
-                                   refine_factor, n_pools, serve_from)
+                                   refine_factor, n_pools, serve_from, top2)
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
@@ -3209,7 +3224,7 @@ class BandIVFPQIndex(BandIVFIndex):
                                             flt=flt)
         st = self._device_state()
         two_stage, k_cand, n_pools, l_buckets, k_stage1 = \
-            self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles)
+            self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles, top2)
         nv = (self._seg_n_valid() if self._segmented
               else jnp.asarray(self._n, jnp.int32))
         qp_dev = jnp.asarray(qp)
@@ -3224,7 +3239,7 @@ class BandIVFPQIndex(BandIVFIndex):
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
             l_buckets=l_buckets, refine_residual=self._refine_residual,
-            l2=l2,
+            l2=l2, top2=top2,
         )
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(
@@ -3271,7 +3286,8 @@ class BandIVFPQIndex(BandIVFIndex):
                       p_tiles: int = 0, refine_factor: int | None = None,
                       n_pools: int = 0, tile_q: int | None = None,
                       serve_from: str | None = None,
-                      interpret: bool | None = None, where=None):
+                      interpret: bool | None = None, where=None,
+                      top2: bool | None = None):
         """All-device twin of ``search()`` (semantics documented there and
         on BandIVFIndex.search_device): device queries in, device
         (scores f32, ids i32) out, zero per-call host work. Supports
@@ -3293,9 +3309,9 @@ class BandIVFPQIndex(BandIVFIndex):
                               precision=jax.lax.Precision.HIGHEST)
         nq = queries.shape[0]
         flt = self.make_filter(where) if where is not None else None
-        serve_from, refine_factor, p_tiles, tq, n_pools = \
+        serve_from, refine_factor, p_tiles, tq, n_pools, top2 = \
             self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
-                                   refine_factor, n_pools, serve_from)
+                                   refine_factor, n_pools, serve_from, top2)
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else jnp.concatenate(
             [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
@@ -3315,7 +3331,7 @@ class BandIVFPQIndex(BandIVFIndex):
                                                    queries, k, flt=flt)
         st = self._device_state()
         two_stage, k_cand, n_pools, l_buckets, k_stage1 = \
-            self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles)
+            self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles, top2)
         assert not (two_stage and self.refine == "host"), (
             "refine='host' rescores from host RAM — use search()")
         nv = (self._seg_n_valid() if self._segmented
@@ -3331,7 +3347,7 @@ class BandIVFPQIndex(BandIVFIndex):
             refine_scale=self._scale if self.refine == "int8" else 0.0,
             row_major=self._codes_row_major, n_pools=n_pools,
             l_buckets=l_buckets, refine_residual=self._refine_residual,
-            l2=l2,
+            l2=l2, top2=top2,
         )
         if two_stage and self.refine == "pq2":
             v, gids = _pq2_rescore(

@@ -94,6 +94,7 @@ def _ceil_to(x: int, mult: int) -> int:
 def _pq_tiles_kernel(
     tile_table_ref, nv_ref, *refs, l_buckets, m, ncode, dsub, w_lists,
     row_major=False, n_pools=1, n_live_tiles=None, masked=False, l2=False,
+    top2=False,
 ):
     """PQ decode + score over an ARBITRARY per-query-tile tile set — the
     1B-scale path: PQ is the memory format (m bytes/vec in HBM), the tile
@@ -124,7 +125,16 @@ def _pq_tiles_kernel(
     (~p_tiles competitors/slot under the R=1 merge) — under noisy PQ scores
     this shadowing caps candidate quality and makes recall plateau in k_cand.
     n_pools pools cut the competitors per slot by n_pools AND multiply the
-    candidate budget to n_pools·l_buckets, at zero extra HBM traffic."""
+    candidate budget to n_pools·l_buckets, at zero extra HBM traffic.
+
+    top2: each pool keeps the best TWO distinct rows per bucket (a streaming
+    top-2 of the union: new best = max(run1, tile1); new second = max of the
+    loser of that pair and max(run2, tile2)). Catches the shadowing mode
+    pools cannot — the two best rows of a bucket arriving in the SAME tile
+    (pools split tiles, so both compete for one slot). Doubles the candidate
+    budget per pool at the same tile traffic; VMEM/merge-VPU cost ×2.
+    Duplicate tile replays (plan padding) stay idempotent: a row that
+    already holds slot 1 is excluded from the slot-2 race by index compare."""
     mask_ref = None
     if row_major and w_lists and masked:
         (q_ref, codes_ref, local_ref, mask_ref, cbt_ref, ct_ref,
@@ -242,19 +252,54 @@ def _pq_tiles_kernel(
             r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
             r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
             new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
+        if top2:
+            # within-tile runner-up per bucket (a DISTINCT row: the winning
+            # row is masked out before the second reduction)
+            if rows_per_bucket == 1:
+                mx2 = jnp.full_like(mx, NEG_INF)
+                new_idx2 = jnp.zeros_like(new_idx)
+            else:
+                s3b = jnp.where(r_iota == r_star[:, None, :], NEG_INF, s3)
+                mx2 = jnp.max(s3b, axis=1)
+                is2 = s3b >= mx2[:, None, :]
+                r2 = jnp.min(jnp.where(is2, r_iota, rows_per_bucket), axis=1)
+                new_idx2 = base + r2 * l_buckets + lax.broadcasted_iota(
+                    jnp.int32, mx2.shape, 1)
+
+        def merge_into(pid):
+            if not top2:
+                better = mx > val_sc[pid]
+                val_sc[pid] = jnp.where(better, mx, val_sc[pid])
+                idx_sc[pid] = jnp.where(better, new_idx, idx_sc[pid])
+                return
+            s1, s2 = 2 * pid, 2 * pid + 1
+            m1, i1 = val_sc[s1], idx_sc[s1]
+            m2, i2 = val_sc[s2], idx_sc[s2]
+            use_t = mx > m1
+            b1 = jnp.where(use_t, mx, m1)
+            j1 = jnp.where(use_t, new_idx, i1)
+            # loser of (run1, tile1) competes for slot 2 — unless it IS the
+            # slot-1 row re-presented by a duplicate tile replay
+            dup = jnp.logical_and(jnp.logical_not(use_t), new_idx == i1)
+            lo = jnp.where(dup, NEG_INF, jnp.where(use_t, m1, mx))
+            lo_i = jnp.where(use_t, i1, new_idx)
+            c2 = jnp.maximum(m2, mx2)
+            c2_i = jnp.where(mx2 > m2, new_idx2, i2)
+            win2 = lo > c2
+            val_sc[s1] = b1
+            idx_sc[s1] = j1
+            val_sc[s2] = jnp.where(win2, lo, c2)
+            idx_sc[s2] = jnp.where(win2, lo_i, c2_i)
+
         if n_pools == 1:
-            better = mx > val_sc[0]
-            val_sc[0] = jnp.where(better, mx, val_sc[0])
-            idx_sc[0] = jnp.where(better, new_idx, idx_sc[0])
+            merge_into(0)
         else:
             # predicated static-index update: pool j % n_pools takes this tile
             pool = lax.rem(j, n_pools)
             for pid in range(n_pools):
                 @pl.when(pool == pid)
                 def _upd(pid=pid):
-                    better = mx > val_sc[pid]
-                    val_sc[pid] = jnp.where(better, mx, val_sc[pid])
-                    idx_sc[pid] = jnp.where(better, new_idx, idx_sc[pid])
+                    merge_into(pid)
 
     @pl.when(j == n_j - 1)
     def _emit():
@@ -265,7 +310,7 @@ def _pq_tiles_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
-                     "row_major", "n_pools", "n_live_tiles", "l2"),
+                     "row_major", "n_pools", "n_live_tiles", "l2", "top2"),
 )
 def pq_tiles_topk_pallas(
     codes_cm,
@@ -291,6 +336,8 @@ def pq_tiles_topk_pallas(
                     # parallels segmented codes_cm
     l2: bool = False,  # L2 metric: kernel ranks by q·x̂ − ‖x̂‖²/2 (see
                        # _pq_tiles_kernel); callers convert to −‖q−x̂‖²
+    top2: bool = False,  # best TWO distinct rows per bucket per pool (see
+                         # kernel doc) — candidate budget 2·n_pools·l_buckets
 ):
     """Tile-table-pruned PQ search (IP on reconstructions).
 
@@ -331,7 +378,7 @@ def pq_tiles_topk_pallas(
                 local_ids=(local_ids[si] if local_ids is not None else None),
                 n_pools=n_pools, n_live_tiles=seg_tiles,
                 row_mask=(row_mask[si] if row_mask is not None else None),
-                l2=l2,
+                l2=l2, top2=top2,
             )
             outs_v.append(v)
             outs_i.append(i + t_off * tile_n)
@@ -357,6 +404,7 @@ def pq_tiles_topk_pallas(
         l_buckets = tile_n  # R=1: elementwise merge (fastest, biggest pool)
     l_buckets = min(l_buckets, tile_n)
     assert tile_n % l_buckets == 0
+    n_slots = n_pools * (2 if top2 else 1)  # scratch/output pool rows
     n_qt = nq // tile_q
     p = tile_table.shape[1]
     w_lists = int(centroid_tiles.shape[1]) if residual else 0
@@ -405,23 +453,24 @@ def pq_tiles_topk_pallas(
             ),  # (1, W, D)
         ],
         out_specs=[
-            pl.BlockSpec((n_pools, tile_q, l_buckets),
+            pl.BlockSpec((n_slots, tile_q, l_buckets),
                          lambda i, j, tt, nv: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pools, tile_q, l_buckets),
+            pl.BlockSpec((n_slots, tile_q, l_buckets),
                          lambda i, j, tt, nv: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, tile_n), jnp.float32),
-            pltpu.VMEM((n_pools, tile_q, l_buckets), jnp.float32),
-            pltpu.VMEM((n_pools, tile_q, l_buckets), jnp.int32),
+            pltpu.VMEM((n_slots, tile_q, l_buckets), jnp.float32),
+            pltpu.VMEM((n_slots, tile_q, l_buckets), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _pq_tiles_kernel, l_buckets=l_buckets, m=m, ncode=ncode, dsub=dsub,
         w_lists=w_lists, row_major=row_major, n_pools=n_pools,
         n_live_tiles=n_live_tiles, masked=row_mask is not None, l2=l2,
+        top2=top2,
     )
     args = [tile_table.astype(jnp.int32), nv, qp,
             codes_cm.T if row_major else codes_cm]
@@ -434,8 +483,8 @@ def pq_tiles_topk_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pools, nq, l_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((n_pools, nq, l_buckets), jnp.int32),
+            jax.ShapeDtypeStruct((n_slots, nq, l_buckets), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, nq, l_buckets), jnp.int32),
         ],
         interpret=interpret,
         # deep-pool configs (n_pools·l_buckets·tile_q slots + the (d, tile_n)
@@ -446,10 +495,10 @@ def pq_tiles_topk_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*args)
 
-    # pools side by side: (nq, n_pools·l_buckets) candidate slots per query
+    # pools side by side: (nq, n_slots·l_buckets) candidate slots per query
     cand_v = jnp.transpose(out_v[:, :nq], (1, 0, 2)).reshape(nq, -1)
     cand_i = jnp.transpose(out_i[:, :nq], (1, 0, 2)).reshape(nq, -1)
-    top_v, pos = lax.top_k(cand_v, min(k, n_pools * l_buckets))
+    top_v, pos = lax.top_k(cand_v, min(k, n_slots * l_buckets))
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_v, top_i
 

@@ -257,9 +257,14 @@ def main():
         print(f"[decomp] refine ceiling (int8 rescore of exact top-128): "
               f"recall@10={recall_at_k(ceil_ids, gt):.4f}", flush=True)
 
-        for k_cand, n_pools, tqd in ((1024, 1, 128), (4096, 4, 64)):
-            lb = idx._derive_l_buckets(k_cand, n_pools)
-            kc = min(k_cand, n_pools * lb)
+        # top2 rows: per-bucket top-2 merge — the same k_cand from half the
+        # bucket slots (ops/pallas_pq.py kernel doc)
+        for k_cand, n_pools, tqd, top2 in (
+                (1024, 1, 128, False), (4096, 4, 64, False),
+                (1024, 1, 128, True), (4096, 4, 64, True)):
+            mult = 2 if top2 else 1
+            lb = idx._derive_l_buckets(k_cand, mult * n_pools)
+            kc = min(k_cand, mult * n_pools * lb)
             p_d = idx._auto_p_tiles(B, 32, n_tiles, tile_q=tqd)
             v, g = _pq_tiles_plan_search(
                 queries, st["centroids"], st["codes"], st["codebooks"],
@@ -268,14 +273,15 @@ def main():
                 k=kc, k_cand=kc, p_tiles=p_d, tile_n=idx.tile_n, tile_q=tqd,
                 interpret=False, refine_scale=0.0,  # raw candidates
                 row_major=idx._codes_row_major, n_pools=n_pools,
-                l_buckets=lb, refine_residual=False,
+                l_buckets=lb, refine_residual=False, top2=top2,
             )
             cand = jax.device_get(g)[:NQ_GT]
             hit = np.zeros(gt.shape, bool)
             for b_ in range(NQ_GT):
                 hit[b_] = np.isin(gt[b_], cand[b_])
             print(f"[decomp] PQ candidate recall@{kc} (pools={n_pools} "
-                  f"tq={tqd} p={p_d}): {hit.mean():.4f}", flush=True)
+                  f"tq={tqd} p={p_d} top2={int(top2)}): {hit.mean():.4f}",
+                  flush=True)
 
         v10, g10 = _pq_tiles_plan_search(
             queries, st["centroids"], st["codes"], st["codebooks"],
@@ -297,22 +303,27 @@ def main():
                 else ["0:1024:1:128", "0:4096:4:64", "512:4096:4:64"])
     for cfg_s in cfg_list:
         parts = [int(x) for x in cfg_s.split(":")]
-        p_tiles, k_cand, n_pools, tile_q = (parts + [1, idx.tile_q])[:4]
+        # p:k_cand:pools:tile_q[:top2] — top2=1 enables the per-bucket
+        # top-2 merge (same pools → same k_cand from half the buckets)
+        p_tiles, k_cand, n_pools, tile_q, top2_i = (
+            parts + [1, idx.tile_q, 0])[:5]
+        top2 = bool(top2_i)
         p_tiles = min(p_tiles, n_tiles) if p_tiles else idx._auto_p_tiles(
             B, 32, n_tiles, tile_q=tile_q)
-        l_buckets = idx._derive_l_buckets(k_cand, n_pools)
+        mult = 2 if top2 else 1
+        l_buckets = idx._derive_l_buckets(k_cand, mult * n_pools)
 
         def run(noise):
             return _pq_tiles_plan_search(
                 queries + noise, st["centroids"], st["codes"],
                 st["codebooks"], st["refine"], st["ids"], st["tile_window"],
                 st["centroid_tiles"], nv, st.get("local_rm"),
-                k=K, k_cand=min(k_cand, n_pools * l_buckets),
+                k=K, k_cand=min(k_cand, mult * n_pools * l_buckets),
                 p_tiles=p_tiles, tile_n=idx.tile_n,
                 tile_q=tile_q, interpret=False, refine_scale=idx._scale,
                 row_major=idx._codes_row_major,
                 refine_residual=idx._refine_residual,
-                n_pools=n_pools, l_buckets=l_buckets,
+                n_pools=n_pools, l_buckets=l_buckets, top2=top2,
             )
 
         try:
@@ -333,7 +344,8 @@ def main():
             dt = max(time.perf_counter() - t0 - rtt, 1e-9)
             qps = B * reps / dt
             print(f"[eval] p={p_tiles} ({p_tiles/n_tiles:5.1%}) "
-                  f"k_cand={k_cand} pools={n_pools} tq={tile_q}: "
+                  f"k_cand={k_cand} pools={n_pools} tq={tile_q} "
+                  f"top2={int(top2)}: "
                   f"recall@10={r:.4f}  {qps:9.0f} qps/chip", flush=True)
         except Exception as e:
             print(f"[eval] {cfg_s}: FAILED {type(e).__name__} "

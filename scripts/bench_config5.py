@@ -184,8 +184,13 @@ def main():
             # achieves; its 96 GB build-time device→host copy is ~10 s of
             # PCIe on real hardware but hours through this dev tunnel, so
             # the ceiling is reported instead of benched end-to-end
-            for kc, npool in ((1024, 2), (4096, 4)):
-                lb = kc // npool
+            # TOP2=1 adds the per-bucket top-2 merge rows (same pools →
+            # 2× k_cand at identical tile traffic — ops/pallas_pq.py)
+            cfgs = [(1024, 2, False), (4096, 4, False)]
+            if os.environ.get("TOP2") == "1":
+                cfgs += [(2048, 2, True), (8192, 4, True)]
+            for kc, npool, top2 in cfgs:
+                lb = kc // npool // (2 if top2 else 1)
                 _, gc = _pq_tiles_plan_search(
                     qrot[:NQ_GT] + 0.0, st["centroids"], st["codes"],
                     st["codebooks"], st["refine"], st["ids"],
@@ -193,14 +198,14 @@ def main():
                     st.get("local_rm"), k=kc, k_cand=kc, p_tiles=p_tiles,
                     tile_n=idx.tile_n, tile_q=64, interpret=False,
                     refine_scale=0.0, row_major=idx._codes_row_major,
-                    n_pools=npool, l_buckets=lb)
+                    n_pools=npool, l_buckets=lb, top2=top2)
                 gc = np.asarray(jax.device_get(gc))
                 crec = np.mean([
                     len(set(gc[i]) & set(gt[i])) / gt.shape[1]
                     for i in range(NQ_GT)])
                 print(f"[eval] host-ceiling p={p_tiles} k_cand={kc} "
-                      f"pools={npool}: candidate-recall@10={crec:.4f}",
-                      flush=True)
+                      f"pools={npool} top2={int(top2)}: "
+                      f"candidate-recall@10={crec:.4f}", flush=True)
             # tile_q stays 128: at p=4096 the (n_qt, p) scalar-prefetch
             # table sits at the 512 KB SMEM edge already (see module doc)
             for rf, npool, tq2 in ((102, 2, 128), (205, 4, 128),

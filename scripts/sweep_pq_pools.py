@@ -95,11 +95,18 @@ def main():
     qh = np.asarray(queries)
     rtt = measure_fetch_rtt()
 
-    for n_pools, rf in [(1, 16), (1, 102), (2, 102), (4, 102), (4, 409),
-                        (8, 409)]:
+    # (n_pools, refine_factor, top2): top2 rows measure the per-bucket
+    # top-2 merge — same tile traffic as the matching top1 row, but each
+    # pool keeps the best TWO distinct rows per bucket (k_cand doubles; the
+    # top1 row with 2× pools is the equal-VMEM control)
+    for n_pools, rf, top2 in [
+        (1, 16, False), (1, 102, False), (2, 102, False), (1, 102, True),
+        (2, 102, True), (4, 102, False), (4, 409, False), (2, 409, True),
+        (4, 409, True), (8, 409, False),
+    ]:
         try:
             s, f = idx.search(qh[:NQ_GT], K, p_tiles=p_tiles,
-                              refine_factor=rf, n_pools=n_pools)
+                              refine_factor=rf, n_pools=n_pools, top2=top2)
             r = recall_at_k(f, gt)
             # fenced timing on the full batch, varied inputs
             ts = time.perf_counter()
@@ -107,7 +114,8 @@ def main():
             for it in range(reps):
                 qv = np.roll(qh, it + 1, axis=0)
                 s2, _ = idx.search(qv, K, p_tiles=p_tiles,
-                                   refine_factor=rf, n_pools=n_pools)
+                                   refine_factor=rf, n_pools=n_pools,
+                                   top2=top2)
                 _ = float(np.asarray(s2).sum())
             raw = (time.perf_counter() - ts) / reps
             # same floor as eval/qps.py: fast configs can land within RTT
@@ -115,12 +123,12 @@ def main():
             rtt_bound = raw - rtt < 0.05 * raw
             dt = raw if rtt_bound else raw - rtt
             tag = " (rtt-bound)" if rtt_bound else ""
-            print(f"pools={n_pools} rf={rf}: recall@10 {r:.4f}  "
-                  f"{B / dt:,.0f} qps{tag}  p_tiles={p_tiles}/{n_tiles}",
-                  flush=True)
+            print(f"pools={n_pools} rf={rf} top2={int(top2)}: "
+                  f"recall@10 {r:.4f}  {B / dt:,.0f} qps{tag}  "
+                  f"p_tiles={p_tiles}/{n_tiles}", flush=True)
         except Exception as e:  # VMEM overflow → HTTP 500 remote compile
-            print(f"pools={n_pools} rf={rf}: FAILED {type(e).__name__} "
-                  f"{str(e)[:200]}", flush=True)
+            print(f"pools={n_pools} rf={rf} top2={int(top2)}: FAILED "
+                  f"{type(e).__name__} {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

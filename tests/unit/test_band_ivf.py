@@ -1121,3 +1121,45 @@ def test_search_device_host_refine_guard(data):
     assert idx._host_rows is None and idx._host_pending_rows
     with _pytest.raises(AssertionError, match="host"):
         idx.search_device(jnp.asarray(q), 10, interpret=True)
+
+
+def test_pq_top2_per_bucket_candidates(data):
+    """top2=True keeps each pool's best TWO distinct rows per bucket
+    (ops/pallas_pq.py streaming top-2 merge). With identical
+    (n_pools, l_buckets) and plan, slot-1 contents match the top1 merge
+    exactly, so the top2 candidate set must be a duplicate-free SUPERSET
+    of the top1 set; with refine the extra candidates must not regress
+    recall."""
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    idx = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=5, refine="none", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16, residual=False,
+    )
+    n_tiles = idx._n_pad_rows // idx.tile_n
+    # full slot extraction: k = all candidate slots each way; both runs
+    # derive l_buckets=128 from (k_cand, slots_per_pool) so the pools and
+    # the tile plan are identical
+    v1, f1 = idx.search(q, 256, p_tiles=n_tiles, n_pools=2, interpret=True,
+                        top2=False)
+    v2, f2 = idx.search(q, 512, p_tiles=n_tiles, n_pools=2, interpret=True,
+                        top2=True)
+    for row in range(q.shape[0]):
+        got1 = set(f1[row][v1[row] > -np.inf].tolist())
+        l2 = f2[row][v2[row] > -np.inf].tolist()
+        got2 = set(l2)
+        assert len(got2) == len(l2), f"duplicate candidates in row {row}"
+        assert got1 <= got2, (row, got1 - got2)
+
+    idx_r = BandIVFPQIndex.build(
+        db, nlist=16, m=8, nbits=5, refine="int8", kmeans_iters=6,
+        pq_train_iters=6, tile_n=256, tile_q=16,
+    )
+    _, r1 = idx_r.search(q, 10, p_tiles=n_tiles, refine_factor=64,
+                         n_pools=2, interpret=True, top2=False)
+    _, r2 = idx_r.search(q, 10, p_tiles=n_tiles, refine_factor=64,
+                         n_pools=2, interpret=True, top2=True)
+    rec1, rec2 = recall_at_k(r1, gt), recall_at_k(r2, gt)
+    assert rec2 >= rec1 - 1e-9, (rec2, rec1)
+    assert rec2 >= 0.8, rec2
