@@ -208,11 +208,12 @@ def _pq_tiles_plan_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "int8", "interpret"),
+    static_argnames=("k", "p_tiles", "tile_n", "tile_q", "int8", "interpret",
+                     "top2"),
 )
 def _tiles_plan_search(
     q, centroids, payload, ids, tile_window, db_scale, n_valid=None,
-    *, k, p_tiles, tile_n, tile_q, int8, interpret,
+    *, k, p_tiles, tile_n, tile_q, int8, interpret, top2: bool = False,
 ):
     """One-dispatch search: device-side planning + tile-table kernel + unsort.
 
@@ -236,7 +237,7 @@ def _tiles_plan_search(
 
     v, rows = tiles_topk_pallas(
         payload, q_dev, tile_table, k, tile_n=tile_n, tile_q=tile_q,
-        int8=int8, interpret=interpret, n_valid=n_valid,
+        int8=int8, interpret=interpret, n_valid=n_valid, top2=top2,
     )
     v = v * (q_scale * db_scale)
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
@@ -267,13 +268,13 @@ def _arena_mask_from_ids(ids, allowed, n_pad=None):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret",
-                     "int8_q", "l2"),
+                     "int8_q", "l2", "top2"),
 )
 def _tiles_resid_plan_search(
     q, centroids, payload, local_ids, centroid_tiles, resid_scale, ids,
     tile_window, valid_end, allowed=None, row_mask=None,
     *, k, p_tiles, tile_n, tile_q, interpret, int8_q: bool = True,
-    l2: bool = False,
+    l2: bool = False, top2: bool = False,
 ):
     """One-dispatch residual-int8 search: identical planning to
     _tiles_plan_search, residual kernel for scoring (int8 residual rows +
@@ -303,7 +304,7 @@ def _tiles_resid_plan_search(
     v, rows = tiles_topk_resid_pallas(
         payload, local_ids, centroid_tiles, resid_scale, q_s, tile_table, k,
         valid_end, tile_n=tile_n, tile_q=tile_q, interpret=interpret,
-        int8_q=int8_q, row_mask=row_mask, l2=l2,
+        int8_q=int8_q, row_mask=row_mask, l2=l2, top2=top2,
     )
     gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
     if row_mask is not None:
@@ -1433,7 +1434,7 @@ class BandIVFIndex(Index):
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                strategy: str = "tiles", p_tiles: int = 0,
                scoring: str = "hybrid", tile_q: int | None = None,
-               where=None):
+               where=None, top2: bool | None = None):
         """strategy='tiles' (default): device-planned query-clustered tile
         probing — one dispatch, compute ∝ p_tiles/n_tiles of a full scan.
         strategy='band': contiguous-band variant (kept for comparison; 1-D id
@@ -1459,9 +1460,11 @@ class BandIVFIndex(Index):
             p_tiles = op.get("p_tiles", 0)
         if tile_q is None:
             tile_q = op.get("tile_q")
+        if top2 is None:
+            top2 = bool(op.get("top2", False))
         if strategy == "tiles":
             return self._search_tiles(queries, k, nprobe, p_tiles, interpret,
-                                      scoring, tile_q, flt=flt)
+                                      scoring, tile_q, flt=flt, top2=top2)
         assert not self._resid8, "band strategy lacks the centroid term; use tiles"
         assert flt is None, "filtered search: use strategy='tiles'"
         return self._search_band(queries, k, nprobe, interpret)
@@ -1513,11 +1516,13 @@ class BandIVFIndex(Index):
         return rm  # PQ family re-slices for segmented arenas
 
     def _tiles_kernel_dispatch(self, qp, k, p_tiles, tq, scoring, interpret,
-                               flt=None):
+                               flt=None, top2=False):
         """One device dispatch of the tiles search over the arena (pending/
         annex excluded): qp is a device (q_pad, D) f32 array, q_pad a
         multiple of tq. Returns device (v (q_pad, k) f32, gids (q_pad, k)
-        i32)."""
+        i32). top2 doubles the kernel candidate pool to 2·l_buckets per
+        query (ops/pallas_band.py::_merge_top2) — the lever for k near the
+        pool width and for dense range_search balls."""
         st = self._device_state()
         if self._resid8:
             return _tiles_resid_plan_search(
@@ -1528,7 +1533,7 @@ class BandIVFIndex(Index):
                 else None,
                 k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
                 interpret=interpret, int8_q=(scoring != "precise"),
-                l2=self.metric == "l2",
+                l2=self.metric == "l2", top2=top2,
             )
         assert flt is None, (
             "where= masks at score time in the residual-int8 kernel; for "
@@ -1544,11 +1549,11 @@ class BandIVFIndex(Index):
             qp, st["centroids"], st["payload"], st["ids"],
             st["tile_window"], self._scale, jnp.asarray(self._n, jnp.int32),
             k=k, p_tiles=p_tiles, tile_n=self.tile_n, tile_q=tq,
-            int8=int8_mode, interpret=interpret,
+            int8=int8_mode, interpret=interpret, top2=top2,
         )
 
     def _search_tiles(self, queries, k, nprobe, p_tiles, interpret,
-                      scoring="hybrid", tile_q=None, flt=None):
+                      scoring="hybrid", tile_q=None, flt=None, top2=False):
         nq = queries.shape[0]
         p_tiles, tq = self._resolve_tiles_knobs(nq, nprobe, p_tiles, tile_q)
         q_pad = -(-nq // tq) * tq
@@ -1556,14 +1561,16 @@ class BandIVFIndex(Index):
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)]
         )
         v, gids = self._tiles_kernel_dispatch(
-            jnp.asarray(qp), k, p_tiles, tq, scoring, interpret, flt=flt)
+            jnp.asarray(qp), k, p_tiles, tq, scoring, interpret, flt=flt,
+            top2=top2)
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         return self._merge_pending_topk(v, gids, queries[:nq], k, flt=flt)
 
     def search_device(self, queries, k: int, nprobe: int = 32,
                       p_tiles: int = 0, scoring: str = "hybrid",
                       tile_q: int | None = None,
-                      interpret: bool | None = None, where=None):
+                      interpret: bool | None = None, where=None,
+                      top2: bool | None = None):
         """All-device serving path: ``queries`` is (or becomes) a device
         (B, D) f32 array and the returned (scores (B, k) f32, ids (B, k)
         i32) are device arrays — once warm there is NO host↔device
@@ -1594,12 +1601,14 @@ class BandIVFIndex(Index):
             p_tiles = op.get("p_tiles", 0)
         if tile_q is None:
             tile_q = op.get("tile_q")
+        if top2 is None:
+            top2 = bool(op.get("top2", False))
         p_tiles, tq = self._resolve_tiles_knobs(nq, nprobe, p_tiles, tile_q)
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else jnp.concatenate(
             [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
         v, gids = self._tiles_kernel_dispatch(
-            qp, k, p_tiles, tq, scoring, interpret, flt=flt)
+            qp, k, p_tiles, tq, scoring, interpret, flt=flt, top2=top2)
         return self._merge_pending_topk_device(v[:nq], gids[:nq], queries, k,
                                                flt=flt)
 

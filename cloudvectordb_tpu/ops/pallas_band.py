@@ -98,6 +98,40 @@ def _score_tile(q, tile, int8):
     )
 
 
+def _tile_second_best(s3, r_iota, r_star, base, l_buckets):
+    """Within-tile runner-up per bucket (a DISTINCT row: the winner's row is
+    masked before the second reduction). Shared by the top2 variants of the
+    tiles kernels (same scheme as ops/pallas_pq.py's _pq_tiles_kernel)."""
+    s3b = jnp.where(r_iota == r_star[:, None, :], NEG_INF, s3)
+    mx2 = jnp.max(s3b, axis=1)
+    is2 = s3b >= mx2[:, None, :]
+    r2 = jnp.min(jnp.where(is2, r_iota, s3.shape[1]), axis=1)
+    idx2 = base + r2 * l_buckets + lax.broadcasted_iota(
+        jnp.int32, mx2.shape, 1)
+    return mx2, idx2
+
+
+def _merge_top2(val_sc, idx_sc, mx, new_idx, mx2, new_idx2):
+    """Streaming per-bucket top-2 union merge into slots val_sc[0]/[1]:
+    new best = max(run1, tile1); new second = max of the (run1, tile1)
+    loser and max(run2, tile2). Duplicate tile replays stay idempotent —
+    a row already holding slot 1 is excluded from the slot-2 race by
+    index compare."""
+    m1, i1 = val_sc[0], idx_sc[0]
+    m2, i2 = val_sc[1], idx_sc[1]
+    use_t = mx > m1
+    dup = jnp.logical_and(jnp.logical_not(use_t), new_idx == i1)
+    lo = jnp.where(dup, NEG_INF, jnp.where(use_t, m1, mx))
+    lo_i = jnp.where(use_t, i1, new_idx)
+    c2 = jnp.maximum(m2, mx2)
+    c2_i = jnp.where(mx2 > m2, new_idx2, i2)
+    win2 = lo > c2
+    val_sc[0] = jnp.where(use_t, mx, m1)
+    idx_sc[0] = jnp.where(use_t, new_idx, i1)
+    val_sc[1] = jnp.where(win2, lo, c2)
+    idx_sc[1] = jnp.where(win2, lo_i, c2_i)
+
+
 def _band_kernel(
     band_start_ref,  # scalar prefetch: (n_qt,) first arena tile of each band
     nv_ref,  # scalar prefetch: (1,) TRUE row count — pad rows masked out
@@ -154,11 +188,13 @@ def _ceil_to(x: int, m: int) -> int:
 def _tiles_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile id per grid step
     nv_ref,  # scalar prefetch: (1,) TRUE row count — pad rows masked out
-    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, l_buckets, int8
+    q_ref, db_ref, out_v_ref, out_i_ref, val_sc, idx_sc, *, l_buckets, int8,
+    top2=False,
 ):
     """Like _band_kernel but each query tile scans an ARBITRARY tile set
     (no contiguity needed — 1-D id locality does not exist in high-dim
-    space, so bands degenerate; an explicit table doesn't)."""
+    space, so bands degenerate; an explicit table doesn't). top2: best TWO
+    distinct rows per bucket (scratch/out gain a leading slot dim of 2)."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     n = nv_ref[0]
@@ -175,11 +211,15 @@ def _tiles_kernel(
     at = tile_table_ref[qt, j]
     rows_per_bucket = tile_sz // l_buckets
     base = at * tile_sz
+    mx2 = new_idx2 = None
     if rows_per_bucket == 1:
         # L == tile: pure elementwise merge, no reduction/argmax passes
         g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         mx = jnp.where(g < n, scores, NEG_INF)
         new_idx = g
+        if top2:
+            mx2 = jnp.full_like(mx, NEG_INF)
+            new_idx2 = jnp.zeros_like(new_idx)
     else:
         s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
         g_idx = (
@@ -193,9 +233,15 @@ def _tiles_kernel(
         r_iota = lax.broadcasted_iota(jnp.int32, s3.shape, 1)
         r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
         new_idx = base + r_star * l_buckets + lax.broadcasted_iota(jnp.int32, mx.shape, 1)
-    better = mx > val_sc[:]
-    val_sc[:] = jnp.where(better, mx, val_sc[:])
-    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+        if top2:
+            mx2, new_idx2 = _tile_second_best(s3, r_iota, r_star, base,
+                                              l_buckets)
+    if top2:
+        _merge_top2(val_sc, idx_sc, mx, new_idx, mx2, new_idx2)
+    else:
+        better = mx > val_sc[:]
+        val_sc[:] = jnp.where(better, mx, val_sc[:])
+        idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
 
     @pl.when(j == n_j - 1)
     def _emit():
@@ -205,7 +251,8 @@ def _tiles_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "int8", "interpret"),
+    static_argnames=("k", "tile_n", "tile_q", "l_buckets", "int8",
+                     "interpret", "top2"),
 )
 def tiles_topk_pallas(
     db,
@@ -218,6 +265,8 @@ def tiles_topk_pallas(
     int8: bool = False,
     interpret: bool = False,
     n_valid=None,  # true row count (traced scalar ok); pad rows masked out
+    top2: bool = False,  # best TWO distinct rows per bucket — candidate
+                         # pool 2·l_buckets (see _merge_top2)
 ):
     """Top-k over per-query-tile selected arena tiles. Same contract as
     band_topk_pallas but driven by an explicit tile table.
@@ -259,26 +308,42 @@ def tiles_topk_pallas(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt, nv: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(((2, tile_q, l_buckets) if top2
+                          else (tile_q, l_buckets)),
+                         (lambda i, j, tt, nv: (0, i, 0)) if top2
+                         else (lambda i, j, tt, nv: (i, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((2, tile_q, l_buckets) if top2
+                          else (tile_q, l_buckets)),
+                         (lambda i, j, tt, nv: (0, i, 0)) if top2
+                         else (lambda i, j, tt, nv: (i, 0)),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
-            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+            pltpu.VMEM(((2, tile_q, l_buckets) if top2
+                        else (tile_q, l_buckets)), jnp.float32),
+            pltpu.VMEM(((2, tile_q, l_buckets) if top2
+                        else (tile_q, l_buckets)), jnp.int32),
         ],
     )
-    kernel = functools.partial(_tiles_kernel, l_buckets=l_buckets, int8=int8)
+    kernel = functools.partial(_tiles_kernel, l_buckets=l_buckets, int8=int8,
+                               top2=top2)
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+            jax.ShapeDtypeStruct(((2, nq, l_buckets) if top2
+                                  else (nq, l_buckets)), jnp.float32),
+            jax.ShapeDtypeStruct(((2, nq, l_buckets) if top2
+                                  else (nq, l_buckets)), jnp.int32),
         ],
         interpret=interpret,
     )(tile_table.astype(jnp.int32), nv, queries_sorted, db)
 
-    top_v, pos = lax.top_k(out_v, min(k, l_buckets))
+    if top2:  # slots side by side: (nq, 2·l_buckets) candidates per query
+        out_v = jnp.transpose(out_v, (1, 0, 2)).reshape(nq, -1)
+        out_i = jnp.transpose(out_i, (1, 0, 2)).reshape(nq, -1)
+    top_v, pos = lax.top_k(out_v, min(k, (2 if top2 else 1) * l_buckets))
     top_i = jnp.take_along_axis(out_i, pos, axis=1)
     return top_v, top_i
 
@@ -364,7 +429,7 @@ def band_topk_pallas(
 
 def _tiles_resid_kernel(
     tile_table_ref,  # scalar prefetch: (n_qt, P) arena-tile ids
-    *refs, l_buckets, w_lists, int8_q, masked=False, l2=False,
+    *refs, l_buckets, w_lists, int8_q, masked=False, l2=False, top2=False,
 ):
     """Residual-int8 tiles scan: db rows hold int8 RESIDUALS (row − its list
     centroid). Residual norms are a fraction of row norms, so the same 8
@@ -487,10 +552,14 @@ def _tiles_resid_kernel(
     at = tile_table_ref[qt, j]
     rows_per_bucket = tile_sz // l_buckets
     base = at * tile_sz
+    mx2 = new_idx2 = None
     if rows_per_bucket == 1:
         g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         mx = jnp.where(g < ve_row[None, :], scores, NEG_INF)
         new_idx = g
+        if top2:
+            mx2 = jnp.full_like(mx, NEG_INF)
+            new_idx2 = jnp.zeros_like(new_idx)
     else:
         # per-row cutoff VECTOR (ve_row): compare in the 2-D (Q, T) domain
         # BEFORE the bucket reshape — reshaping the (T,) cutoff to 3-D is a
@@ -506,9 +575,15 @@ def _tiles_resid_kernel(
         r_star = jnp.min(jnp.where(is_max, r_iota, rows_per_bucket), axis=1)
         new_idx = base + r_star * l_buckets + lax.broadcasted_iota(
             jnp.int32, mx.shape, 1)
-    better = mx > val_sc[:]
-    val_sc[:] = jnp.where(better, mx, val_sc[:])
-    idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
+        if top2:
+            mx2, new_idx2 = _tile_second_best(s3, r_iota, r_star, base,
+                                              l_buckets)
+    if top2:
+        _merge_top2(val_sc, idx_sc, mx, new_idx, mx2, new_idx2)
+    else:
+        better = mx > val_sc[:]
+        val_sc[:] = jnp.where(better, mx, val_sc[:])
+        idx_sc[:] = jnp.where(better, new_idx, idx_sc[:])
 
     @pl.when(j == n_j - 1)
     def _emit():
@@ -519,7 +594,7 @@ def _tiles_resid_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_n", "tile_q", "l_buckets", "interpret",
-                     "int8_q", "l2"),
+                     "int8_q", "l2", "top2"),
 )
 def tiles_topk_resid_pallas(
     db_resid,        # (N_pad, D) int8 residual rows
@@ -548,6 +623,8 @@ def tiles_topk_resid_pallas(
                        # rounding; measured on-chip ≤0.25× that bound) —
                        # ranking-safe, but near-duplicate distances (‖q−x̂‖²
                        # ≈ 0) see it as large RELATIVE error by cancellation
+    top2: bool = False,  # best TWO distinct rows per bucket — candidate
+                         # pool 2·l_buckets (see _merge_top2)
 ):
     """Top-k over residual-int8 arena tiles (see _tiles_resid_kernel)."""
     n, d = db_resid.shape
@@ -617,19 +694,27 @@ def tiles_topk_resid_pallas(
         grid=(n_qt, p),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0),
+            pl.BlockSpec(((2, tile_q, l_buckets) if top2
+                          else (tile_q, l_buckets)),
+                         (lambda i, j, tt: (0, i, 0)) if top2
+                         else (lambda i, j, tt: (i, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, l_buckets), lambda i, j, tt: (i, 0),
+            pl.BlockSpec(((2, tile_q, l_buckets) if top2
+                          else (tile_q, l_buckets)),
+                         (lambda i, j, tt: (0, i, 0)) if top2
+                         else (lambda i, j, tt: (i, 0)),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_q, l_buckets), jnp.float32),
-            pltpu.VMEM((tile_q, l_buckets), jnp.int32),
+            pltpu.VMEM(((2, tile_q, l_buckets) if top2
+                        else (tile_q, l_buckets)), jnp.float32),
+            pltpu.VMEM(((2, tile_q, l_buckets) if top2
+                        else (tile_q, l_buckets)), jnp.int32),
         ],
     )
     kernel = functools.partial(
         _tiles_resid_kernel, l_buckets=l_buckets, w_lists=w, int8_q=int8_q,
-        masked=row_mask is not None, l2=l2,
+        masked=row_mask is not None, l2=l2, top2=top2,
     )
     args = [tile_table.astype(jnp.int32), qf.astype(jnp.bfloat16)]
     if int8_q:
@@ -645,12 +730,17 @@ def tiles_topk_resid_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nq, l_buckets), jnp.float32),
-            jax.ShapeDtypeStruct((nq, l_buckets), jnp.int32),
+            jax.ShapeDtypeStruct(((2, nq, l_buckets) if top2
+                                  else (nq, l_buckets)), jnp.float32),
+            jax.ShapeDtypeStruct(((2, nq, l_buckets) if top2
+                                  else (nq, l_buckets)), jnp.int32),
         ],
         interpret=interpret,
     )(*args)
 
-    top_v, pos = lax.top_k(out_v, min(k, l_buckets))
+    if top2:  # slots side by side: (nq, 2·l_buckets) candidates per query
+        out_v = jnp.transpose(out_v, (1, 0, 2)).reshape(nq, -1)
+        out_i = jnp.transpose(out_i, (1, 0, 2)).reshape(nq, -1)
+    top_v, pos = lax.top_k(out_v, min(k, (2 if top2 else 1) * l_buckets))
     top_i = jnp.take_along_axis(out_i, pos, axis=1)
     return top_v, top_i

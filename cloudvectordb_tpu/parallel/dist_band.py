@@ -28,13 +28,13 @@ from cloudvectordb_tpu.parallel.mesh import make_mesh
 @functools.partial(
     jax.jit,
     static_argnames=("k", "p_tiles", "tile_n", "tile_q", "interpret", "mesh",
-                     "int8_mode", "l2"),
+                     "int8_mode", "l2", "top2"),
 )
 def _sharded_band_search(
     q, centroids, payload, ids, tile_window, n_valid, db_scale,
     local_ids=None, centroid_tiles=None, valid_end=None, allowed=None,
     *, k, p_tiles, tile_n, tile_q, interpret, mesh, int8_mode=True,
-    l2: bool = False,
+    l2: bool = False, top2: bool = False,
 ):
     """payload (S·n_pad, D) int8 row-sharded; ids (S, n_pad), tile_window
     (S, n_tiles, W), n_valid (S,) true per-shard row counts — all sharded on
@@ -77,6 +77,7 @@ def _sharded_band_search(
                 interpret=interpret,
                 int8_q=(int8_mode != "precise"),  # scoring='precise' plumb
                 l2=l2,  # per-shard −‖q−x̂‖² keys merge comparably (same q)
+                top2=top2,
             )
             return merge(v, gid)
 
@@ -102,7 +103,7 @@ def _sharded_band_search(
             k=k, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
             # whole-row int8 arenas have no f32 path; 'precise' → hybrid
             int8=("hybrid" if int8_mode == "precise" else int8_mode),
-            interpret=interpret,
+            interpret=interpret, top2=top2,
         )
         return merge(v, gid)
 
@@ -391,7 +392,7 @@ class ShardedBandIndex(TunableMixin, RangeSearchMixin):
 
     def search(self, queries, k: int, nprobe: int = 32, p_tiles: int = 0,
                interpret: bool | None = None, scoring: str = "hybrid",
-               where=None):
+               where=None, top2: bool | None = None):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         queries = np.asarray(queries, np.float32)
@@ -399,6 +400,8 @@ class ShardedBandIndex(TunableMixin, RangeSearchMixin):
         nq = queries.shape[0]
         if p_tiles <= 0:  # tuned op point fills the sentinel
             p_tiles = (self._op_point or {}).get("p_tiles", 0)
+        if top2 is None:
+            top2 = bool((self._op_point or {}).get("top2", False))
         st = self._device_state()
         sh0 = self._shards[0]
         # each replica's query slice must itself be a tile_q multiple
@@ -441,7 +444,7 @@ class ShardedBandIndex(TunableMixin, RangeSearchMixin):
         l2 = sh0.metric == "l2"
         qg = stage_queries(qp, self.mesh,
                            statics=(p_tiles, k, scoring_code, int(interpret),
-                                    flt_crc, int(l2)))
+                                    flt_crc, int(l2), int(top2)))
         v, i = _sharded_band_search(
             qg, st["centroids"], st["payload"], st["ids"],
             st["tile_window"], st["n_valid"], self._scale,
@@ -452,7 +455,7 @@ class ShardedBandIndex(TunableMixin, RangeSearchMixin):
             interpret=interpret, mesh=self.mesh,
             int8_mode=("precise" if scoring == "precise"
                        else True if scoring == "int8" else "hybrid"),
-            l2=l2,
+            l2=l2, top2=top2,
         )
         out_v = fetch_local(v)[:nq]
         out_i = fetch_local(i)[:nq].astype(np.int64)

@@ -144,11 +144,16 @@ def main():
         # skip rather than abort the whole run (the host section below uses
         # tq=64 at B=512 → 8·p·4 B, fine to p≥8192)
         p_tiles = min(p_tiles, n_tiles)
-        if 32 * p_tiles * 4 > 512 * 1024:
+        # the SMEM guard is per-SECTION: the tier-1 QPS eval runs B=4096 at
+        # tq=128 (32 query tiles × p × 4 B table), but the ceiling/pq2
+        # sections below use NQ_GT=512 at tq=64 (8 tiles) and fit at p
+        # values the tier-1 table does not — skip only what overflows
+        tier1_ok = 32 * p_tiles * 4 <= 512 * 1024
+        if not tier1_ok:
             print(f"[eval] tier1-only p_tiles={p_tiles}: SKIP (scalar-"
-                  f"prefetch table {32*p_tiles*4//1024} KB > SMEM)",
+                  f"prefetch table {32*p_tiles*4//1024} KB > SMEM); "
+                  "ceiling/pq2 sections still run (tq=64, 8 query tiles)",
                   flush=True)
-            continue
 
         def run(noise):
             return _pq_tiles_plan_search(
@@ -160,23 +165,24 @@ def main():
                 row_major=idx._codes_row_major,
             )
 
-        v, g = run(0.0)
-        r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
-        reps = 4
-        acc = jnp.float32(0)
-        vv, _ = run(0.5)
-        acc = acc + jnp.sum(vv)
-        float(acc)
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for it in range(reps):
-            vv, _ = run(1e-4 * (it + 1))
+        if tier1_ok:
+            v, g = run(0.0)
+            r = recall_at_k(jax.device_get(g)[:NQ_GT], gt)
+            reps = 4
+            acc = jnp.float32(0)
+            vv, _ = run(0.5)
             acc = acc + jnp.sum(vv)
-        float(acc)
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-        print(f"[eval] tier1-only p_tiles={p_tiles:6d} "
-              f"({p_tiles/n_tiles:5.1%}): recall@10={r:.4f}  "
-              f"{B*reps/dt:8.0f} qps/chip", flush=True)
+            float(acc)
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for it in range(reps):
+                vv, _ = run(1e-4 * (it + 1))
+                acc = acc + jnp.sum(vv)
+            float(acc)
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+            print(f"[eval] tier1-only p_tiles={p_tiles:6d} "
+                  f"({p_tiles/n_tiles:5.1%}): recall@10={r:.4f}  "
+                  f"{B*reps/dt:8.0f} qps/chip", flush=True)
 
         if refine == "pq2":  # two-stage: tier-1 candidates + tier-2 rescore
             # candidate recall@k_cand == the EXACT-rescore recall ceiling at
@@ -207,9 +213,10 @@ def main():
                       f"pools={npool} top2={int(top2)}: "
                       f"candidate-recall@10={crec:.4f}", flush=True)
             # tile_q stays 128: at p=4096 the (n_qt, p) scalar-prefetch
-            # table sits at the 512 KB SMEM edge already (see module doc)
-            for rf, npool, tq2 in ((102, 2, 128), (205, 4, 128),
-                                   (410, 4, 128)):
+            # table sits at the 512 KB SMEM edge already (see module doc);
+            # past it (tier1_ok false) the B=4096 pq2 eval can't run
+            for rf, npool, tq2 in (((102, 2, 128), (205, 4, 128),
+                                    (410, 4, 128)) if tier1_ok else ()):
                 try:
                     qn = np.asarray(queries)
                     _, g2 = idx.search(qn, K, p_tiles=p_tiles,

@@ -258,3 +258,22 @@ def test_sharded_band_range_search():
         # CSR scores sorted descending within the row
         row = sc_s[lims_s[i]:lims_s[i + 1]]
         assert (np.diff(row) <= 1e-6).all()
+
+
+def test_sharded_band_top2():
+    """top2 rides the sharded path (statics contract + per-shard kernel):
+    sorted scores must dominate the top1 run elementwise (the union pool
+    only grows) and ids must be duplicate-free."""
+    db = clustered_vectors(2048, 64, n_clusters=16, seed=200, normalize=True)
+    q = queries_from(db, 16, seed=201, normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    kw = dict(dtype="int8", residual=True, kmeans_iters=6, tile_n=128,
+              tile_q=16, seed=5)
+    idx = ShardedBandIndex.build(db, nlist=16, mesh=mesh, **kw)
+    st = idx._device_state()
+    v1, i1 = idx.search(q, 32, p_tiles=st["n_tiles"], top2=False)
+    v2, i2 = idx.search(q, 32, p_tiles=st["n_tiles"], top2=True)
+    assert (v2 >= v1 - 1e-5).all()
+    for row in range(q.shape[0]):
+        ids_row = i2[row][v2[row] > -np.inf].tolist()
+        assert len(set(ids_row)) == len(ids_row)

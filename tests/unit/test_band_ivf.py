@@ -1163,3 +1163,51 @@ def test_pq_top2_per_bucket_candidates(data):
     rec1, rec2 = recall_at_k(r1, gt), recall_at_k(r2, gt)
     assert rec2 >= rec1 - 1e-9, (rec2, rec1)
     assert rec2 >= 0.8, rec2
+
+
+def test_band_resid_top2_per_bucket(data):
+    """top2 on the residual tiles kernel: duplicate-free superset of the
+    top1 pool at identical plan (slot-1 merge unchanged), and it widens a
+    dense range_search ball past the single-index l_buckets ceiling."""
+    db, q, gt = data
+    idx = BandIVFIndex.build(db, nlist=16, dtype="int8", residual=True,
+                             kmeans_iters=6, tile_n=128, tile_q=16, seed=3)
+    n_tiles = idx._payload.shape[0] // idx.tile_n
+    v1, f1 = idx.search(q, 128, p_tiles=n_tiles, interpret=True, top2=False)
+    v2, f2 = idx.search(q, 256, p_tiles=n_tiles, interpret=True, top2=True)
+    assert v2.shape[1] == 256  # the pool really widened past l_buckets
+    for row in range(q.shape[0]):
+        got1 = set(f1[row][v1[row] > -np.inf].tolist())
+        l2_ = f2[row][v2[row] > -np.inf].tolist()
+        got2 = set(l2_)
+        assert len(got2) == len(l2_), f"duplicate candidates in row {row}"
+        assert got1 <= got2, (row, got1 - got2)
+    # top-10 recall unchanged or better at the same op point
+    r1 = recall_at_k(f1[:, :10], gt)
+    r2 = recall_at_k(f2[:, :10], gt)
+    assert r2 >= r1 - 1e-9 and r2 >= 0.9, (r2, r1)
+    # dense range ball: top2 recovers in-ball rows the 128-slot pool drops
+    radius = 0.5
+    s_full = q.astype(np.float64) @ db.astype(np.float64).T
+    lims_a, _, ids_a = idx.range_search(q, radius, k_start=64, interpret=True,
+                                        p_tiles=n_tiles)
+    lims_b, _, ids_b = idx.range_search(q, radius, k_start=64, interpret=True,
+                                        p_tiles=n_tiles, top2=True)
+    # top2 keeps 2 rows/bucket, so ≥3-way bucket collisions can still drop
+    # in-ball rows — the guarantee is strictly FEWER misses, not zero
+    missed_a = missed_b = 0
+    for i in range(q.shape[0]):
+        ball = set(np.flatnonzero(s_full[i] >= radius + 0.05).tolist())
+        ga = set(ids_a[lims_a[i]:lims_a[i + 1]].tolist())
+        gb = set(ids_b[lims_b[i]:lims_b[i + 1]].tolist())
+        missed_a += len(ball - ga)
+        missed_b += len(ball - gb)
+    assert missed_b <= missed_a, (missed_b, missed_a)
+    if missed_a:  # the 128-slot pool drops rows on this data — top2 must
+        assert missed_b < missed_a, (missed_b, missed_a)  # recover some
+    # filtered search composes with top2 (mask applies before extraction)
+    allow = np.zeros(db.shape[0], bool)
+    allow[::3] = True
+    vf, ff = idx.search(q, 32, p_tiles=n_tiles, interpret=True, top2=True,
+                        where=allow)
+    assert allow[ff[ff >= 0]].all()
