@@ -24,6 +24,20 @@ def normalize_remove_ids(ids) -> np.ndarray:
     return req[req >= 0]
 
 
+def grow_scatter_gid(base: np.ndarray, rows: np.ndarray,
+                     gids: np.ndarray) -> np.ndarray:
+    """Grow a gid-keyed table to cover `gids` (zero-filling any id-space
+    gaps) and scatter `rows` at those keys — the merge_from consolidation
+    primitive for every gid-keyed side store (int8 refine rows, pq2
+    codes, s₂ scalars, host rows, assignment tables)."""
+    base = np.asarray(base)
+    hi = max(int(gids.max(initial=-1)) + 1, base.shape[0])
+    out = np.zeros((hi, *base.shape[1:]), base.dtype)
+    out[: base.shape[0]] = base
+    out[gids] = rows
+    return out
+
+
 class ListArena:
     """Host-side container for list-sorted payload rows + original ids."""
 

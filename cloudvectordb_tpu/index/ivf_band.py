@@ -865,6 +865,61 @@ class BandIVFIndex(Index):
             self._build_residual_aux()
         self._dev = None
 
+    def _export_rows(self):
+        """(payload, gids, assigns) host arrays — the merge_from interchange
+        format: every VALID arena row's quantized payload, global id and
+        list assignment (derived from the arena offsets; slack holes and
+        tile padding drop out). Pending/annex rows fold first. Device-
+        resident arenas fetch once (a PCIe copy on real hardware)."""
+        self.merge_pending()
+        ids = np.asarray(self._ids, np.int64)
+        valid = np.flatnonzero(ids >= 0)
+        payload = np.asarray(self._payload)[: ids.shape[0]][valid]
+        offsets = np.asarray(self._offsets, np.int64)
+        assigns = (np.searchsorted(offsets, valid, side="right") - 1).astype(
+            np.int32)
+        return payload, ids[valid], assigns
+
+    def merge_from(self, other: "BandIVFIndex",
+                   id_offset: int | None = None) -> int:
+        """Consolidate another SAME-QUANTIZER index into this one (the
+        FAISS ``merge_from`` surface): independent per-worker builds merge
+        without re-encoding — one native re-sort of the union. ``other``
+        is left untouched. Requires identical centroids (residual payloads
+        are relative to them) and identical family parameters; int8
+        payloads requantize from ``other``'s scale to this index's.
+        Global ids must not collide — pass ``id_offset`` to shift
+        ``other``'s ids (e.g. its gid bound) when both built from 0.
+        Returns the number of rows merged in."""
+        assert self.kind == other.kind and self.dim == other.dim
+        assert self.metric == other.metric and self.dtype == other.dtype
+        assert self._resid8 == other._resid8 and self.nlist == other.nlist
+        np.testing.assert_allclose(
+            self.centroids, other.centroids, atol=1e-6,
+            err_msg="merge_from needs the SHARED coarse quantizer (train "
+                    "once, reuse for every worker's build)")
+        p_s, id_s, a_s = self._export_rows()
+        p_o, id_o, a_o = other._export_rows()
+        if self.dtype == "int8" and other._scale != self._scale:
+            p_o = np.clip(
+                np.round(p_o.astype(np.float32)
+                         * (other._scale / self._scale)),
+                -127, 127).astype(np.int8)
+        if id_offset is not None:
+            id_o = id_o + int(id_offset)
+        both = np.concatenate([id_s, id_o])
+        uniq = np.unique(both)
+        assert uniq.size == both.size, (
+            f"{both.size - uniq.size} colliding global ids — pass "
+            "id_offset=self._gid_bound() (or any disjoint shift)")
+        self._assemble_compact(
+            np.concatenate([p_s, p_o]),
+            both,
+            np.concatenate([a_s, a_o]),
+        )
+        self._next_id = int(uniq[-1]) + 1 if uniq.size else 0
+        return int(id_o.shape[0])
+
     def _populate(self, vectors) -> None:
         vectors = jnp.asarray(vectors, jnp.float32)
         a, _ = assign_clusters(vectors, jnp.asarray(self.centroids))
@@ -1938,6 +1993,109 @@ class BandIVFPQIndex(BandIVFIndex):
     @property
     def _segmented(self) -> bool:
         return isinstance(self._codes_cm, (list, tuple))
+
+    def merge_from(self, other: "BandIVFPQIndex",
+                   id_offset: int | None = None) -> int:
+        """Consolidate another SAME-QUANTIZER PQ-tiles index into this one
+        (the FAISS ``merge_from`` surface on the config-#5 memory format):
+        PQ codes transfer verbatim when coarse centroids AND codebooks are
+        shared (train once, build per worker), so independent builds merge
+        with one native re-sort and zero re-encoding. Every refine tier
+        consolidates: arena-ordered int8 rows re-sort alongside the codes
+        (requantized to this index's scale when the scales differ),
+        gid-keyed pq2 codes (+ the l2 s₂ table) and host-RAM rows scatter
+        under the shifted ids (zero-filling id-space gaps). ``other`` is
+        left untouched; global ids must not collide — pass ``id_offset``
+        to shift ``other``'s. Arenas growing past seg_rows_cap re-segment
+        through the normal install path (refine='int8' keeps its loud
+        _reassemble guard there). Returns the number of rows merged in."""
+        from cloudvectordb_tpu.index.arena import grow_scatter_gid
+
+        assert self.kind == other.kind and self.dim == other.dim
+        assert self.metric == other.metric and self.m == other.m
+        assert self.nbits == other.nbits and self.residual == other.residual
+        assert self.refine == other.refine
+        assert (self.opq_matrix is None) == (other.opq_matrix is None)
+        np.testing.assert_allclose(
+            self.centroids, other.centroids, atol=1e-6,
+            err_msg="merge_from needs the SHARED coarse quantizer (train "
+                    "once, reuse for every worker's build)")
+        np.testing.assert_allclose(self.codebooks, other.codebooks,
+                                   atol=1e-6)
+        if self.opq_matrix is not None:
+            np.testing.assert_allclose(self.opq_matrix, other.opq_matrix,
+                                       atol=1e-6)
+        if self.refine == "pq2":
+            assert self.m2 == other.m2 and self.nbits2 == other.nbits2
+            np.testing.assert_allclose(self.codebooks2, other.codebooks2,
+                                       atol=1e-6)
+        self.merge_pending()
+        other.merge_pending()
+        ids_s = np.asarray(self._ids, np.int64)
+        ids_o = np.asarray(other._ids, np.int64)
+        src_o = ids_o  # other's UNSHIFTED gids key its gid-keyed tiers
+        if id_offset is not None:
+            ids_o = ids_o + int(id_offset)
+        both = np.concatenate([ids_s, ids_o])
+        uniq = np.unique(both)
+        assert uniq.size == both.size, (
+            f"{both.size - uniq.size} colliding global ids — pass "
+            "id_offset=self._gid_bound() (or any disjoint shift)")
+        codes_all = np.concatenate([self._codes_np_rows()[: self._n],
+                                    other._codes_np_rows()[: other._n]])
+        assigns = np.concatenate([
+            np.repeat(np.arange(self.nlist), np.diff(self._offsets)),
+            np.repeat(np.arange(self.nlist), np.diff(other._offsets)),
+        ]).astype(np.int32)
+        refine_all = None
+        if self.refine == "int8":
+            r_o = np.asarray(other._refine_rows)[: other._n]
+            if other._scale != self._scale:
+                r_o = np.clip(np.round(r_o.astype(np.float32)
+                                       * (other._scale / self._scale)),
+                              -127, 127).astype(np.int8)
+            refine_all = np.concatenate(
+                [np.asarray(self._refine_rows)[: self._n], r_o])
+        elif self.refine == "pq2":
+            self._codes2_device()   # fold pending appends — fresh builds
+            other._codes2_device()  # may carry the whole table in pending
+            self._codes2 = grow_scatter_gid(
+                np.asarray(self._codes2), np.asarray(other._codes2)[src_o],
+                ids_o)
+            if self.metric == "l2":
+                assert self._s2 is not None and other._s2 is not None
+                self._s2 = grow_scatter_gid(
+                    np.asarray(self._s2), np.asarray(other._s2)[src_o],
+                    ids_o)
+        elif self.refine == "host":
+            rows_s, asg_s = self._host_store()
+            rows_o, asg_o = other._host_store()
+            assert rows_s is not None and rows_o is not None, (
+                "refine='host' merge needs both host stores attached")
+            # unify scales (larger wins — requantizing DOWN loses range)
+            s = max(self._host_scale, other._host_scale)
+            if s > self._host_scale:
+                rows_s = np.clip(np.round(
+                    rows_s.astype(np.float32) * (self._host_scale / s)),
+                    -127, 127).astype(np.int8)
+            r_o = rows_o[src_o]
+            if s > other._host_scale:
+                r_o = np.clip(np.round(
+                    r_o.astype(np.float32) * (other._host_scale / s)),
+                    -127, 127).astype(np.int8)
+            self._host_scale = s
+            self._host_rows = grow_scatter_gid(rows_s, r_o, ids_o)
+            self._host_assign = grow_scatter_gid(asg_s, asg_o[src_o], ids_o)
+        # attach_host_refine bookkeeping survives only when both sides
+        # kept it (its contract is full gid coverage)
+        if self._assign_gid is not None and other._assign_gid is not None:
+            self._assign_gid = grow_scatter_gid(
+                self._assign_gid, other._assign_gid[src_o], ids_o)
+        else:
+            self._assign_gid = None
+        self._reassemble(codes_all, both, assigns, refine_all)
+        self._next_id = int(uniq[-1]) + 1 if uniq.size else 0
+        return int(ids_o.shape[0])
 
     def _derive_l_buckets(self, k_cand: int, n_pools: int) -> int:
         """Kernel bucket count for a candidate budget: the next power of two

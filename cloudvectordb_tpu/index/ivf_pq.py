@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from cloudvectordb_tpu.index.arena import ListArena, PendingBuffer
+from cloudvectordb_tpu.index.arena import (ListArena, PendingBuffer,
+                                            grow_scatter_gid)
 from cloudvectordb_tpu.index.base import Index
 from cloudvectordb_tpu.index.kmeans import train_kmeans
 from cloudvectordb_tpu.index.pq import pq_encode, train_pq, _split
@@ -355,6 +356,65 @@ class IVFPQIndex(Index):
         if p.shape[0]:
             self._arena.merge(p, i, a)
         self._dev = None
+
+    def merge_from(self, other: "IVFPQIndex",
+                   id_offset: int | None = None) -> int:
+        """Consolidate another SAME-QUANTIZER IVF-PQ into this one (the
+        FAISS ``merge_from`` surface): PQ codes transfer verbatim when the
+        coarse centroids AND codebooks are identical (train once, reuse
+        per worker), so independent builds merge with one native re-sort
+        and no re-encoding. int8 refine stores are gid-keyed — both
+        requantize to the larger of the two scales and scatter into one
+        table. ``id_offset`` shifts ``other``'s global ids (collisions
+        are rejected). Returns the number of rows merged in."""
+        assert self.kind == other.kind and self.dim == other.dim
+        assert self.metric == other.metric and self.m == other.m
+        assert self.nbits == other.nbits and self.residual == other.residual
+        assert self.refine == other.refine
+        assert (self.opq_matrix is None) == (other.opq_matrix is None)
+        np.testing.assert_allclose(self.centroids, other.centroids,
+                                   atol=1e-6)
+        np.testing.assert_allclose(self.codebooks, other.codebooks,
+                                   atol=1e-6)
+        if self.opq_matrix is not None:
+            np.testing.assert_allclose(self.opq_matrix, other.opq_matrix,
+                                       atol=1e-6)
+        self.merge_pending()
+        other.merge_pending()
+        oa = other._arena
+        codes_o = np.asarray(oa.payload)
+        ids_o = np.asarray(oa.ids, np.int64)
+        assign_o = np.repeat(np.arange(self.nlist), oa.list_lens)
+        if id_offset is not None:
+            ids_o = ids_o + int(id_offset)
+        both = np.concatenate([np.asarray(self._arena.ids, np.int64), ids_o])
+        uniq = np.unique(both)
+        assert uniq.size == both.size, (
+            f"{both.size - uniq.size} colliding global ids — pass "
+            "id_offset=self._next_id (or any disjoint shift)")
+        if self.refine == "int8" and other._refine_rows.shape[0]:
+            # unify scales (larger wins — requantizing DOWN loses range),
+            # then scatter other's rows under the (shifted) gids
+            s = max(self._refine_scale, other._refine_scale)
+            if s > self._refine_scale and self._refine_rows.shape[0]:
+                self._refine_rows = np.clip(np.round(
+                    self._refine_rows.astype(np.float32)
+                    * (self._refine_scale / s)), -127, 127).astype(np.int8)
+            rows_o = other._refine_rows
+            if s > other._refine_scale:
+                rows_o = np.clip(np.round(
+                    rows_o.astype(np.float32) * (other._refine_scale / s)),
+                    -127, 127).astype(np.int8)
+            self._refine_scale = s
+            # other's store is keyed by its UNSHIFTED gids; grow_scatter
+            # copies, so a mmap-loaded (read-only) store is never mutated
+            src = np.asarray(other._arena.ids, np.int64)
+            self._refine_rows = grow_scatter_gid(
+                self._refine_rows, rows_o[src], ids_o)
+        self._arena.merge(codes_o, ids_o, assign_o)
+        self._next_id = int(uniq[-1]) + 1 if uniq.size else 0
+        self._dev = None
+        return int(ids_o.shape[0])
 
     def remove(self, ids) -> int:
         """Delete rows by global id: pending chunks filter in place, the
