@@ -347,8 +347,12 @@ class ShardedBandIndex(TunableMixin, RangeSearchMixin):
     def load(cls, path, mesh: Mesh | None = None,
              mmap: bool = True) -> "ShardedBandIndex":
         """Rebuild the wrapper from a saved artifact. ``mesh`` defaults to a
-        fresh 1-D 'shard' mesh; its 'shard' extent must equal the saved shard
-        count (rows re-stage onto devices lazily on the first search)."""
+        fresh 1-D 'shard' mesh sized to the saved shard count (rows re-stage
+        onto devices lazily on the first search). A mesh with a DIFFERENT
+        'shard' extent triggers an elastic reshard: rows re-partition onto
+        the new topology host-side (one native re-sort per new shard, ids/
+        scores unchanged — search parity is exact up to the one global
+        requantize when per-shard scales differed)."""
         from cloudvectordb_tpu.parallel.persist import (
             load_shards, read_sharded_manifest)
 
@@ -357,13 +361,50 @@ class ShardedBandIndex(TunableMixin, RangeSearchMixin):
         if mesh is None:
             mesh = make_mesh(man["nshards"], axis_name="shard")
         idx = cls(mesh, **man.get("kw", {}))
-        assert idx.nshards == man["nshards"], (
-            f"mesh has {idx.nshards} shards, artifact has {man['nshards']}")
-        idx._shards = load_shards(path, man, mmap=mmap)
         idx._scale = man["scale"]
+        shards = load_shards(path, man, mmap=mmap)
+        if idx.nshards != man["nshards"]:
+            shards = cls._reshard(shards, idx.nshards, man["scale"], idx.kw)
+        idx._shards = shards
         if man.get("op_point"):
             idx._op_point = dict(man["op_point"])
         return idx
+
+    @staticmethod
+    def _reshard(shards: list[BandIVFIndex], s_new: int, scale: float,
+                 kw: dict) -> list[BandIVFIndex]:
+        """Re-partition loaded shard rows onto a different shard count —
+        v5e-8 ↔ v5e-16 elasticity without a rebuild. Every shard's valid
+        rows export once (quantized payloads move verbatim; int8 payloads
+        requantize to the wrapper's global scale where a shard's differed),
+        sort by global id, and split contiguously; each new shard runs one
+        native arena sort. Quantizers are shared across shards by
+        construction, so no re-training or re-encoding happens."""
+        pls, gds, asg = [], [], []
+        for sh in shards:
+            p, g, a = sh._export_rows()
+            if sh.dtype == "int8" and sh._scale != scale:
+                p = np.clip(np.round(p.astype(np.float32)
+                                     * (sh._scale / scale)),
+                            -127, 127).astype(np.int8)
+            pls.append(p), gds.append(g), asg.append(a)
+        payload = np.concatenate(pls)
+        gid = np.concatenate(gds)
+        assign = np.concatenate(asg)
+        order = np.argsort(gid, kind="stable")
+        payload, gid, assign = payload[order], gid[order], assign[order]
+        proto = shards[0]
+        bounds = np.linspace(0, gid.shape[0], s_new + 1).astype(int)
+        out = []
+        for si in range(s_new):
+            lo, hi = bounds[si], bounds[si + 1]
+            assert hi > lo, f"reshard to {s_new}: shard {si} would be empty"
+            sub = BandIVFIndex(proto.dim, proto.nlist, **kw)
+            sub.centroids = np.asarray(proto.centroids)
+            sub._scale = scale
+            sub._assemble_compact(payload[lo:hi], gid[lo:hi], assign[lo:hi])
+            out.append(sub)
+        return out
 
     # -- op-point tuning: tune()/_op_point from TunableMixin ---------------
     def _tune_candidates(self, nq: int) -> list[dict]:

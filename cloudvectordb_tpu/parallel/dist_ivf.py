@@ -407,23 +407,71 @@ class ShardedIVFPQIndex(TunableMixin, RangeSearchMixin):
         if mesh is None:
             mesh = make_mesh(man["nshards"], axis_name="shard")
         idx = cls(mesh, refine=man["refine"], **man.get("kw", {}))
-        assert idx.nshards == man["nshards"], (
-            f"mesh has {idx.nshards} shards, artifact has {man['nshards']}")
         idx._shards = load_shards(path, man, mmap=mmap)
         idx._refine_scale = man["refine_scale"]
         idx._next_id = man["next_id"]
         rows = load_extras(path, man, "refine_rows", mmap=mmap)
         gids = load_extras(path, man, "refine_gids", mmap=mmap)
         idx._refine_rows_ins = [[r] if r is not None else []
-                                for r in (rows or [None] * idx.nshards)]
+                                for r in (rows or [None] * man["nshards"])]
         idx._refine_gids_ins = [[g] if g is not None else []
-                                for g in (gids or [None] * idx.nshards)]
+                                for g in (gids or [None] * man["nshards"])]
         if not rows:  # refine='none' artifacts carry no extras
-            idx._refine_rows_ins = [[] for _ in range(idx.nshards)]
-            idx._refine_gids_ins = [[] for _ in range(idx.nshards)]
+            idx._refine_rows_ins = [[] for _ in range(man["nshards"])]
+            idx._refine_gids_ins = [[] for _ in range(man["nshards"])]
+        if idx.nshards != man["nshards"]:
+            idx._do_reshard(idx.nshards)  # elastic reshard (see _do_reshard)
         if man.get("op_point"):
             idx._op_point = dict(man["op_point"])
         return idx
+
+    def _do_reshard(self, s_new: int) -> None:
+        """Elastic reshard onto a different shard count (mesh 'shard' extent
+        ≠ saved count at load): every shard's PQ codes export once and move
+        VERBATIM (the quantizers are shared across shards by construction —
+        no re-encoding), rows sort by global id and split contiguously, and
+        each new shard runs one native arena sort. The wrapper's gid-keyed
+        int8 refine store re-partitions by membership against each new
+        shard's arena ids (stale rows for removed ids drop out here)."""
+        codes_l, gids_l, asg_l = [], [], []
+        for sh in self._shards:
+            sh.merge_pending()
+            ar = sh._arena
+            codes_l.append(np.asarray(ar.payload))
+            gids_l.append(np.asarray(ar.ids, np.int64))
+            asg_l.append(np.repeat(np.arange(sh.nlist), ar.list_lens))
+        codes = np.concatenate(codes_l)
+        gid = np.concatenate(gids_l)
+        assign = np.concatenate(asg_l).astype(np.int32)
+        order = np.argsort(gid, kind="stable")
+        codes, gid, assign = codes[order], gid[order], assign[order]
+        proto = self._shards[0]
+        if self.refine == "int8":
+            r_all = np.concatenate([np.concatenate(c)
+                                    for c in self._refine_rows_ins if c])
+            g_all = np.concatenate([np.concatenate(c)
+                                    for c in self._refine_gids_ins if c])
+        bounds = np.linspace(0, gid.shape[0], s_new + 1).astype(int)
+        shards, rows_ins, gids_ins = [], [], []
+        for si in range(s_new):
+            lo, hi = bounds[si], bounds[si + 1]
+            assert hi > lo, f"reshard to {s_new}: shard {si} would be empty"
+            sub = IVFPQIndex(proto.dim, **self.kw)
+            sub.centroids = np.asarray(proto.centroids)
+            sub.codebooks = np.asarray(proto.codebooks)
+            sub._arena.merge(codes[lo:hi], gid[lo:hi], assign[lo:hi])
+            shards.append(sub)
+            if self.refine == "int8":
+                sel = np.isin(g_all, gid[lo:hi])
+                rows_ins.append([r_all[sel]])
+                gids_ins.append([g_all[sel]])
+            else:
+                rows_ins.append([])
+                gids_ins.append([])
+        self._shards = shards
+        self._refine_rows_ins = rows_ins
+        self._refine_gids_ins = gids_ins
+        self._dev = None
 
     # -- op-point tuning: tune()/_op_point from TunableMixin; the ladder is
     # the single-index family's (same nprobe/refine_factor search kwargs,

@@ -270,21 +270,27 @@ def main():
         print(f"[attach] host tier ({idx._host_rows.nbytes/1e9:.0f} GB RAM) "
               f"in {time.perf_counter() - t0:.0f} s host-side", flush=True)
         qn = np.asarray(queries)
-        for bq, rf in ((512, 64), (512, 102), (512, 410)):
+        # top2 rows (TOP2=1): the per-bucket top-2 merge reaches the same
+        # candidate recall at HALF the k_cand — half the per-batch PCIe
+        # shortlist bytes for equal end-to-end recall
+        cfgs_h = [(512, 64, False), (512, 102, False), (512, 410, False)]
+        if os.environ.get("TOP2") == "1":
+            cfgs_h += [(512, 205, True), (512, 410, True)]
+        for bq, rf, top2 in cfgs_h:
             p_h = min(int(os.environ.get("HOST_P", p_list[-1])), n_tiles)
             _, gh = idx.search(qn[:bq], K, p_tiles=p_h, refine_factor=rf,
-                               tile_q=64)
+                               tile_q=64, top2=top2)
             rh = recall_at_k(gh[:min(bq, NQ_GT)], gt[:min(bq, NQ_GT)])
             t0 = time.perf_counter()
             idx.search(np.roll(qn[:bq], 1, axis=0), K, p_tiles=p_h,
-                       refine_factor=rf, tile_q=64)
+                       refine_factor=rf, tile_q=64, top2=top2)
             dt = time.perf_counter() - t0
             ship = bq * rf * K * D / 1e9
-            print(f"[eval] host-tier p={p_h} B={bq} k_cand={rf*K}: "
-                  f"recall@10={rh:.4f}  {bq/dt:6.0f} qps/chip "
-                  f"(relay-bound: ships {ship:.2f} GB/batch host→HBM; "
-                  f"PCIe at 16 GB/s → ~{bq/(ship/16+0.02):,.0f} qps bound)",
-                  flush=True)
+            print(f"[eval] host-tier p={p_h} B={bq} k_cand={rf*K} "
+                  f"top2={int(top2)}: recall@10={rh:.4f}  {bq/dt:6.0f} "
+                  f"qps/chip (relay-bound: ships {ship:.2f} GB/batch "
+                  f"host→HBM; PCIe at 16 GB/s → "
+                  f"~{bq/(ship/16+0.02):,.0f} qps bound)", flush=True)
 
     # --- incremental updates (config #5 requirement) ---------------------------
     extra = gen(jax.random.PRNGKey(999_999), 8192)

@@ -132,6 +132,60 @@ def test_sharded_tune_and_op_point_roundtrip(tmp_path):
     assert recall_at_k(g2, gt) >= 0.9
 
 
+def test_sharded_band_elastic_reshard(tmp_path):
+    """r3: loading onto a mesh with a different 'shard' extent re-partitions
+    rows host-side (v5e-8 ↔ v5e-16 elasticity without a rebuild). At full
+    tile coverage the searches are exactly equal: payloads move verbatim,
+    requantized to the same global scale staging always used."""
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=212, normalize=True)
+    q = queries_from(db, 32, seed=213, normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    idx = ShardedBandIndex.build(
+        db, nlist=16, mesh=mesh, dtype="int8", kmeans_iters=6,
+        tile_n=128, tile_q=16, seed=5, residual=True, slack=0.2,
+    )
+    st = idx._device_state()
+    v1, i1 = idx.search(q, 10, p_tiles=st["n_tiles"])
+    idx.save(tmp_path / "band_elastic")
+    for s_new in (4, 3):  # shrink, and a non-divisor count
+        loaded = ShardedBandIndex.load(
+            tmp_path / "band_elastic",
+            mesh=make_mesh(s_new, axis_name="shard"))
+        assert loaded.nshards == s_new
+        assert loaded.ntotal == idx.ntotal
+        st2 = loaded._device_state()
+        v2, i2 = loaded.search(q, 10, p_tiles=st2["n_tiles"])
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+        # further adds allocate past every existing gid
+        loaded._shards[0].add(db[:4])
+        assert loaded.ntotal == idx.ntotal + 4
+
+
+def test_sharded_ivfpq_elastic_reshard_with_refine(tmp_path):
+    """PQ codes move verbatim across the re-partition; the gid-keyed refine
+    store re-splits by arena membership — search parity is exact."""
+    db = clustered_vectors(4096, 64, n_clusters=32, seed=214, normalize=True)
+    q = queries_from(db, 32, seed=215, normalize=True)
+    mesh = make_mesh(axis_name="shard")
+    idx = ShardedIVFPQIndex.build(
+        db, nlist=16, m=8, mesh=mesh, refine="int8", kmeans_iters=6,
+        pq_train_iters=4, seed=3,
+    )
+    v1, i1 = idx.search(q, 10, nprobe=16)
+    idx.save(tmp_path / "pq_elastic")
+    loaded = ShardedIVFPQIndex.load(
+        tmp_path / "pq_elastic", mesh=make_mesh(4, axis_name="shard"))
+    assert loaded.nshards == 4 and loaded.ntotal == idx.ntotal
+    assert loaded._refine_scale == idx._refine_scale
+    v2, i2 = loaded.search(q, 10, nprobe=16)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    # post-reshard adds reuse the re-split refine store + id counter
+    loaded.add(db[:32])
+    assert loaded.ntotal == idx.ntotal + 32
+
+
 def test_sharded_ivfpq_save_load_no_refine(tmp_path):
     db = clustered_vectors(2048, 64, n_clusters=16, seed=206, normalize=True)
     q = queries_from(db, 16, seed=207, normalize=True)
