@@ -66,38 +66,20 @@ def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int,
     return q_s, order, dots, tile_table
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
-        "refine_scale", "row_major", "n_pools", "l_buckets",
-        "refine_residual", "l2", "top2",
-    ),
-)
-def _pq_tiles_plan_search(
-    q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
+def _pq_tiles_core(
+    q, centroids, codes_cm, codebooks, refine_rows, tile_window,
     centroid_tiles=None, n_valid=None, local_rm=None, row_mask=None,
     *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
     row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
     refine_residual: bool = False, l2: bool = False, top2: bool = False,
 ):
-    """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
-
-    codes_cm (m, N_pad) arena-ordered; refine_rows (N_pad, D) int8 arena-
-    ordered (pass a (1, D) dummy + refine_scale 0 to disable refinement).
-    n_valid (traced scalar): TRUE row count — pad rows masked in-kernel.
-    n_pools > 1 splits probed tiles across independent candidate pools
-    (ops/pallas_pq.py kernel doc) — the fix for PQ-noise shadowing in the
-    cross-tile R=1 merge; k_cand can then reach n_pools·l_buckets.
-
-    refine_residual: refine_rows hold int8 RESIDUALS (row − list centroid),
-    ~4× finer than whole-row int8 at the same byte cost; the exact centroid
-    term is recovered per candidate from the planner's q·centroids matrix
-    via the row's local-list byte — a scalar gather, no extra matmul.
-    (Measured at 10M×768: whole-row int8 refine ceilings at 0.860 recall —
-    the quantization noise of the rescore itself — where the residual-int8
-    tiles index reaches 0.97 with the same bytes.)
-    """
+    """Traceable body of the PQ-tiles search (planning + kernel + int8
+    refine + unsort + l2 key conversion), WITHOUT the arena-row → global-id
+    map: returns (v, rows) in CALLER query order, where ``rows`` are arena
+    row indices. Shared by the single-index jit wrapper below and the
+    per-shard local function of the sharded program
+    (parallel/dist_band_pq.py), whose tier-2 tables are staged in ARENA
+    order and therefore rescore by row before ids exist."""
     from cloudvectordb_tpu.ops.pallas_pq import pq_tiles_topk_pallas
 
     NEG_INF = float("-inf")
@@ -193,9 +175,6 @@ def _pq_tiles_plan_search(
     else:
         v = v[:, :k]
         rows = rows[:, :k]
-    gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
-    if row_mask is not None:  # unfilled slots keep the (-inf, -1) convention
-        gids = jnp.where(v > NEG_INF, gids, -1)
     inv = jnp.argsort(order)
     v = v[inv]
     if l2:
@@ -203,7 +182,53 @@ def _pq_tiles_plan_search(
         # two-stage callers (pq2/host) receive k_cand candidates in this
         # form and must keep their corrections in the same units
         v = 2.0 * v - jnp.sum(q * q, axis=1, keepdims=True)
-    return v, gids[inv]
+    return v, rows[inv]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "k_cand", "p_tiles", "tile_n", "tile_q", "interpret",
+        "refine_scale", "row_major", "n_pools", "l_buckets",
+        "refine_residual", "l2", "top2",
+    ),
+)
+def _pq_tiles_plan_search(
+    q, centroids, codes_cm, codebooks, refine_rows, ids, tile_window,
+    centroid_tiles=None, n_valid=None, local_rm=None, row_mask=None,
+    *, k, k_cand, p_tiles, tile_n, tile_q, interpret, refine_scale: float,
+    row_major: bool = False, n_pools: int = 1, l_buckets: int = 0,
+    refine_residual: bool = False, l2: bool = False, top2: bool = False,
+):
+    """One-dispatch PQ-tiles search + int8 refine (the 1B-scale query path).
+
+    codes_cm (m, N_pad) arena-ordered; refine_rows (N_pad, D) int8 arena-
+    ordered (pass a (1, D) dummy + refine_scale 0 to disable refinement).
+    n_valid (traced scalar): TRUE row count — pad rows masked in-kernel.
+    n_pools > 1 splits probed tiles across independent candidate pools
+    (ops/pallas_pq.py kernel doc) — the fix for PQ-noise shadowing in the
+    cross-tile R=1 merge; k_cand can then reach n_pools·l_buckets.
+
+    refine_residual: refine_rows hold int8 RESIDUALS (row − list centroid),
+    ~4× finer than whole-row int8 at the same byte cost; the exact centroid
+    term is recovered per candidate from the planner's q·centroids matrix
+    via the row's local-list byte — a scalar gather, no extra matmul.
+    (Measured at 10M×768: whole-row int8 refine ceilings at 0.860 recall —
+    the quantization noise of the rescore itself — where the residual-int8
+    tiles index reaches 0.97 with the same bytes.)
+    """
+    v, rows = _pq_tiles_core(
+        q, centroids, codes_cm, codebooks, refine_rows, tile_window,
+        centroid_tiles, n_valid, local_rm, row_mask,
+        k=k, k_cand=k_cand, p_tiles=p_tiles, tile_n=tile_n, tile_q=tile_q,
+        interpret=interpret, refine_scale=refine_scale, row_major=row_major,
+        n_pools=n_pools, l_buckets=l_buckets,
+        refine_residual=refine_residual, l2=l2, top2=top2,
+    )
+    gids = ids[jnp.clip(rows, 0, ids.shape[0] - 1)]
+    if row_mask is not None:  # unfilled slots keep the (-inf, -1) convention
+        gids = jnp.where(v > float("-inf"), gids, -1)
+    return v, gids
 
 
 @functools.partial(
@@ -712,7 +737,7 @@ class BandIVFIndex(Index):
     @classmethod
     def build_device_streaming(
         cls, chunk_fn, n_chunks: int, nlist: int,
-        train_sample: int = 262_144, **kw,
+        train_sample: int = 262_144, merge_headroom: float = 0.0, **kw,
     ) -> "BandIVFIndex":
         """Device-RESIDENT streaming build for corpora larger than host
         transfer budgets allow (config #4's 12.5M×768/chip share: 9.6 GB of
@@ -724,6 +749,14 @@ class BandIVFIndex(Index):
         scatter into the HBM arena at positions from the host-side native
         counting sort). Re-reading from disk or regenerating from a fixed
         PRNG key both qualify. Peak HBM ≈ int8 arena + one f32 chunk.
+
+        merge_headroom > 0 (r4, VERDICT item 5) over-allocates the arena by
+        that fraction (tail capacity, masked like tile padding) so later
+        ``merge_pending`` calls can compact IN PLACE on device — zero
+        payload fetch, bounded chunk temps (``_try_merge_inplace_device``).
+        HBM cannot hold TWO 9.6 GB arenas at 12.5M×768, so pre-paid
+        headroom is the only way a compact merge stays device-side at that
+        scale; adds beyond the headroom fall back to the host merge.
         """
         import jax
 
@@ -768,7 +801,8 @@ class BandIVFIndex(Index):
             idx._list_lens = counts.astype(np.int64)
         else:
             extent = n
-            n_pad = -(-n // idx.tile_n) * idx.tile_n
+            cap = int(np.ceil(n * (1.0 + merge_headroom)))
+            n_pad = -(-cap // idx.tile_n) * idx.tile_n
         arena = jnp.zeros((n_pad, idx.dim), jnp.int8)
         resid8 = idx._resid8
 
@@ -1324,6 +1358,8 @@ class BandIVFIndex(Index):
                 [passign, np.asarray(ax["assign"][:axn], passign.dtype)])
             self._annex = None
         self._pending_dev = None
+        if self._n and self._try_merge_inplace_device(p, pids, passign):
+            return
         if self._n:
             cap_assign = np.repeat(
                 np.arange(self.nlist), np.diff(self._offsets)
@@ -1344,6 +1380,89 @@ class BandIVFIndex(Index):
         else:
             payload_all, ids_all, assign_all = p, pids, passign
         self._assemble_compact(payload_all, ids_all, assign_all)
+
+    def _try_merge_inplace_device(self, p, pids, passign) -> bool:
+        """In-place device compact merge (r4, VERDICT item 5): fold drained
+        pending/annex rows into a DEVICE-resident compact int8 arena with
+        ZERO payload fetch — HBM cannot hold two 9.6 GB arenas at
+        12.5M×768/chip, so the classic rebuild-into-a-new-buffer is
+        impossible at exactly the scale that matters; instead the arena is
+        over-allocated at build time (``merge_headroom``) and old rows
+        SHIFT RIGHT inside the same donated buffer.
+
+        Mechanics: per-list shifts are the prefix sums of the inserted
+        counts, so destinations are monotone in source position — chunks of
+        C rows processed source-DESCENDING never read a slot an earlier
+        chunk wrote (earlier writes all land at strictly higher positions),
+        and within one ``buf.at[dst].set(buf[src])`` XLA materializes the
+        C-row gather before the scatter, so self-overlap is safe. Peak
+        extra HBM = one C-row temp (~192 MB) + the (N,) destination map.
+        Pending rows (already arena-scale int8, ``_quantize_rows``) scatter
+        into their lists' new tail slots in one shot. Returns False when
+        the path doesn't apply (host/f32/slack arena, or merged extent
+        exceeds the arena capacity) — caller falls back to the host merge.
+        """
+        if not (isinstance(self._payload, jax.Array)
+                and self.dtype == "int8" and self._list_lens is None
+                and p.shape[0]):
+            return False
+        cap_rows = int(self._payload.shape[0])
+        n_old = self._n
+        counts_old = np.diff(self._offsets)
+        passign = np.asarray(passign, np.int64)
+        pc = np.bincount(passign, minlength=self.nlist)
+        offsets_new = np.concatenate(
+            [[0], np.cumsum(counts_old + pc)]).astype(np.int64)
+        n_new = int(offsets_new[-1])
+        if n_new > cap_rows:
+            return False  # headroom exhausted — host merge re-sizes
+        shift = (offsets_new[:-1] - self._offsets[:-1]).astype(np.int64)
+        # per-source-row destination (monotone: lists are ordered, within-
+        # list order kept) + pending destinations (list tail slots, stable)
+        row_list = np.repeat(np.arange(self.nlist), counts_old)
+        dst_all = np.arange(n_old, dtype=np.int64) + shift[row_list]
+        order_p = np.argsort(passign, kind="stable")
+        rank = np.arange(p.shape[0]) - np.searchsorted(
+            passign[order_p], passign[order_p])
+        dest_p = np.empty(p.shape[0], np.int64)
+        dest_p[order_p] = (offsets_new[:-1][passign[order_p]]
+                           + counts_old[passign[order_p]] + rank)
+        buf = self._payload
+        dst_dev = jnp.asarray(dst_all.astype(np.int32))
+        C = 1 << 18  # 256k rows ≈ 192 MB at 768-d — the bounded move temp
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("c",))
+        def move(b, dmap, s, c):
+            rows = jax.lax.dynamic_slice(b, (s, 0), (c, b.shape[1]))
+            d = jax.lax.dynamic_slice(dmap, (s,), (c,))
+            return b.at[d].set(rows)
+
+        # rows before the first shifted list stay put — skip their chunks
+        # (a small pending batch usually leaves a long unshifted prefix)
+        src_min = (int(self._offsets[:-1][np.argmax(shift > 0)])
+                   if (shift > 0).any() else n_old)
+        # source-DESCENDING chunks, exact sizes (at most one short chunk →
+        # one extra compile per distinct remainder; this is a checkpoint-
+        # time op). Low-end padding would be UNSAFE: re-moving a row whose
+        # source slot a later-positioned write already overwrote would
+        # clobber its correct destination.
+        for s in list(range(src_min, n_old, C))[::-1]:
+            buf = move(buf, dst_dev, s, min(C, n_old - s))
+        buf = buf.at[jnp.asarray(dest_p.astype(np.int32))].set(
+            jnp.asarray(p))
+        ids_new = np.empty(n_new, np.int64)
+        ids_new[dst_all] = np.asarray(self._ids, np.int64)[:n_old]
+        ids_new[dest_p] = pids
+        self._payload = buf
+        self._ids = ids_new
+        self._offsets = offsets_new
+        self._n = n_new
+        self._tile_window = self._compute_tile_window()
+        if self._resid8:
+            self._build_residual_aux()
+        self._dev = None
+        return True
 
     def _pending_device(self):
         """Pending rows staged on device, padded to a power-of-2 row count so
@@ -1950,11 +2069,20 @@ class BandIVFPQIndex(BandIVFIndex):
                     768-d → 1.6 GB ≈ 60–160 ms on real PCIe3/4 — overlaps
                     with the next batch's scan; through this dev tunnel it
                     is minutes, so at-scale QPS is quoted for PCIe).
+        - 'pq2+host' — the r4 CASCADE: tier-2 ADC narrows the kernel's
+                    k_cand candidates ON-CHIP to a k_host = k·host_factor
+                    shortlist, and only the survivors' rows cross PCIe for
+                    the exact host rescore. Same recall ceiling as 'host'
+                    at the same k_cand (tier-2 ranks candidates far better
+                    than tier-1 alone), with the PCIe shortlist bytes cut
+                    k_cand/k_host (~8–16×) — the config-#5 QPS-at-quality
+                    bridge (r3 VERDICT item 2).
         """
         super().__init__(dim, nlist, dtype="int8", kmeans_iters=kmeans_iters,
                          seed=seed, tile_n=tile_n, tile_q=tile_q,
                          metric=metric)
-        assert dim % m == 0 and refine in ("none", "int8", "pq2", "host")
+        assert dim % m == 0 and refine in ("none", "int8", "pq2", "host",
+                                           "pq2+host")
         assert dim % m2 == 0
         self.opq_matrix = opq_matrix  # x' = x @ Rᵀ before coarse+PQ
         self.m = m
@@ -1994,6 +2122,17 @@ class BandIVFPQIndex(BandIVFIndex):
     def _segmented(self) -> bool:
         return isinstance(self._codes_cm, (list, tuple))
 
+    # refine-mode TIER membership: 'pq2+host' carries BOTH a tier-2 code
+    # table and a host row store — every build/add/persist site keys on
+    # these, never on mode equality, so the cascade composes for free
+    @property
+    def _tier2_active(self) -> bool:
+        return self.refine in ("pq2", "pq2+host")
+
+    @property
+    def _host_active(self) -> bool:
+        return self.refine in ("host", "pq2+host")
+
     def merge_from(self, other: "BandIVFPQIndex",
                    id_offset: int | None = None) -> int:
         """Consolidate another SAME-QUANTIZER PQ-tiles index into this one
@@ -2025,7 +2164,7 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.opq_matrix is not None:
             np.testing.assert_allclose(self.opq_matrix, other.opq_matrix,
                                        atol=1e-6)
-        if self.refine == "pq2":
+        if self._tier2_active:
             assert self.m2 == other.m2 and self.nbits2 == other.nbits2
             np.testing.assert_allclose(self.codebooks2, other.codebooks2,
                                        atol=1e-6)
@@ -2056,7 +2195,7 @@ class BandIVFPQIndex(BandIVFIndex):
                               -127, 127).astype(np.int8)
             refine_all = np.concatenate(
                 [np.asarray(self._refine_rows)[: self._n], r_o])
-        elif self.refine == "pq2":
+        if self._tier2_active:
             self._codes2_device()   # fold pending appends — fresh builds
             other._codes2_device()  # may carry the whole table in pending
             self._codes2 = grow_scatter_gid(
@@ -2067,7 +2206,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 self._s2 = grow_scatter_gid(
                     np.asarray(self._s2), np.asarray(other._s2)[src_o],
                     ids_o)
-        elif self.refine == "host":
+        if self._host_active:
             rows_s, asg_s = self._host_store()
             rows_o, asg_o = other._host_store()
             assert rows_s is not None and rows_o is not None, (
@@ -2334,35 +2473,51 @@ class BandIVFPQIndex(BandIVFIndex):
     def build(cls, vectors, nlist: int, m: int = 64, train_sample: int = 262_144,
               opq: bool = False, **kw) -> "BandIVFPQIndex":
         vectors = jnp.asarray(vectors, jnp.float32)
-        idx = cls(int(vectors.shape[1]), nlist, m=m, **kw)
+        seed = kw.get("seed", 0)
         ns = min(train_sample, vectors.shape[0])
-        sel = np.sort(np.random.default_rng(idx.seed).choice(
+        sel = np.sort(np.random.default_rng(seed).choice(
             vectors.shape[0], ns, replace=False))
+        idx = cls.train_proto(vectors[jnp.asarray(sel)], nlist, m=m,
+                              opq=opq, **kw)
+        if idx.opq_matrix is not None:
+            vectors = vectors @ jnp.asarray(idx.opq_matrix).T
+        idx._populate(vectors)
+        return idx
+
+    @classmethod
+    def train_proto(cls, sample, nlist: int, m: int = 64, opq: bool = False,
+                    **kw) -> "BandIVFPQIndex":
+        """Train every quantizer (OPQ rotation, coarse centroids in band
+        order, tier-1 PQ codebooks, tier-2 codebooks / host scale per the
+        refine mode) on ``sample`` and return the EMPTY trained index — the
+        shared-quantizer prototype that build() populates and the sharded
+        wrapper (parallel/dist_band_pq.py) replicates across shards (train
+        once, encode everywhere: verbatim-code merges and elastic reshard
+        both depend on every shard sharing one quantizer set)."""
+        sample = jnp.asarray(sample, jnp.float32)
+        idx = cls(int(sample.shape[1]), nlist, m=m, **kw)
         if opq and idx.opq_matrix is None:
             from cloudvectordb_tpu.index.opq import train_opq
 
             r, _ = train_opq(
-                np.asarray(vectors[jnp.asarray(sel[: min(ns, 65536)])]),
+                np.asarray(sample[: min(int(sample.shape[0]), 65536)]),
                 m, idx.nbits, outer_iters=4, pq_iters=5, seed=idx.seed,
             )
             idx.opq_matrix = r
-        if idx.opq_matrix is not None:
-            vectors = vectors @ jnp.asarray(idx.opq_matrix).T
-        c, _ = train_kmeans(vectors[jnp.asarray(sel)], nlist,
-                            iters=idx.kmeans_iters, seed=idx.seed)
+        tr = (sample @ jnp.asarray(idx.opq_matrix).T
+              if idx.opq_matrix is not None else sample)
+        c, _ = train_kmeans(tr, nlist, iters=idx.kmeans_iters, seed=idx.seed)
         c = np.asarray(c)
         idx.centroids = c[order_centroids(c)]
-        xdir = vectors[jnp.asarray(sel)]
-        train_vecs = xdir
+        train_vecs = tr
         if idx.residual:
             a_s, _ = assign_clusters(train_vecs, jnp.asarray(idx.centroids))
             train_vecs = train_vecs - jnp.asarray(idx.centroids)[a_s]
-        idx.codebooks = idx._train_pq_codebooks(train_vecs, xdir)
-        if idx.refine == "pq2":
-            idx._train_tier2(train_vecs, xdir)
-        elif idx.refine == "host":
+        idx.codebooks = idx._train_pq_codebooks(train_vecs, tr)
+        if idx._tier2_active:
+            idx._train_tier2(train_vecs, tr)
+        if idx._host_active:
             idx._set_host_scale(train_vecs)
-        idx._populate(vectors)
         return idx
 
     @classmethod
@@ -2413,9 +2568,9 @@ class BandIVFPQIndex(BandIVFIndex):
                     rms = float(jnp.sqrt(jnp.mean(src * src)))
                     amax = float(jnp.max(jnp.abs(src)))
                     scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
-                elif idx.refine == "pq2":
+                if idx._tier2_active:
                     idx._train_tier2(train_vecs, tr[:ns])
-                elif idx.refine == "host":
+                if idx._host_active:
                     idx._set_host_scale(train_vecs)
             else:
                 rot = (jnp.asarray(idx.opq_matrix).T
@@ -2431,7 +2586,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 rsrc = enc_in if idx._refine_residual else tr
                 refine_chunks.append(np.asarray(
                     jnp.clip(jnp.round(rsrc / scale), -127, 127).astype(jnp.int8)))
-            elif idx.refine == "pq2":  # gid = insertion order: plain append
+            if idx._tier2_active:  # gid = insertion order: plain append
                 if idx.metric == "l2":
                     c2_b, s2_b = idx._encode_tier2(
                         enc_in, codes,
@@ -2442,7 +2597,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 else:
                     idx._codes2_pending.append(
                         np.asarray(idx._encode_tier2(enc_in, codes)))
-            elif idx.refine == "host":
+            if idx._host_active:
                 idx._host_pending_rows.append(np.asarray(jnp.clip(
                     jnp.round(enc_in / idx._host_scale), -127, 127
                 ).astype(jnp.int8)))
@@ -2534,9 +2689,9 @@ class BandIVFPQIndex(BandIVFIndex):
                     rms = float(jnp.sqrt(jnp.mean(src * src)))
                     amax = float(jnp.max(jnp.abs(src)))
                     idx._scale = max(min(amax, 4.0 * rms) / 127.0, 1e-12)
-                elif idx.refine == "pq2":
+                if idx._tier2_active:
                     idx._train_tier2(train_vecs, tr[:ns])
-                elif idx.refine == "host":
+                if idx._host_active:
                     idx._set_host_scale(train_vecs)
             else:
                 rot = (jnp.asarray(idx.opq_matrix).T
@@ -2595,8 +2750,8 @@ class BandIVFPQIndex(BandIVFIndex):
             idx._local_rm = None
             idx._centroid_tiles = None
         do_refine = idx.refine == "int8"
-        do_pq2 = idx.refine == "pq2"
-        do_host = idx.refine == "host"
+        do_pq2 = idx._tier2_active
+        do_host = idx._host_active
         assert not (do_refine and segmented), (
             "int8 refine rows at segmented scale exceed HBM by construction"
             " — use refine='pq2' (in-HBM tier-2) or 'host' at this scale")
@@ -2779,7 +2934,10 @@ class BandIVFPQIndex(BandIVFIndex):
         self._host_assign = self._assign_gid
         self._host_pending_rows = []
         self._host_pending_assign = []
-        self.refine = "host"
+        # a pq2 build keeps its in-HBM tier-2 table: the attach upgrades it
+        # to the CASCADE (kernel → tier-2 narrows on-chip → host exact) —
+        # the config-#5 endgame (class doc, 'pq2+host')
+        self.refine = ("pq2+host" if self._tier2_active else "host")
 
     def _populate(self, vectors) -> None:
         vectors = jnp.asarray(vectors, jnp.float32)
@@ -2837,7 +2995,7 @@ class BandIVFPQIndex(BandIVFIndex):
         else:
             self._refine_rows = jnp.zeros((1, self.dim), jnp.int8)
             self._scale = 0.0
-            if self.refine == "pq2":
+            if self._tier2_active:
                 # tier-2 codes keyed by GLOBAL id: row i of enc_in (arena
                 # order) is global id order[i]
                 if self.metric == "l2":
@@ -2852,7 +3010,7 @@ class BandIVFPQIndex(BandIVFIndex):
                 self._codes2 = (
                     jnp.zeros((n, self.m2), jnp.uint8)
                     .at[jnp.asarray(order)].set(c2_sorted))
-            elif self.refine == "host":
+            if self._host_active:
                 if self._host_scale == 0.0:
                     self._set_host_scale(enc_in)
                 r8 = np.asarray(jnp.clip(
@@ -2867,13 +3025,16 @@ class BandIVFPQIndex(BandIVFIndex):
         self._ids = order.astype(np.int32)
         self._dev = None
 
-    def add(self, vectors) -> None:
+    def add(self, vectors, ids: np.ndarray | None = None) -> None:
         """Incremental insert for the PQ arena: the batch is rotated (OPQ),
         assigned, residual-PQ-encoded and int8-quantized ON DEVICE; codes +
         int8 rows append to the pending store (scanned exactly at query
         time) and fold into the arena via one native re-sort past the
         threshold. Fixes the r1 crash where the inherited add() treated the
-        code matrix as raw vector rows."""
+        code matrix as raw vector rows.
+
+        ids: explicit global ids (sharded wrappers allocate across shards —
+        parallel/dist_band_pq.py); must be ≥ the current bound."""
         vectors = jnp.asarray(vectors, jnp.float32)
         assert self.centroids is not None and self.codebooks is not None, (
             "build() trains the quantizers before add()"
@@ -2882,6 +3043,7 @@ class BandIVFPQIndex(BandIVFIndex):
                if self.opq_matrix is not None else None)
         tr = vectors @ rot if rot is not None else vectors
         if self._n == 0 and self._pending.size == 0:
+            assert ids is None, "explicit ids need a populated arena"
             self._populate(tr)
             return
         cdev = jnp.asarray(self.centroids)
@@ -2902,9 +3064,27 @@ class BandIVFPQIndex(BandIVFIndex):
             jnp.round(tr / self._pending_scale), -127, 127
         ).astype(jnp.int8)
         b = int(vectors.shape[0])
-        ids = self._alloc_ids(b)
+        if ids is None:
+            ids = self._alloc_ids(b)
+        else:
+            ids = np.asarray(ids, np.int64)
+            lo = np.iinfo(np.int64).max
+            assert ids.shape == (b,) and ids.min(initial=lo) >= self._gid_bound(), (
+                "explicit ids must not collide with ever-allocated ids")
+            if ((self._tier2_active and self.codebooks2 is not None)
+                    or (self._host_active and self._host_scale > 0)):
+                # gid-keyed tier stores append by POSITION — the invariant
+                # 'table length == gid coverage' only holds for consecutive
+                # allocation (sharded wrappers own their tiers instead and
+                # run their shards with refine='none')
+                assert (ids == np.arange(self._gid_bound(),
+                                         self._gid_bound() + b)).all(), (
+                    "explicit non-consecutive ids would misalign the "
+                    "gid-keyed refine tier stores")
+            self._next_id = max(self._gid_bound(),
+                                int(ids.max(initial=-1)) + 1)
         # tier-2 stores are gid-keyed: sequential ids → in-order appends
-        if self.refine == "pq2" and self.codebooks2 is not None:
+        if self._tier2_active and self.codebooks2 is not None:
             if self.metric == "l2":
                 c2_b, s2_b = self._encode_tier2(
                     enc_in, codes,
@@ -2914,7 +3094,7 @@ class BandIVFPQIndex(BandIVFIndex):
             else:
                 self._codes2_pending.append(
                     np.asarray(self._encode_tier2(enc_in, codes)))
-        elif self.refine == "host" and self._host_scale > 0:
+        if self._host_active and self._host_scale > 0:
             # gate on the SCALE, not _host_rows: after build_streaming the
             # whole store is still in _host_pending_rows (_host_rows None)
             # and gating on it silently dropped every add from the
@@ -2946,7 +3126,7 @@ class BandIVFPQIndex(BandIVFIndex):
     def merge_pending(self) -> None:
         if self._pending.size == 0:
             return
-        if self.refine == "pq2" and self._codes2_pending:
+        if self._tier2_active and self._codes2_pending:
             # pending rows become ARENA rows below; the serving path gathers
             # tier-2 codes for arena gids without folding (fold=False), so
             # their codes must land in the table here
@@ -3053,7 +3233,7 @@ class BandIVFPQIndex(BandIVFIndex):
             if slots.size:
                 keep = np.ones(self._n, bool)
                 keep[slots] = False
-                if self.refine == "pq2" and self._codes2_pending:
+                if self._tier2_active and self._codes2_pending:
                     self._codes2_device()  # land pending tier-2 codes first
                 codes = self._codes_np_rows()[: self._n][keep]
                 assigns = np.repeat(
@@ -3085,8 +3265,8 @@ class BandIVFPQIndex(BandIVFIndex):
                     )
                     rec = rec + self.centroids[assign]
                 out[arena_mask] = rec
-            elif self.refine == "host" and (self._host_rows is not None
-                                            or self._host_pending_rows):
+            elif self._host_active and (self._host_rows is not None
+                                        or self._host_pending_rows):
                 # gid-keyed near-exact int8 store beats PQ decode (r3)
                 rows_h, assign_h = self._host_store()
                 g = ids[arena_mask]
@@ -3229,6 +3409,16 @@ class BandIVFPQIndex(BandIVFIndex):
                 if can_refine_scan:
                     out.append({"p_tiles": p, "tile_q": tq,
                                 "serve_from": "refine"})
+                elif self.refine == "pq2+host":
+                    # cascade ladder: deep kernel candidate sets (tier-2
+                    # ranks them on-chip) × PCIe shortlist width
+                    for rf in (64, 205, 410, 820):
+                        for hf in (32, 102):
+                            cfg = {"p_tiles": p, "tile_q": tq,
+                                   "refine_factor": rf, "host_factor": hf}
+                            out.append(cfg)
+                            if rf >= 205:  # shadowing binds at depth
+                                out.append({**cfg, "top2": True})
                 else:
                     two_stage = self.refine in ("int8", "pq2", "host")
                     for rf in ((16, 64, 102) if two_stage else (None,)):
@@ -3250,6 +3440,7 @@ class BandIVFPQIndex(BandIVFIndex):
                and not seen.add(key)]
         out.sort(key=lambda c: (c["p_tiles"]
                                 * (1 + c.get("refine_factor", 0) / 256.0)
+                                * (1 + c.get("host_factor", 0) / 512.0)
                                 * (1.02 if c.get("top2") else 1.0),
                                 -c["tile_q"]))
         return out
@@ -3262,19 +3453,26 @@ class BandIVFPQIndex(BandIVFIndex):
         kw = {"p_tiles": n_tiles}
         if self.refine in ("int8", "pq2", "host"):
             kw["refine_factor"] = 102  # ~1024 candidates at k=10
+        elif self.refine == "pq2+host":
+            kw["refine_factor"] = 820  # cascade: deep on-chip candidates,
+            kw["host_factor"] = 102    # wide PCIe shortlist as reference
         return kw
 
     def _resolve_pq_knobs(self, nq, nprobe, p_tiles, tile_q, refine_factor,
-                          n_pools, serve_from, top2=None):
+                          n_pools, serve_from, top2=None, host_factor=None):
         """Shared knob resolution for the PQ host and device search paths
         (the twin of _resolve_tiles_knobs): tuned op-point fills for
         sentinel values, small-batch query-tile shrink, span-aware auto
-        coverage."""
+        coverage. host_factor sizes the CASCADE shortlist
+        (refine='pq2+host'): k_host = k·host_factor rows cross PCIe after
+        the on-chip tier-2 narrowing."""
         op = self._op_point or {}
         if serve_from is None:
             serve_from = op.get("serve_from", "pq")
         if refine_factor is None:
             refine_factor = op.get("refine_factor", 16)
+        if host_factor is None:
+            host_factor = op.get("host_factor", 64)
         if p_tiles <= 0:
             p_tiles = op.get("p_tiles", 0)
         if tile_q is None:
@@ -3289,7 +3487,8 @@ class BandIVFPQIndex(BandIVFIndex):
         if p_tiles <= 0:
             n_tiles = self._n_pad_rows // self.tile_n
             p_tiles = self._auto_p_tiles(nq, nprobe, n_tiles, tile_q=tq)
-        return serve_from, refine_factor, p_tiles, tq, n_pools, top2
+        return (serve_from, refine_factor, p_tiles, tq, n_pools, top2,
+                host_factor)
 
     def _pq_stage_plan(self, k, refine_factor, n_pools, tq, p_tiles,
                        top2=False):
@@ -3300,11 +3499,11 @@ class BandIVFPQIndex(BandIVFIndex):
         distinct rows per bucket — ops/pallas_pq.py kernel doc), so the
         auto pool count halves and buckets derive from 2·n_pools."""
         two_stage = (self.refine == "int8"
-                     or (self.refine == "pq2"
+                     or (self._tier2_active
                          and self.codebooks2 is not None
                          and (self._codes2 is not None
                               or bool(self._codes2_pending)))
-                     or (self.refine == "host"
+                     or (self._host_active
                          and (self._host_rows is not None
                               or bool(self._host_pending_rows))))
         k_cand = min(max(k * refine_factor, 32), self._n) if two_stage else k
@@ -3323,11 +3522,31 @@ class BandIVFPQIndex(BandIVFIndex):
                                                     else k)
         return two_stage, k_cand, n_pools, l_buckets, k_stage1
 
+    def _host_tier_rescore(self, qp_dev, v, gids, k, l2, centroids_dev):
+        """Host-RAM exact rescore of the current candidate set (v, gids):
+        gathers the shortlist's int8 rows from the gid-keyed host store
+        (the only PCIe traffic of the search) and reranks to k. Shared by
+        refine='host' (full kernel candidate set) and the 'pq2+host'
+        cascade (tier-2-narrowed shortlist)."""
+        host_rows, host_assign = self._host_store()
+        gids_h = np.asarray(gids)
+        g = np.clip(gids_h, 0, host_rows.shape[0] - 1)
+        r8 = host_rows[g]                # host RAM gather (shortlist)
+        assign = host_assign[g].astype(np.int32)
+        x_sq = (jnp.asarray(self._host_row_sq()[g])
+                if l2 and self.residual else None)
+        return _host_rescore(
+            qp_dev, jnp.asarray(np.asarray(v)), jnp.asarray(gids_h),
+            jnp.asarray(r8), jnp.asarray(assign), centroids_dev,
+            jnp.float32(self._host_scale), x_sq, k=k,
+            resid=self.residual, l2=l2)
+
     def search(self, queries, k: int, nprobe: int = 32, interpret: bool | None = None,
                p_tiles: int = 0, refine_factor: int | None = None,
                n_pools: int = 0, tile_q: int | None = None,
                serve_from: str | None = None, where=None,
-               top2: bool | None = None, **_):
+               top2: bool | None = None, host_factor: int | None = None,
+               **_):
         """n_pools=0 (auto): enough independent kernel candidate pools to hold
         k_cand = k·refine_factor slots, within a VMEM slot budget that scales
         inversely with the query tile — deep refine_factor (≥ tile_n/k) only
@@ -3367,9 +3586,10 @@ class BandIVFPQIndex(BandIVFIndex):
             queries = queries @ self.opq_matrix.T
         nq = queries.shape[0]
         flt = self.make_filter(where) if where is not None else None
-        serve_from, refine_factor, p_tiles, tq, n_pools, top2 = \
-            self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
-                                   refine_factor, n_pools, serve_from, top2)
+        (serve_from, refine_factor, p_tiles, tq, n_pools, top2,
+         host_factor) = self._resolve_pq_knobs(
+            nq, nprobe, p_tiles, tile_q, refine_factor, n_pools, serve_from,
+            top2, host_factor)
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else np.concatenate(
             [queries, np.repeat(queries[-1:], q_pad - nq, axis=0)])
@@ -3408,24 +3628,24 @@ class BandIVFPQIndex(BandIVFIndex):
             l_buckets=l_buckets, refine_residual=self._refine_residual,
             l2=l2, top2=top2,
         )
-        if two_stage and self.refine == "pq2":
+        if two_stage and self._tier2_active and self.codebooks2 is not None:
+            # cascade ('pq2+host' with a host store attached): tier-2 keeps
+            # a k·host_factor shortlist on-chip; only those rows cross PCIe
+            have_host = (self._host_active
+                         and (self._host_rows is not None
+                              or bool(self._host_pending_rows)))
+            k_mid = (min(max(k * host_factor, k), k_cand) if have_host
+                     else k)
             v, gids = _pq2_rescore(
                 qp_dev, v, gids, self._codes2_device(fold=False),
                 self._codebooks2_device(),
-                self._s2_device() if l2 else None, k=k, l2=l2)
-        elif two_stage and self.refine == "host":
-            host_rows, host_assign = self._host_store()
-            gids_h = np.asarray(gids)
-            g = np.clip(gids_h, 0, host_rows.shape[0] - 1)
-            r8 = host_rows[g]                # host RAM gather (shortlist)
-            assign = host_assign[g].astype(np.int32)
-            x_sq = (jnp.asarray(self._host_row_sq()[g])
-                    if l2 and self.residual else None)
-            v, gids = _host_rescore(
-                qp_dev, v, jnp.asarray(gids_h), jnp.asarray(r8),
-                jnp.asarray(assign), st["centroids"],
-                jnp.float32(self._host_scale), x_sq, k=k,
-                resid=self.residual, l2=l2)
+                self._s2_device() if l2 else None, k=k_mid, l2=l2)
+            if have_host:
+                v, gids = self._host_tier_rescore(qp_dev, v, gids, k, l2,
+                                                  st["centroids"])
+        elif two_stage and self._host_active:
+            v, gids = self._host_tier_rescore(qp_dev, v, gids, k, l2,
+                                              st["centroids"])
         v, gids = np.asarray(v)[:nq], np.asarray(gids)[:nq].astype(np.int64)
         # pending rows live in rotated space; `queries` is already rotated
         return self._merge_pending_topk(v, gids, queries[:nq], k)
@@ -3476,9 +3696,10 @@ class BandIVFPQIndex(BandIVFIndex):
                               precision=jax.lax.Precision.HIGHEST)
         nq = queries.shape[0]
         flt = self.make_filter(where) if where is not None else None
-        serve_from, refine_factor, p_tiles, tq, n_pools, top2 = \
-            self._resolve_pq_knobs(nq, nprobe, p_tiles, tile_q,
-                                   refine_factor, n_pools, serve_from, top2)
+        (serve_from, refine_factor, p_tiles, tq, n_pools, top2,
+         _hf) = self._resolve_pq_knobs(
+            nq, nprobe, p_tiles, tile_q, refine_factor, n_pools, serve_from,
+            top2)
         q_pad = -(-nq // tq) * tq
         qp = queries if q_pad == nq else jnp.concatenate(
             [queries, jnp.repeat(queries[-1:], q_pad - nq, axis=0)])
@@ -3499,8 +3720,12 @@ class BandIVFPQIndex(BandIVFIndex):
         st = self._device_state()
         two_stage, k_cand, n_pools, l_buckets, k_stage1 = \
             self._pq_stage_plan(k, refine_factor, n_pools, tq, p_tiles, top2)
-        assert not (two_stage and self.refine == "host"), (
+        assert not (two_stage and self._host_active
+                    and not (self._tier2_active
+                             and self.codebooks2 is not None)), (
             "refine='host' rescores from host RAM — use search()")
+        # 'pq2+host' device twin serves the ON-CHIP cascade prefix (kernel
+        # + tier-2): exact host rescore is inherently host-attached
         nv = (self._seg_n_valid() if self._segmented
               else jnp.asarray(self._n, jnp.int32))
         v, gids = _pq_tiles_plan_search(
@@ -3516,7 +3741,7 @@ class BandIVFPQIndex(BandIVFIndex):
             l_buckets=l_buckets, refine_residual=self._refine_residual,
             l2=l2, top2=top2,
         )
-        if two_stage and self.refine == "pq2":
+        if two_stage and self._tier2_active and self.codebooks2 is not None:
             v, gids = _pq2_rescore(
                 qp, v, gids, self._codes2_device(fold=False),
                 self._codebooks2_device(),
@@ -3538,14 +3763,14 @@ class BandIVFPQIndex(BandIVFIndex):
         }
         if self.refine == "int8":
             out["refine_rows"] = np.asarray(self._refine_rows)
-        if self.refine == "pq2" and (self._codes2 is not None
-                                     or self._codes2_pending):
+        if self._tier2_active and (self._codes2 is not None
+                                   or self._codes2_pending):
             out["codes2"] = np.asarray(self._codes2_device())
             out["codebooks2"] = self.codebooks2
             if self.metric == "l2":
                 out["s2"] = np.asarray(self._s2_device())
-        if self.refine == "host" and (self._host_rows is not None
-                                      or self._host_pending_rows):
+        if self._host_active and (self._host_rows is not None
+                                  or self._host_pending_rows):
             rows_h, assign_h = self._host_store()
             out["host_rows"] = rows_h
             out["host_assign"] = assign_h

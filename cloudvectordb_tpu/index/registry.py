@@ -55,8 +55,20 @@ def build_index(vectors, cfg: IndexConfig) -> Index:
                 train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
                 pq_train_iters=cfg.pq_train_iters, seed=cfg.seed,
             )
+        if cfg.kind == "band_ivf_pq":
+            from cloudvectordb_tpu.parallel.dist_band_pq import (
+                ShardedBandIVFPQIndex)
+
+            return ShardedBandIVFPQIndex.build(
+                vectors, nlist, m=cfg.m, mesh=mesh, nbits=cfg.nbits,
+                refine=cfg.refine, opq=cfg.opq, metric=cfg.metric,
+                train_sample=cfg.train_sample, kmeans_iters=cfg.kmeans_iters,
+                aniso_eta=cfg.aniso_eta, pq_train_iters=cfg.pq_train_iters,
+                seed=cfg.seed,
+            )
         raise ValueError(
-            f"nshards>0 supports kinds band_ivf | ivf_pq, got {cfg.kind!r}")
+            "nshards>0 supports kinds band_ivf | ivf_pq | band_ivf_pq, "
+            f"got {cfg.kind!r}")
     if cfg.kind == "flat":
         return FlatIndex.build(vectors, metric=cfg.metric, dtype=cfg.dtype)
     nlist = min(cfg.nlist, max(1, vectors.shape[0] // 4))
@@ -110,11 +122,14 @@ def load_index(path: str | Path, mmap: bool = True, mesh=None) -> Index:
 
     if is_sharded_artifact(path):
         from cloudvectordb_tpu.parallel.dist_band import ShardedBandIndex
+        from cloudvectordb_tpu.parallel.dist_band_pq import (
+            ShardedBandIVFPQIndex)
         from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex
 
         kind = read_sharded_manifest(path)["kind"]
         cls = {"sharded_band_ivf": ShardedBandIndex,
-               "sharded_ivf_pq": ShardedIVFPQIndex}[kind]
+               "sharded_ivf_pq": ShardedIVFPQIndex,
+               "sharded_band_ivf_pq": ShardedBandIVFPQIndex}[kind]
         return cls.load(path, mesh=mesh, mmap=mmap)
     manifest = Index.read_manifest(path)
     arrays = Index.load_arrays(path, mmap=mmap)

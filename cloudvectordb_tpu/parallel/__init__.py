@@ -16,4 +16,5 @@ from cloudvectordb_tpu.parallel.mesh import (  # noqa: F401
 )
 from cloudvectordb_tpu.parallel.dist_search import DistributedFlatIndex  # noqa: F401
 from cloudvectordb_tpu.parallel.dist_band import ShardedBandIndex  # noqa: F401
+from cloudvectordb_tpu.parallel.dist_band_pq import ShardedBandIVFPQIndex  # noqa: F401
 from cloudvectordb_tpu.parallel.dist_ivf import ShardedIVFPQIndex  # noqa: F401

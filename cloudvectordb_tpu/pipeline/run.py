@@ -283,7 +283,7 @@ class Pipeline:
         stages = {
             "mine": self.stage_mine, "train": self.stage_train,
             "encode": self.stage_encode, "build": self.stage_build,
-            "eval": self.stage_eval,
+            "tune": self.stage_tune, "eval": self.stage_eval,
         }
         result = {}
         for name in self.cfg.stages:

@@ -95,6 +95,12 @@ class EncoderConfig(_ConfigBase):
     # TPU train step (measured: 378→317→~250 ms/step with rbg RNG and
     # attn_dropout=0); set 0.0 when the contrastive recipe tolerates it.
     attn_dropout: float | None = None
+    # attention implementation: 'auto' (fused Pallas flash kernel whenever
+    # it applies — TPU, attn_dropout=0 or deterministic, max_len%128==0),
+    # 'fused' (require it), 'naive' (always the materialized-logits path).
+    # The naive path writes three (B, heads, L, L) f32 tensors to HBM per
+    # layer; the fused kernel keeps the running softmax in VMEM.
+    attn_impl: str = "auto"
     pooling: str = "mean"          # mean | cls
     normalize: bool = True         # L2-normalize sentence embeddings
     dtype: str = "bfloat16"        # activation dtype on TPU (params stay f32)

@@ -268,27 +268,41 @@ def main():
         t0 = time.perf_counter()
         idx.attach_host_refine(host_chunk, n_chunks, chunks_rotated=True)
         print(f"[attach] host tier ({idx._host_rows.nbytes/1e9:.0f} GB RAM) "
-              f"in {time.perf_counter() - t0:.0f} s host-side", flush=True)
+              f"in {time.perf_counter() - t0:.0f} s host-side; "
+              f"refine={idx.refine!r}", flush=True)
         qn = np.asarray(queries)
-        # top2 rows (TOP2=1): the per-bucket top-2 merge reaches the same
-        # candidate recall at HALF the k_cand — half the per-batch PCIe
-        # shortlist bytes for equal end-to-end recall
-        cfgs_h = [(512, 64, False), (512, 102, False), (512, 410, False)]
+        # r4 CASCADE ('pq2+host', VERDICT item 2): a pq2 build keeps its
+        # tier-2 table through the attach, so the kernel's k_cand candidates
+        # are narrowed ON-CHIP by the tier-2 ADC to k·host_factor rows and
+        # only those cross PCIe for the exact rescore — the shortlist bytes
+        # drop k_cand/k_host (≈6–13×) at the same candidate ceiling.
+        # (rf, hf, top2): hf=None → un-narrowed control (≡ plain 'host').
+        cascade = idx.refine == "pq2+host"
+        cfgs_h = ([(512, 410, 410, False), (512, 410, 64, False),
+                   (512, 820, 64, False), (512, 820, 102, False)]
+                  if cascade else
+                  [(512, 64, None, False), (512, 102, None, False),
+                   (512, 410, None, False)])
         if os.environ.get("TOP2") == "1":
-            cfgs_h += [(512, 205, True), (512, 410, True)]
-        for bq, rf, top2 in cfgs_h:
+            cfgs_h += ([(512, 410, 64, True), (512, 820, 102, True)]
+                       if cascade else [(512, 205, None, True),
+                                        (512, 410, None, True)])
+        for bq, rf, hf, top2 in cfgs_h:
             p_h = min(int(os.environ.get("HOST_P", p_list[-1])), n_tiles)
+            hkw = {"host_factor": hf} if hf is not None else {}
             _, gh = idx.search(qn[:bq], K, p_tiles=p_h, refine_factor=rf,
-                               tile_q=64, top2=top2)
+                               tile_q=64, top2=top2, **hkw)
             rh = recall_at_k(gh[:min(bq, NQ_GT)], gt[:min(bq, NQ_GT)])
             t0 = time.perf_counter()
             idx.search(np.roll(qn[:bq], 1, axis=0), K, p_tiles=p_h,
-                       refine_factor=rf, tile_q=64, top2=top2)
+                       refine_factor=rf, tile_q=64, top2=top2, **hkw)
             dt = time.perf_counter() - t0
-            ship = bq * rf * K * D / 1e9
-            print(f"[eval] host-tier p={p_h} B={bq} k_cand={rf*K} "
+            k_ship = min(hf or rf, rf) * K  # rows/query crossing PCIe
+            ship = bq * k_ship * D / 1e9
+            print(f"[eval] {'cascade' if cascade and hf else 'host-tier'} "
+                  f"p={p_h} B={bq} k_cand={rf*K} k_host={k_ship} "
                   f"top2={int(top2)}: recall@10={rh:.4f}  {bq/dt:6.0f} "
-                  f"qps/chip (relay-bound: ships {ship:.2f} GB/batch "
+                  f"qps/chip (relay-bound: ships {ship:.3f} GB/batch "
                   f"host→HBM; PCIe at 16 GB/s → "
                   f"~{bq/(ship/16+0.02):,.0f} qps bound)", flush=True)
 

@@ -48,50 +48,87 @@ def main():
           f"100M on v5e-8 in {1e8/(8*enc_ps)/60:,.1f} min", flush=True)
 
     # full train step (anchor+pos+neg stacked = 3B fwd + bwd) at MiniLM-L6
-    # scale — B from TRAIN_B (default 512 per BASELINE's MS MARCO config)
-    tb = int(os.environ.get("TRAIN_B", "512"))
-    tcfg = TrainConfig(encoder=cfg, batch_size=tb, total_steps=1)
-    trainer = Trainer(tcfg)
-    state = trainer.init_state()
+    # scale — B from TRAIN_B (default 512 per BASELINE's MS MARCO config).
+    # r4 ablation (VERDICT item 4): attention implementation × dropout —
+    # the naive path writes three (3B, H, L, L) f32 tensors to HBM per
+    # layer; the fused Pallas flash kernel (attn_impl='fused') keeps the
+    # running softmax in VMEM. Same-session controls in one process.
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    def mk_train(i):
-        b = tcfg.batch_size
-        r = lambda: rng.integers(0, cfg.vocab_size, (b, cfg.max_len)).astype(np.int32)  # noqa: E731
-        ones = np.ones((b, cfg.max_len), np.int32)
-        return {
-            "anchor_ids": r(), "anchor_mask": ones,
-            "pos_ids": r(), "pos_mask": ones,
-            "neg_ids": r(), "neg_mask": ones,
-        }
-    step = trainer.step_fn
-    state, m = step(state, trainer.place_batch(mk_train(0)))  # compile
-    float(m["loss"])
-    # pre-place batches so the timed region measures the device step, not the
-    # host→device batch transfer (which rides the ~23 MB/s dev relay here; on
-    # real hardware it is an overlapped PCIe copy)
-    iters = 4
-    placed = [trainer.place_batch(mk_train(i + 1)) for i in range(iters)]
-    t0 = time.perf_counter()
-    for b in placed:
-        state, m = step(state, b)
-    float(m["loss"])
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    tps = tcfg.batch_size * iters / dt
-    # step-time MFU: 6·N_nonembed FLOPs per trained token (fwd 2N + bwd 4N),
-    # 3 encoder legs per triplet, vs the v5e bf16 peak (197 TFLOP/s)
-    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
-    n_embed = cfg.vocab_size * cfg.hidden_dim + cfg.max_len * cfg.hidden_dim
-    flops_step = 6 * (n_params - n_embed) * 3 * tcfg.batch_size * cfg.max_len
-    mfu = flops_step / (dt / iters) / 197e12
-    print(
-        f"train step (B={tcfg.batch_size} triplets, L={cfg.max_len}, "
-        f"{n_params/1e6:.1f}M params): {tps:,.0f} triplets/s/chip "
-        f"({dt/iters*1000:.0f} ms/step, MFU {mfu:.1%})", flush=True,
-    )
-    print(f"  → MS MARCO-size epoch (500k triplets): {5e5/tps/60:.1f} "
-          f"min/chip; {5e5/(8*tps)/60:.1f} min on v5e-8 DP", flush=True)
+    tb = int(os.environ.get("TRAIN_B", "512"))
+
+    def time_train(enc_cfg, label):
+        tcfg = TrainConfig(encoder=enc_cfg, batch_size=tb, total_steps=1)
+        trainer = Trainer(tcfg)
+        state = trainer.init_state()
+        rng = np.random.default_rng(0)
+
+        def mk_train(i):
+            b = tcfg.batch_size
+            r = lambda: rng.integers(  # noqa: E731
+                0, enc_cfg.vocab_size, (b, enc_cfg.max_len)).astype(np.int32)
+            ones = np.ones((b, enc_cfg.max_len), np.int32)
+            return {
+                "anchor_ids": r(), "anchor_mask": ones,
+                "pos_ids": r(), "pos_mask": ones,
+                "neg_ids": r(), "neg_mask": ones,
+            }
+
+        step = trainer.step_fn
+        state, m = step(state, trainer.place_batch(mk_train(0)))  # compile
+        loss0 = float(m["loss"])
+        # pre-place batches so the timed region measures the device step,
+        # not the host→device transfer (rides the ~23 MB/s dev relay here)
+        iters = 4
+        placed = [trainer.place_batch(mk_train(i + 1)) for i in range(iters)]
+        t0 = time.perf_counter()
+        for b in placed:
+            state, m = step(state, b)
+        float(m["loss"])
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        tps = tcfg.batch_size * iters / dt
+        # step-time MFU: 6·N_nonembed FLOPs per trained token (fwd 2N +
+        # bwd 4N), 3 legs per triplet, vs the v5e bf16 peak (197 TFLOP/s)
+        n_p = sum(int(x.size) for x in jax.tree_util.tree_leaves(
+            state.params))
+        n_embed = (enc_cfg.vocab_size * enc_cfg.hidden_dim
+                   + enc_cfg.max_len * enc_cfg.hidden_dim)
+        flops_step = 6 * (n_p - n_embed) * 3 * tcfg.batch_size * enc_cfg.max_len
+        mfu = flops_step / (dt / iters) / 197e12
+        print(
+            f"train[{label}] (B={tb} triplets, L={enc_cfg.max_len}, "
+            f"{n_p/1e6:.1f}M params): {tps:,.0f} triplets/s/chip "
+            f"({dt/iters*1000:.0f} ms/step, MFU {mfu:.1%}, "
+            f"loss0 {loss0:.3f})", flush=True)
+        print(f"  → MS MARCO-size epoch (500k triplets): {5e5/tps/60:.1f} "
+              f"min/chip; {5e5/(8*tps)/60:.1f} min on v5e-8 DP", flush=True)
+        return dt / iters
+
+    import dataclasses
+
+    time_train(dataclasses.replace(cfg, attn_impl="naive"),
+               "naive, full dropout (r3 baseline)")
+    time_train(dataclasses.replace(cfg, attn_impl="naive", attn_dropout=0.0),
+               "naive, attn_dropout=0 (r3 best)")
+    time_train(dataclasses.replace(cfg, attn_impl="fused", attn_dropout=0.0),
+               "FUSED flash attention, attn_dropout=0")
+    time_train(dataclasses.replace(cfg, attn_impl="fused", attn_dropout=0.0,
+                                   dropout=0.0),
+               "FUSED, all dropout off (upper bound)")
+
+    # numerical sanity: fused vs naive forward on one batch (deterministic)
+    m_n, p_n = init_encoder(
+        dataclasses.replace(cfg, attn_impl="naive"), seed=0)
+    m_f, p_f = init_encoder(
+        dataclasses.replace(cfg, attn_impl="fused", attn_dropout=0.0), seed=0)
+    ids, mask = batches[0]
+    mask = mask.at[:, 100:].set(0)  # exercise real padding
+    e_n = np.asarray(m_n.apply({"params": p_n}, ids, mask, True))
+    e_f = np.asarray(m_f.apply({"params": p_f}, ids, mask, True))
+    cos = float(np.mean(np.sum(e_n * e_f, axis=1)))
+    print(f"fused-vs-naive fwd mean cos (padded batch): {cos:.6f}",
+          flush=True)
+    assert cos > 0.999, "fused attention diverged from the naive path"
 
 
 if __name__ == "__main__":

@@ -500,6 +500,161 @@ def test_pq2_host_device_streaming(data):
     assert rh >= r2 - 0.01, (r2, rh)   # exact host rescore ≥ tier-2 PQ
 
 
+def test_inplace_device_merge(data):
+    """r4 (VERDICT item 5): a device-resident compact int8 arena built with
+    merge_headroom folds pending adds IN PLACE — same buffer (capacity
+    unchanged), zero payload fetch, results identical to the host-merge
+    path on the same rows."""
+    import jax
+    import jax.numpy as jnp
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 3000, 1000)]
+    kw = dict(nlist=16, kmeans_iters=6, tile_n=256, tile_q=16,
+              residual=True, train_sample=1000)
+    dev = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 3, merge_headroom=0.5, **kw)
+    host = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 3, merge_headroom=0.0, **kw)
+    cap = int(dev._payload.shape[0])
+    assert cap > int(host._payload.shape[0])  # headroom allocated
+    buf_before = dev._payload
+    for idx in (dev, host):
+        idx.add(jnp.asarray(db[3000:3500]))
+        idx.merge_pending()
+    # the in-place path kept the SAME capacity buffer shape (a host merge
+    # reassembles at a new padded size) and never fetched the payload
+    assert isinstance(dev._payload, jax.Array)
+    assert int(dev._payload.shape[0]) == cap
+    assert dev.ntotal == host.ntotal == 3500
+    p_all_d = cap // 256
+    p_all_h = int(host._payload.shape[0]) // 256
+    _, fd = dev.search(q, 10, interpret=True, p_tiles=p_all_d, tile_q=16)
+    _, fh = host.search(q, 10, interpret=True, p_tiles=p_all_h, tile_q=16)
+    np.testing.assert_array_equal(fd, fh)  # same rows, same quantizer
+    # ids/offsets coherent: every row reconstructs to its own neighborhood
+    _, fs = dev.search(db[3000:3008], 1, interpret=True, p_tiles=p_all_d,
+                       tile_q=16)
+    assert (fs[:, 0] == np.arange(3000, 3008)).mean() >= 0.9
+    del buf_before
+
+    # headroom exhausted → falls back to the host merge (arena grows)
+    dev.add(jnp.asarray(db[:2000]))
+    dev.merge_pending()
+    assert dev.ntotal == 5500
+    assert int(dev._payload.shape[0]) > cap  # reassembled at a new size
+    _, fs2 = dev.search(db[3000:3008], 1, interpret=True,
+                        p_tiles=int(np.asarray(dev._payload).shape[0]) // 256,
+                        tile_q=16)
+    assert (fs2[:, 0] == np.arange(3000, 3008)).mean() >= 0.9
+
+
+def test_inplace_device_merge_multiple_rounds(data):
+    """Repeated in-place folds accumulate correctly until the headroom is
+    spent (the capacity bound is checked per merge)."""
+    import jax.numpy as jnp
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 2000, 1000)]
+    kw = dict(nlist=16, kmeans_iters=6, tile_n=256, tile_q=16,
+              residual=True, train_sample=1000)
+    idx = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 2, merge_headroom=1.2, **kw)
+    cap = int(idx._payload.shape[0])
+    for s in range(2000, 4000, 500):
+        idx.add(jnp.asarray(db[s : s + 500]))
+        idx.merge_pending()
+    assert idx.ntotal == 4000 and int(idx._payload.shape[0]) == cap
+    p_all = cap // 256
+    _, found = idx.search(q, 10, interpret=True, p_tiles=p_all, tile_q=16)
+    ref = BandIVFIndex.build_device_streaming(
+        lambda i: chunks[i], 2, **kw)
+    for s in range(2000, 4000, 500):
+        ref.add(jnp.asarray(db[s : s + 500]))
+        ref.merge_pending()
+    _, fr = ref.search(q, 10, interpret=True,
+                       p_tiles=int(np.asarray(ref._payload).shape[0]) // 256,
+                       tile_q=16)
+    np.testing.assert_array_equal(found, fr)
+
+
+def test_pq2_host_cascade(data, tmp_path):
+    """r4 (VERDICT item 2): refine='pq2+host' — the tier-2 ADC narrows the
+    kernel's k_cand candidate set ON-CHIP to a k·host_factor shortlist and
+    only the survivors' rows cross to the host rescore. At matched k_cand
+    the cascade must (a) carry both tiers through build/save/load/add, (b)
+    reach the plain 'host' tier's recall within noise while gathering ~8×
+    fewer host rows, and (c) beat pq2-only ranking."""
+    from cloudvectordb_tpu.index import load_index
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    kw = dict(nlist=16, m=8, nbits=4, kmeans_iters=6, pq_train_iters=6,
+              tile_n=256, tile_q=16)
+    casc = BandIVFPQIndex.build(db, refine="pq2+host", m2=16, **kw)
+    host = BandIVFPQIndex.build(db, refine="host", **kw)
+    pq2 = BandIVFPQIndex.build(db, refine="pq2", m2=16, **kw)
+    assert casc.codebooks2 is not None and casc._codes2 is not None
+    assert casc._host_rows is not None and casc._host_scale > 0
+    p_all = casc._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, fc = casc.search(q, 10, host_factor=6, **skw)  # 60-row shortlist
+    _, fh = host.search(q, 10, **skw)                 # 160-row shortlist
+    _, f2 = pq2.search(q, 10, **skw)
+    rc, rh, r2 = (recall_at_k(f, gt) for f in (fc, fh, f2))
+    assert rc >= r2, (r2, rc)          # exact host tail ≥ tier-2 ranking
+    assert rc >= rh - 0.02, (rh, rc)   # 2.7× narrower shortlist, same recall
+    # (at real scale — m2=32, 8-bit, 768-d — tier-2 ranks far better and
+    # the measured narrowing is ~8–13× at equal recall; see ROUND4.md)
+    # a wide-open shortlist (host_factor ≥ refine_factor) IS the host tier
+    _, fw = casc.search(q, 10, host_factor=16, **skw)
+    assert recall_at_k(fw, gt) >= rh - 0.01
+
+    # adds ride both tiers' pending stores
+    before = casc.ntotal
+    casc.add(db[:50])
+    _, fs = casc.search(db[:8], 1, host_factor=2, **skw)
+    assert ((fs[:, 0] == np.arange(8)) | (fs[:, 0] >= before)).all()
+    casc.merge_pending()
+    _, fs2 = casc.search(db[:8], 1, host_factor=2, **skw)
+    assert ((fs2[:, 0] == np.arange(8)) | (fs2[:, 0] >= before)).all()
+
+    # save/load keeps BOTH tiers and the cascade mode
+    casc.save(tmp_path / "casc")
+    lc = load_index(tmp_path / "casc")
+    assert lc.refine == "pq2+host"
+    assert lc.codebooks2 is not None and lc._codes2 is not None
+    assert lc._host_rows is not None
+    _, gl = lc.search(q, 10, host_factor=6, **skw)
+    assert recall_at_k(gl, gt) >= rc - 0.04  # (dup adds above cost a little)
+
+
+def test_attach_upgrades_pq2_to_cascade(data):
+    """r4: attach_host_refine on a pq2 device build keeps the in-HBM
+    tier-2 table and upgrades refine to the 'pq2+host' cascade (the 125M
+    endgame: tier-2 already resident, host rows attached link-free)."""
+    import jax.numpy as jnp
+
+    from cloudvectordb_tpu.index.ivf_band import BandIVFPQIndex
+
+    db, q, gt = data
+    chunks = [jnp.asarray(db[s : s + 1000]) for s in range(0, 4000, 1000)]
+    kw = dict(nlist=16, m=8, nbits=4, kmeans_iters=6, pq_train_iters=6,
+              tile_n=256, tile_q=16, train_sample=1000)
+    idx = BandIVFPQIndex.build_device_streaming(
+        lambda i: chunks[i], 4, refine="pq2", m2=16, **kw)
+    p_all = idx._n_pad_rows // 256
+    skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
+    _, f2 = idx.search(q, 10, **skw)
+    r2 = recall_at_k(f2, gt)
+    idx.attach_host_refine(lambda i: np.asarray(chunks[i]), 4)
+    assert idx.refine == "pq2+host"
+    assert idx._codes2 is not None  # tier-2 survived the attach
+    _, fc = idx.search(q, 10, host_factor=2, **skw)
+    rc = recall_at_k(fc, gt)
+    assert rc >= r2, (r2, rc)  # exact tail on a narrowed shortlist
+
+
 def test_slack_build_parity_and_masking(data):
     """slack>0 changes arena LAYOUT only: same rows, same quantizer, same
     scores — full-coverage results must match the compact build. Hole slots
@@ -932,7 +1087,10 @@ def test_attach_host_refine_from_host_source(data):
     skw = dict(interpret=True, p_tiles=p_all, tile_q=16, refine_factor=16)
     _, f2 = idx.search(q, 10, **skw)           # pq2 tier before attach
     idx.attach_host_refine(lambda i: chunks[i], 4)
-    assert idx.refine == "host" and idx._host_rows.shape[0] == 4000
+    # r4: a pq2 build upgrades to the cascade (tier-2 kept in HBM); the
+    # default host_factor (64) leaves this k_cand=160 shortlist un-narrowed,
+    # so every parity assertion below is unchanged
+    assert idx.refine == "pq2+host" and idx._host_rows.shape[0] == 4000
     _, fa = idx.search(q, 10, **skw)           # host tier after attach
     _, fh = host.search(q, 10, **skw)          # built-as-host reference
     r2_, ra, rh = (recall_at_k(f, gt) for f in (f2, fa, fh))

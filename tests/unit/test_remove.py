@@ -363,7 +363,7 @@ def test_attach_host_refine_after_remove(data):
     removed = np.arange(0, 4000, 17)
     assert idx.remove(removed) == removed.size
     idx.attach_host_refine(lambda i: chunks[i], 4)  # must not refuse
-    assert idx.refine == "host"
+    assert idx.refine == "pq2+host"  # r4: pq2 builds upgrade to the cascade
     gt = _surviving_gt(db, q, removed)
     p_all = idx._n_pad_rows // idx.tile_n
     _, found = idx.search(q, 10, interpret=True, p_tiles=p_all,
