@@ -1470,8 +1470,10 @@ class BandIVFIndex(Index):
         # clobber its correct destination.
         for s in list(range(src_min, n_old, C))[::-1]:
             buf = move(buf, dst_dev, s, min(C, n_old - s))
-        buf = buf.at[jnp.asarray(dest_p.astype(np.int32))].set(
-            jnp.asarray(p))
+        # donated scatter (_scatter_set) — an EAGER .at[].set() cannot alias
+        # and would allocate a second full arena (observed OOM at 12.5M)
+        buf = _scatter_set(buf, jnp.asarray(dest_p.astype(np.int32)),
+                           jnp.asarray(p))
         ids_new = np.empty(n_new, np.int64)
         ids_new[dst_all] = np.asarray(self._ids, np.int64)[:n_old]
         ids_new[dest_p] = pids

@@ -233,6 +233,22 @@ def test_sharded_pq_segmented_staging(data, monkeypatch):
     assert recall_at_k(i2, gt) >= recall_at_k(i1, gt) - 0.02
 
 
+def test_sharded_pq_2d_mesh(data):
+    """('replica', 'shard') mesh: query batch splits across replicas, rows
+    across shards — on-chip modes (pq2) only; results match the 1-D mesh."""
+    from cloudvectordb_tpu.parallel.mesh import make_2d_mesh
+
+    db, q, gt = data
+    one = ShardedBandIVFPQIndex.build(
+        db, mesh=make_mesh(4, axis_name="shard"), refine="pq2", m2=16, **KW)
+    two = ShardedBandIVFPQIndex.build(
+        db, mesh=make_2d_mesh(2, 4), refine="pq2", m2=16, **KW)
+    skw = dict(refine_factor=16)
+    _, f1 = one.search(q, 10, p_tiles=_full_p(one), **skw)
+    _, f2 = two.search(q, 10, p_tiles=_full_p(two), **skw)
+    np.testing.assert_array_equal(f1, f2)  # same shards, same quantizers
+
+
 def test_sharded_pq_tune(data):
     """TunableMixin ladder: tune() picks an op point meeting the target and
     search() serves it by default. The cascade mode can actually reach 0.9
