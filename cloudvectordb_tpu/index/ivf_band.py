@@ -443,24 +443,59 @@ def _host_rescore(q, v, gids, r8, assign, centroids, scale, x_sq=None, *, k,
     return v2, jnp.take_along_axis(gids, pos, axis=1)
 
 
-def _fetch_chunked(payload, chunk_rows: int = 1 << 21):
+def _fetch_chunked(payload, chunk_bytes: int = 1 << 30):
     """Device→host fetch of a large arena in bounded slices (r4, VERDICT
     item 5 tail): ``np.asarray(device_arena)`` stages the WHOLE transfer in
     one buffer — at 12.5M×768 that is a second 9.6 GB host allocation next
-    to the .npy writer's own copy. Fetching 2M-row slices (≤1.5 GB each at
-    768-d) into a preallocated host array bounds the extra footprint to one
-    slice. Host arrays pass through untouched. Save remains the one
-    remaining full PCIe copy of the payload (the compact in-place merge no
-    longer round-trips it — _try_merge_inplace_device)."""
+    to the .npy writer's own copy. Slicing along the LARGEST axis (the
+    col-major code matrix is (m+1, N_pad) — axis-0 slicing would see ~65
+    rows and degenerate to one full fetch) bounds the extra footprint to
+    ~1 GB per slice. Host arrays pass through untouched. Save remains the
+    one remaining full PCIe copy of the payload (the compact in-place
+    merge no longer round-trips it — _try_merge_inplace_device)."""
     if not isinstance(payload, jax.Array):
         return np.asarray(payload)
-    n = int(payload.shape[0])
-    if n <= chunk_rows:
+    if payload.size * payload.dtype.itemsize <= chunk_bytes:
         return np.asarray(payload)
+    ax = int(np.argmax(payload.shape))
+    n = int(payload.shape[ax])
+    step = max(1, chunk_bytes // max(
+        1, payload.size * payload.dtype.itemsize // n))
     out = np.empty(payload.shape, payload.dtype)
-    for lo in range(0, n, chunk_rows):
-        hi = min(n, lo + chunk_rows)
-        out[lo:hi] = np.asarray(payload[lo:hi])
+    sl = [slice(None)] * payload.ndim
+    for lo in range(0, n, step):
+        sl[ax] = slice(lo, min(n, lo + step))
+        out[tuple(sl)] = np.asarray(payload[tuple(sl)])
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("c",))
+def _move_rows(b, dmap, s, c):
+    """One donated in-place block move of the compact fold
+    (_try_merge_inplace_device): rows [s, s+c) of ``b`` written to their
+    per-row destinations dmap[s:s+c]. The gather materializes before the
+    aliased scatter, so self-overlap is safe. Module-level so repeated
+    folds reuse the compiled executable (a per-call closure would retrace
+    every merge — review finding, r4)."""
+    rows = jax.lax.dynamic_slice(b, (s, 0), (c, b.shape[1]))
+    d = jax.lax.dynamic_slice(dmap, (s,), (c,))
+    return b.at[d].set(rows)
+
+
+def host_rows_sq(rows, assign, centroids, scale) -> np.ndarray:
+    """(N,) f32 ‖x̂‖² per host-store row (x̂ = c[assign] + scale·r) — the
+    metric='l2' host-rescore bias, computed HOST-side in 1M-row chunks
+    (a device-side per-candidate centroid gather would be a (B, k_cand, D)
+    f32 temp — 6.4 GB at the 125M op point). Shared by the single index
+    (_host_row_sq) and the sharded wrapper (dist_band_pq)."""
+    cents = np.asarray(centroids, np.float32)
+    s = np.float32(scale)
+    n = rows.shape[0]
+    out = np.empty(n, np.float32)
+    for lo in range(0, n, 1 << 20):
+        hi = min(n, lo + (1 << 20))
+        x = cents[assign[lo:hi]] + rows[lo:hi].astype(np.float32) * s
+        out[lo:hi] = np.einsum("nd,nd->n", x, x)
     return out
 
 
@@ -1451,14 +1486,6 @@ class BandIVFIndex(Index):
         buf = self._payload
         dst_dev = jnp.asarray(dst_all.astype(np.int32))
         C = 1 << 18  # 256k rows ≈ 192 MB at 768-d — the bounded move temp
-
-        @functools.partial(jax.jit, donate_argnums=(0,),
-                           static_argnames=("c",))
-        def move(b, dmap, s, c):
-            rows = jax.lax.dynamic_slice(b, (s, 0), (c, b.shape[1]))
-            d = jax.lax.dynamic_slice(dmap, (s,), (c,))
-            return b.at[d].set(rows)
-
         # rows before the first shifted list stay put — skip their chunks
         # (a small pending batch usually leaves a long unshifted prefix)
         src_min = (int(self._offsets[:-1][np.argmax(shift > 0)])
@@ -1469,7 +1496,7 @@ class BandIVFIndex(Index):
         # source slot a later-positioned write already overwrote would
         # clobber its correct destination.
         for s in list(range(src_min, n_old, C))[::-1]:
-            buf = move(buf, dst_dev, s, min(C, n_old - s))
+            buf = _move_rows(buf, dst_dev, s, min(C, n_old - s))
         # donated scatter (_scatter_set) — an EAGER .at[].set() cannot alias
         # and would allocate a second full arena (observed OOM at 12.5M)
         buf = _scatter_set(buf, jnp.asarray(dest_p.astype(np.int32)),
@@ -2439,14 +2466,7 @@ class BandIVFPQIndex(BandIVFIndex):
         cache = getattr(self, "_host_row_sq_cache", None)
         if cache is not None and cache[0] is rows:
             return cache[1]
-        n = rows.shape[0]
-        out = np.empty(n, np.float32)
-        s = np.float32(self._host_scale)
-        for lo in range(0, n, 1 << 20):
-            hi = min(n, lo + (1 << 20))
-            x = self.centroids[assign[lo:hi]] + \
-                rows[lo:hi].astype(np.float32) * s
-            out[lo:hi] = np.einsum("nd,nd->n", x, x)
+        out = host_rows_sq(rows, assign, self.centroids, self._host_scale)
         self._host_row_sq_cache = (rows, out)
         return out
 

@@ -41,7 +41,7 @@ class SelfAttention(nn.Module):
         v = dense("value")(x)
         scale = head_dim ** -0.5
         attn_p = c.dropout if c.attn_dropout is None else c.attn_dropout
-        if self._use_fused(attn_p, deterministic):
+        if self._use_fused(attn_p, deterministic, int(x.shape[1])):
             # r4 (VERDICT item 4): fused flash-style attention — the naive
             # path materializes THREE (B, H, L, L) f32 tensors per layer
             # (masked logits, probs, and the bwd recompute), ~1.2 GB each at
@@ -79,24 +79,35 @@ class SelfAttention(nn.Module):
         )(out)
         return out
 
-    def _use_fused(self, attn_p: float, deterministic: bool) -> bool:
-        """'fused' forces the Pallas kernel, 'naive' forbids it, 'auto'
-        (default) uses it whenever it applies: TPU backend (the kernel is
-        Mosaic-only), no attention-probs dropout pending, and L a multiple
-        of the kernel's 128 block."""
+    def _use_fused(self, attn_p: float, deterministic: bool,
+                   seq_len: int) -> bool:
+        """'fused' forces the Pallas flash kernel, 'naive' forbids it,
+        'auto' (default) uses it only where it WINS — measured r4 negative
+        result: at MiniLM geometry (head_dim=32, L=128) the kernel lane-
+        pads the 32-wide head dim to 128 (4× on every q/k/v/intermediate
+        block — bench_encode.py: fwd encode 8.9k → 5.9k passages/s, and
+        the bwd kernels' padded temps pushed the train step 27 MB past
+        HBM). The naive path's (B, H, L, L) tensors are the cheaper evil
+        below head_dim 128; 'auto' therefore additionally requires
+        head_dim % 128 == 0 (e.g. BERT-large-class heads), where the
+        padding vanishes and the L² HBM saving is real."""
         impl = getattr(self.cfg, "attn_impl", "auto")
         if impl == "naive":
             return False
-        applies = ((deterministic or (self.cfg.attn_dropout is not None
+        c = self.cfg
+        # RUNTIME sequence length, not max_len: query-side serving truncates
+        # (tokenizer max_len < cfg.max_len) and the kernel's 128-block rule
+        # binds on the actual batch (review finding, r4)
+        applies = ((deterministic or (c.attn_dropout is not None
                                       and attn_p == 0.0))
-                   and self.cfg.max_len % 128 == 0
+                   and seq_len % 128 == 0
                    and jax.default_backend() == "tpu")
         if impl == "fused":
             assert applies, (
-                "attn_impl='fused' needs the TPU backend, max_len % 128 == "
+                "attn_impl='fused' needs the TPU backend, seq_len % 128 == "
                 "0, and attn_dropout=0.0 (the kernel has no probs-dropout)")
             return True
-        return applies
+        return applies and (c.hidden_dim // c.num_heads) % 128 == 0
 
 
 class EncoderLayer(nn.Module):

@@ -328,6 +328,8 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
             vectors[sel], nlist, m=m, opq=opq, refine=refine, **kw)
         s = idx.nshards
         idx._init_tier_lists(s)
+        assert vectors.shape[0] >= s, (
+            f"{vectors.shape[0]} rows cannot populate {s} shards")
         bounds = np.linspace(0, vectors.shape[0], s + 1).astype(int)
         for si in range(s):
             block = vectors[bounds[si]: bounds[si + 1]]
@@ -409,12 +411,20 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
         b = vectors.shape[0]
         gids = np.arange(self._next_gid, self._next_gid + b, dtype=np.int64)
         self._next_gid += b
-        si = int(np.argmin([sh.ntotal for sh in self._shards]))
+        # smallest NON-EMPTY shard: an emptied-by-remove() shard cannot
+        # take explicit ids (its add() would route to _populate, which
+        # allocates its own — review finding, r4)
+        sizes = [sh.ntotal if sh.ntotal else np.inf for sh in self._shards]
+        assert np.isfinite(min(sizes)), (
+            "every shard is empty — build() a fresh index instead")
+        si = int(np.argmin(sizes))
         sh = self._shards[si]
         sh.add(vectors, ids=gids)
         sh.merge_pending()
-        enc = self._encode_batch(vectors)
-        self._append_tiers(si, gids, enc)
+        if self._tier2_active or self._host_active or self.refine == "int8":
+            # (refine='none' skips the tier encode entirely — the shard's
+            # own add() already produced the arena codes)
+            self._append_tiers(si, gids, self._encode_batch(vectors))
         self._dev = None
         return gids
 
@@ -640,13 +650,16 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
 
     def _staged_row_mask(self, flt):
         """Per-shard kernel-ready arena allow bits (row-sharded; per-segment
-        tuples on segmented layouts), cached per (filter, staging)."""
+        tuples on segmented layouts), cached per (filter, staging). The
+        cache holds REFERENCES to both key objects — identity keys are only
+        sound while the keyed objects stay alive (a recycled id() would
+        serve a stale filter's mask; same rule as _arena_mask_from_ids)."""
         from cloudvectordb_tpu.parallel.mesh import stage_row_sharded
 
-        key = (id(flt), id(self._dev))
         cache = getattr(self, "_rm_cache", None)
-        if cache is not None and cache[0] == key:
-            return cache[1]
+        if (cache is not None and cache[0] is flt
+                and cache[1] is self._dev):
+            return cache[2]
         (tile_n, n_pad_max, seg_rows, seg_offs, segmented, _n_tiles,
          _w) = self._common_layout()
         mask_np = np.asarray(flt.mask_np)
@@ -674,7 +687,7 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
         else:
             rm = stage_row_sharded(lambda si: arena_mask(si)[None],
                                    self.nshards, self.mesh)
-        self._rm_cache = (key, rm)
+        self._rm_cache = (flt, self._dev, rm)
         return rm
 
     # -- search ------------------------------------------------------------
@@ -847,22 +860,18 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
 
     def _host_sq(self, si: int) -> np.ndarray:
         """‖x̂‖² per insertion-order host-store row of shard si (l2 host
-        rescore bias), cached per store version."""
+        rescore bias — the shared index-layer helper), cached per store
+        version."""
+        from cloudvectordb_tpu.index.ivf_band import host_rows_sq
+
         ts = self._tier_store(si)
         cache = getattr(self, "_host_sq_cache", {})
         hit = cache.get(si)
         if hit is not None and hit[0] is ts["host"]:
             return hit[1]
-        rows, assign = ts["host"], ts["assign"]
-        cents = np.asarray(self.proto.centroids)
-        s_ = np.float32(self.proto._host_scale)
-        n = rows.shape[0]
-        out = np.empty(n, np.float32)
-        for lo in range(0, n, 1 << 20):
-            hi = min(n, lo + (1 << 20))
-            x = cents[assign[lo:hi]] + rows[lo:hi].astype(np.float32) * s_
-            out[lo:hi] = np.einsum("nd,nd->n", x, x)
-        cache[si] = (rows, out)
+        out = host_rows_sq(ts["host"], ts["assign"], self.proto.centroids,
+                           self.proto._host_scale)
+        cache[si] = (ts["host"], out)
         self._host_sq_cache = cache
         return out
 

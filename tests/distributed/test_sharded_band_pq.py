@@ -153,8 +153,7 @@ def test_sharded_pq_add_remove(data):
     assert gids.min() >= before
     skw = dict(p_tiles=_full_p(idx), refine_factor=16)
     _, found = idx.search(db[4000:4008], 1, **skw)
-    assert (found[:, 0] >= before).all() | (found[:, 0] >= 0).all()
-    # the added rows retrieve themselves
+    # the added rows retrieve themselves under their wrapper-assigned gids
     self_hit = (found[:, 0] == gids[:8]).mean()
     assert self_hit >= 0.9, found[:, 0]
 
