@@ -24,6 +24,12 @@ from cloudvectordb_tpu.utils.config import EncoderConfig
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
+# 'auto' may select the packed small-head kernel (ops/pallas_attn.py) once
+# it is validated on the target Mosaic version; until then it is opt-in
+# (attn_impl='packed'). Flipped by the on-chip validation run — see
+# bench_encode.py / ROUND4.md.
+_PACKED_AUTO = False
+
 
 class SelfAttention(nn.Module):
     cfg: EncoderConfig
@@ -41,19 +47,28 @@ class SelfAttention(nn.Module):
         v = dense("value")(x)
         scale = head_dim ** -0.5
         attn_p = c.dropout if c.attn_dropout is None else c.attn_dropout
-        if self._use_fused(attn_p, deterministic, int(x.shape[1])):
-            # r4 (VERDICT item 4): fused flash-style attention — the naive
-            # path materializes THREE (B, H, L, L) f32 tensors per layer
-            # (masked logits, probs, and the bwd recompute), ~1.2 GB each at
-            # the bench shape (B=1536, H=12, L=128); the Pallas kernel keeps
-            # the running softmax in VMEM and never writes them to HBM.
-            # Padding rides SEGMENT ids (pad tokens get segment 0, real
-            # tokens 1 → cross-segment pairs are masked in-kernel); pad
-            # QUERIES attend only pads — garbage rows, but masked mean
-            # pooling drops them downstream, exactly as the naive path's
-            # -inf column masking left pad-query rows meaningless too.
-            # Requires attn_dropout=0 (the kernel has no probs-dropout;
-            # r3 measured recipes tolerate it — EncoderConfig.attn_dropout).
+        impl = self._attn_dispatch(attn_p, deterministic, int(x.shape[1]))
+        if impl == "packed":
+            # r4: the head-PACKED single-block kernel (ops/pallas_attn.py)
+            # — heads ride the lane dim as (L, H·d), zero padding at
+            # head_dim 32, the (L, L) scores never leave VMEM. Built for
+            # exactly this encoder's geometry; see the module doc for why
+            # the stock flash kernel loses here.
+            from cloudvectordb_tpu.ops.pallas_attn import mha_small_head
+
+            b, l, _, _ = q.shape
+            out = mha_small_head(
+                q.reshape(b, l, c.hidden_dim), k.reshape(b, l, c.hidden_dim),
+                v.reshape(b, l, c.hidden_dim), mask.astype(jnp.int32),
+                c.num_heads, head_dim, scale,
+            ).reshape(b, l, c.num_heads, head_dim).astype(self.dtype)
+        elif impl == "fused":
+            # the STOCK flash kernel (long-sequence streaming softmax) —
+            # only sensible at head_dim ≥ 128 (it lane-pads the head dim;
+            # measured 4× loss at 32 — _attn_dispatch doc). Padding rides
+            # SEGMENT ids; pad QUERIES attend only pads — garbage rows
+            # that masked mean pooling drops downstream, exactly like the
+            # naive path's -inf column masking. Requires attn_dropout=0.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds, flash_attention)
 
@@ -79,35 +94,42 @@ class SelfAttention(nn.Module):
         )(out)
         return out
 
-    def _use_fused(self, attn_p: float, deterministic: bool,
-                   seq_len: int) -> bool:
-        """'fused' forces the Pallas flash kernel, 'naive' forbids it,
-        'auto' (default) uses it only where it WINS — measured r4 negative
-        result: at MiniLM geometry (head_dim=32, L=128) the kernel lane-
-        pads the 32-wide head dim to 128 (4× on every q/k/v/intermediate
-        block — bench_encode.py: fwd encode 8.9k → 5.9k passages/s, and
-        the bwd kernels' padded temps pushed the train step 27 MB past
-        HBM). The naive path's (B, H, L, L) tensors are the cheaper evil
-        below head_dim 128; 'auto' therefore additionally requires
-        head_dim % 128 == 0 (e.g. BERT-large-class heads), where the
-        padding vanishes and the L² HBM saving is real."""
+    def _attn_dispatch(self, attn_p: float, deterministic: bool,
+                       seq_len: int) -> str:
+        """Pick the attention implementation for this call.
+
+        - 'packed' (ops/pallas_attn.py, r4): the short-sequence small-head
+          kernel — heads packed in the lane dim, per-sequence (L, L)
+          scores never leave VMEM. 'auto' prefers it whenever it applies:
+          TPU, no probs-dropout pending, L % 128 == 0, L ≤ 512 (the
+          single-block VMEM budget).
+        - 'fused': the STOCK flash kernel — measured r4 NEGATIVE result at
+          MiniLM geometry (lane-pads head_dim 32→128: fwd encode 8.9k →
+          5.9k passages/s, bwd temps 27 MB past HBM); 'auto' only picks
+          it at head_dim % 128 == 0 where the padding vanishes.
+        - 'naive': the materialized-logits XLA path (always correct,
+          CPU-testable; the dropout-carrying path).
+
+        The kernels' 128-block rule binds on the RUNTIME sequence length
+        (query-side serving truncates below max_len), not the config."""
         impl = getattr(self.cfg, "attn_impl", "auto")
         if impl == "naive":
-            return False
+            return "naive"
         c = self.cfg
-        # RUNTIME sequence length, not max_len: query-side serving truncates
-        # (tokenizer max_len < cfg.max_len) and the kernel's 128-block rule
-        # binds on the actual batch (review finding, r4)
-        applies = ((deterministic or (c.attn_dropout is not None
-                                      and attn_p == 0.0))
-                   and seq_len % 128 == 0
+        no_drop = (deterministic
+                   or (c.attn_dropout is not None and attn_p == 0.0))
+        applies = (no_drop and seq_len % 128 == 0
                    and jax.default_backend() == "tpu")
-        if impl == "fused":
+        if impl in ("fused", "packed"):
             assert applies, (
-                "attn_impl='fused' needs the TPU backend, seq_len % 128 == "
-                "0, and attn_dropout=0.0 (the kernel has no probs-dropout)")
-            return True
-        return applies and (c.hidden_dim // c.num_heads) % 128 == 0
+                f"attn_impl={impl!r} needs the TPU backend, seq_len % 128 "
+                "== 0, and attn_dropout=0.0 (no probs-dropout in-kernel)")
+            return impl
+        if applies and seq_len <= 512 and _PACKED_AUTO:
+            return "packed"
+        if applies and (c.hidden_dim // c.num_heads) % 128 == 0:
+            return "fused"
+        return "naive"
 
 
 class EncoderLayer(nn.Module):

@@ -95,11 +95,13 @@ class EncoderConfig(_ConfigBase):
     # TPU train step (measured: 378→317→~250 ms/step with rbg RNG and
     # attn_dropout=0); set 0.0 when the contrastive recipe tolerates it.
     attn_dropout: float | None = None
-    # attention implementation: 'auto' (fused Pallas flash kernel whenever
-    # it applies — TPU, attn_dropout=0 or deterministic, max_len%128==0),
-    # 'fused' (require it), 'naive' (always the materialized-logits path).
-    # The naive path writes three (B, heads, L, L) f32 tensors to HBM per
-    # layer; the fused kernel keeps the running softmax in VMEM.
+    # attention implementation: 'auto' picks the PACKED small-head Pallas
+    # kernel (ops/pallas_attn.py — heads in the lane dim, per-sequence
+    # scores never leave VMEM) whenever it applies (TPU, attn_dropout=0 or
+    # deterministic, L%128==0, L≤512), falling back to 'naive' (the
+    # materialized-logits XLA path). 'packed'/'fused'/'naive' force a
+    # specific path; 'fused' (the stock flash kernel) only wins at
+    # head_dim ≥ 128 (measured — models/encoder.py::_attn_dispatch).
     attn_impl: str = "auto"
     pooling: str = "mean"          # mean | cls
     normalize: bool = True         # L2-normalize sentence embeddings

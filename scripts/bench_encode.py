@@ -110,9 +110,8 @@ def main():
                "naive, full dropout (r3 baseline)")
     time_train(dataclasses.replace(cfg, attn_impl="naive", attn_dropout=0.0),
                "naive, attn_dropout=0 (r3 best)")
-    time_train(dataclasses.replace(cfg, attn_impl="naive", attn_dropout=0.0,
-                                   dropout=0.0),
-               "naive, ALL dropout off")
+    time_train(dataclasses.replace(cfg, attn_impl="packed", attn_dropout=0.0),
+               "PACKED small-head kernel, attn_dropout=0 (r4)")
     if os.environ.get("FUSED") == "1":
         # r4 measured NEGATIVE result at this geometry (head_dim=32): the
         # flash kernel lane-pads 32→128 (4× every block; fwd 8.9k→5.9k
