@@ -24,11 +24,12 @@ from cloudvectordb_tpu.utils.config import EncoderConfig
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
-# 'auto' may select the packed small-head kernel (ops/pallas_attn.py) once
-# it is validated on the target Mosaic version; until then it is opt-in
-# (attn_impl='packed'). Flipped by the on-chip validation run — see
-# bench_encode.py / ROUND4.md.
-_PACKED_AUTO = False
+# 'auto' selects the packed small-head kernel (ops/pallas_attn.py) where
+# it applies — validated on-chip r4 (v5e Mosaic: fwd 1.5e-4 / grads ≤4e-4
+# vs the naive path, i.e. within the default bf16-pass matmul precision;
+# step-time numbers in ROUND4.md). Set False to pin 'auto' to the naive
+# path on an unvalidated Mosaic version.
+_PACKED_AUTO = True
 
 
 class SelfAttention(nn.Module):
@@ -125,7 +126,13 @@ class SelfAttention(nn.Module):
                 f"attn_impl={impl!r} needs the TPU backend, seq_len % 128 "
                 "== 0, and attn_dropout=0.0 (no probs-dropout in-kernel)")
             return impl
-        if applies and seq_len <= 512 and _PACKED_AUTO:
+        # regime split (measured r4, bench_encode.py): the packed kernel
+        # wins TRAINING (269 vs 277 ms/step — the bwd never re-materializes
+        # the (L, L) tensors) but loses fwd-only ENCODE (6.9k vs 8.0k
+        # passages/s — per-sequence grid overhead with no bwd to amortize
+        # it); deterministic=True is the encode/serving regime.
+        if (applies and seq_len <= 512 and _PACKED_AUTO
+                and not deterministic):
             return "packed"
         if applies and (c.hidden_dim // c.num_heads) % 128 == 0:
             return "fused"

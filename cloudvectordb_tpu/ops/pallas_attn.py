@@ -41,9 +41,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads, d, scale):
     q = q_ref[0].astype(jnp.float32)          # (L, H·d)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    allow = m_ref[0:1, :] > 0                 # (1, L) key mask (2-D —
-    neg = jnp.float32(-1e30)                  # Mosaic dislikes 1-D shapes)
-    for i in range(heads):
+    allow = m_ref[0] > 0                      # (1, L) key mask — the mask
+    neg = jnp.float32(-1e30)                  # rides as (B, 1, L) so its
+    for i in range(heads):                    # block satisfies Mosaic's
+                                              # (sublane, lane) rules
         sl = slice(i * d, (i + 1) * d)
         s = jax.lax.dot_general(
             q[:, sl] * scale, k[:, sl], (((1,), (1,)), ((), ())),
@@ -63,7 +64,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    allow = m_ref[0:1, :] > 0
+    allow = m_ref[0] > 0
     neg = jnp.float32(-1e30)
     for i in range(heads):
         sl = slice(i * d, (i + 1) * d)
@@ -90,8 +91,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref,
 
 def _call(kernel, outs, args, L, hd, interpret):
     blk = pl.BlockSpec((1, L, hd), lambda b: (b, 0, 0))
-    mblk = pl.BlockSpec((1, L), lambda b: (b, 0))
+    mblk = pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0))
     n_out = len(outs)
+    q, k, v, mask, *rest = args
+    args = (q, k, v, mask.reshape(mask.shape[0], 1, mask.shape[1]), *rest)
     return pl.pallas_call(
         kernel,
         grid=(args[0].shape[0],),
