@@ -36,3 +36,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_jit_accumulation():
+    """r4: the full ~250-test suite segfaults INSIDE an XLA:CPU compile
+    near its end (reproducibly at the same test, which passes standalone
+    and in any smaller grouping, with >100 GB free) — accumulated JIT
+    executables in one long-lived process trip a compiler crash. Clearing
+    JAX's caches per test MODULE bounds the accumulation; modules keep
+    their internal compile sharing (the expensive per-module kernels), so
+    the wall-clock cost is small."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
