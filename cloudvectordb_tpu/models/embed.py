@@ -36,6 +36,11 @@ def make_encode_fn(model, params, mesh=None, donate: bool = False):
         fn = jax.jit(
             lambda p, ids, mask: model.apply({"params": p}, ids, mask, True)
         )
+        # pin params on device ONCE. A numpy pytree here re-ships all
+        # parameter bytes on EVERY call — measured through the axon relay
+        # (r5): 127 rows/s and ~55 MB/batch of host RSS never freed (the
+        # r2–r4 encoder-real OOMs), vs 35.6k rows/s and flat RSS pinned.
+        params = jax.device_put(params)
 
     def encode(ids: np.ndarray, mask: np.ndarray) -> jax.Array:
         return fn(params, jnp.asarray(ids), jnp.asarray(mask))

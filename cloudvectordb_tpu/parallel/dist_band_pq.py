@@ -787,9 +787,6 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
             assert "replica" not in self.mesh.axis_names, (
                 "the host tier's stacked dispatch-1 output is 1-D-'shard'-"
                 "mesh only (replica meshes serve on-chip modes)")
-            assert nproc == 1, (
-                "multi-process host-tier serving is not wired yet — serve "
-                "the on-chip modes (none/int8/pq2) across processes")
         v, gid = _sharded_pq_tiles_search(
             qg, st["centroids"], st["codebooks"], st["codes"], st["ids"],
             st["tile_window"], st["n_valid"],
@@ -815,16 +812,33 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
                 out_i = np.where(out_v > -np.inf, out_i, -1)
             return out_v, out_i
         # host tier dispatch 2: gather each shard's shortlist rows from its
-        # own store, rescore exactly on the mesh, merge
+        # own store, rescore exactly on the mesh, merge. Multi-process
+        # (r4 VERDICT item 5): each process fetches ONLY the dispatch-1
+        # slices its devices hold (addressable_shards), gathers ONLY its
+        # own shards' rows from its own host stores, and re-stages them
+        # per-device (stage_row_sharded already skips remote shards) —
+        # per-host PCIe/RAM traffic stays 1/P of the shortlist, and the
+        # dispatch-2 merge all_gather is the only cross-host hop.
         s = self.nshards
         b = qp.shape[0]
-        v_h = np.asarray(v).reshape(s, b, k_out)
-        g_h = np.asarray(gid).reshape(s, b, k_out).astype(np.int64)
-        r8 = np.empty((s, b, k_out, proto.dim), np.int8)
-        assign = np.empty((s, b, k_out), np.int32)
-        x_sq = (np.empty((s, b, k_out), np.float32)
-                if l2 and proto.residual else None)
-        for si in range(s):
+        me = jax.process_index()
+        shard_devs = list(self.mesh.devices.flat)[:s]
+        local_sis = {si for si, d in enumerate(shard_devs)
+                     if d.process_index == me}
+
+        def _per_shard_local(arr, dtype):
+            out = {}
+            for piece in arr.addressable_shards:
+                si = (piece.index[0].start or 0) // b
+                out[si] = np.asarray(piece.data, dtype)
+            return out
+
+        v_h = _per_shard_local(v, np.float32)
+        g_h = _per_shard_local(gid, np.int64)
+        r8 = {}
+        assign = {}
+        x_sq = {} if l2 and proto.residual else None
+        for si in local_sis:
             ts = self._tier_store(si)
             g = g_h[si].reshape(-1)
             # candidates are this shard's arena gids (plus -inf slots →
@@ -837,10 +851,12 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
             assign[si] = ts["assign"][perm].reshape(b, k_out)
             if x_sq is not None:
                 x_sq[si] = self._host_sq(si)[perm].reshape(b, k_out)
-        from cloudvectordb_tpu.parallel.mesh import stage_row_sharded
+        from cloudvectordb_tpu.parallel.mesh import (fetch_local,
+                                                     stage_replicated,
+                                                     stage_row_sharded)
 
         v2, g2 = _sharded_host_rescore(
-            jnp.asarray(qp),
+            stage_replicated(qp, self.mesh),
             stage_row_sharded(lambda si: v_h[si], s, self.mesh),
             stage_row_sharded(lambda si: g_h[si].astype(np.int32), s,
                               self.mesh),
@@ -852,8 +868,8 @@ class ShardedBandIVFPQIndex(TunableMixin, RangeSearchMixin):
             k=k, resid=proto.residual, l2=l2, mesh=self.mesh,
             scale=float(proto._host_scale),
         )
-        out_v = np.asarray(v2)[:nq]
-        out_i = np.asarray(g2)[:nq].astype(np.int64)
+        out_v = fetch_local(v2)[:nq]
+        out_i = fetch_local(g2)[:nq].astype(np.int64)
         if flt is not None:
             out_i = np.where(out_v > -np.inf, out_i, -1)
         return out_v, out_i

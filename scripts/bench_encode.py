@@ -15,14 +15,24 @@ import jax.numpy as jnp
 
 
 def main():
+    import dataclasses
+
     from cloudvectordb_tpu.models.encoder import init_encoder
+    from cloudvectordb_tpu.models.presets import get_preset
     from cloudvectordb_tpu.utils.config import EncoderConfig, TrainConfig
     from cloudvectordb_tpu.train.trainer import Trainer
     from cloudvectordb_tpu.eval.qps import measure_fetch_rtt
 
-    cfg = EncoderConfig(max_len=128)  # 384-d, 6 layers, 30522 vocab
+    # PRESET selects the encoder scale (r5 VERDICT item 4: the blueprint's
+    # config-#3 encoder is 768-d — PRESET=bert-base-768 measures it); the
+    # default stays the r3/r4 flagship MiniLM-L6 so rounds compare.
+    preset = os.environ.get("PRESET")
+    if preset:
+        cfg = dataclasses.replace(get_preset(preset), max_len=128)
+    else:
+        cfg = EncoderConfig(max_len=128)  # 384-d, 6 layers, 30522 vocab
     model, params = init_encoder(cfg, seed=0)
-    B = 512
+    B = int(os.environ.get("ENC_B", "512"))
 
     fwd = jax.jit(lambda p, i, m: model.apply({"params": p}, i, m, True))
 
@@ -103,8 +113,6 @@ def main():
         print(f"  → MS MARCO-size epoch (500k triplets): {5e5/tps/60:.1f} "
               f"min/chip; {5e5/(8*tps)/60:.1f} min on v5e-8 DP", flush=True)
         return dt / iters
-
-    import dataclasses
 
     time_train(dataclasses.replace(cfg, attn_impl="naive"),
                "naive, full dropout (r3 baseline)")

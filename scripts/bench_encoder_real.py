@@ -120,7 +120,9 @@ def main():
     t0 = time.perf_counter()
     state = trainer.fit(triplet_batches(trip, tok, tcfg.batch_size, max_len,
                                         seed=0), resume=False)
-    params = jax.device_get(state).params
+    params = state.params  # stay device-resident: a numpy pytree would
+    # re-ship ~90 MB of params per encode batch through the relay (the
+    # r2–r4 OOM + 280x slowdown — make_encode_fn doc)
     print(f"[train] {steps} steps (B={tcfg.batch_size}, L={max_len}) in "
           f"{time.perf_counter()-t0:.0f} s", flush=True)
 

@@ -72,6 +72,21 @@ def main() -> None:
     _, ids3 = pq.search(q, 5, nprobe=8)
     np.save(os.path.join(outdir, f"pq_{pid}.npy"), ids3)
 
+    # (e) config-#5 host-tier CASCADE across processes (r4 VERDICT item 5):
+    # dispatch-1 stacked shortlists stay per-device, each process gathers
+    # ONLY its own shards' rows from its own host stores, and dispatch-2's
+    # merge all_gather crosses the process boundary.
+    from cloudvectordb_tpu.parallel.dist_band_pq import ShardedBandIVFPQIndex
+
+    c5 = ShardedBandIVFPQIndex.build(
+        db, nlist=8, m=8, nbits=4, refine="pq2+host", m2=8,
+        mesh=make_mesh(axis_name="shard"), kmeans_iters=4, pq_train_iters=4,
+        tile_n=128, tile_q=8, seed=5)
+    st5 = c5._device_state()
+    _, ids5 = c5.search(q, 5, p_tiles=int(st5["n_tiles"]), refine_factor=16,
+                        host_factor=8)
+    np.save(os.path.join(outdir, f"c5_{pid}.npy"), ids5)
+
     # (d) DP training step across hosts: each process feeds ITS OWN batch
     # shard; the gradient all-reduce crosses the process boundary. The
     # loss must match the single-process step on the concatenated batch.

@@ -64,6 +64,16 @@ def expected():
         kmeans_iters=4, pq_train_iters=4, refine="int8", seed=5)
     _, ids_pq = pq.search(q, 5, nprobe=8)
 
+    from cloudvectordb_tpu.parallel.dist_band_pq import ShardedBandIVFPQIndex
+
+    c5 = ShardedBandIVFPQIndex.build(
+        db, nlist=8, m=8, nbits=4, refine="pq2+host", m2=8,
+        mesh=make_mesh(axis_name="shard"), kmeans_iters=4, pq_train_iters=4,
+        tile_n=128, tile_q=8, seed=5)
+    st5 = c5._device_state()
+    _, ids_c5 = c5.search(q, 5, p_tiles=int(st5["n_tiles"]),
+                          refine_factor=16, host_factor=8)
+
     # single-process DP train step on the full batch (same arithmetic the
     # workers split across hosts; the grad all-reduce must not change it)
     rngb = np.random.default_rng(7)
@@ -79,7 +89,7 @@ def expected():
                                              jnp.asarray(p_all))
     train_ref = np.array([float(loss),
                           float(np.abs(np.asarray(w0 - 0.1 * grad)).mean())])
-    return ids_1d, ids_2d, ids_pq, train_ref
+    return ids_1d, ids_2d, ids_pq, ids_c5, train_ref
 
 
 def _run_workers(nproc, port, tmp_path):
@@ -119,7 +129,7 @@ def test_two_process_serving_parity(tmp_path, expected):
         assert rc == 0, f"worker {pi} failed (rc={rc}):\n{lg[-4000:]}"
         assert f"WORKER {pi} OK" in lg
 
-    ids_1d, ids_2d, ids_pq, train_ref = expected
+    ids_1d, ids_2d, ids_pq, ids_c5, train_ref = expected
     # (a) 1-D: both processes hold the SAME replicated result, equal to the
     # single-process mesh — the cross-process all_gather merged correctly
     for pi in range(nproc):
@@ -136,6 +146,11 @@ def test_two_process_serving_parity(tmp_path, expected):
     for pi in range(nproc):
         got = np.load(tmp_path / f"pq_{pi}.npy")
         np.testing.assert_array_equal(got, ids_pq)
+    # (e) config-#5 pq2+host cascade: per-process shard-slice host gather +
+    # cross-process dispatch-2 merge reproduce the single-process result
+    for pi in range(nproc):
+        got = np.load(tmp_path / f"c5_{pi}.npy")
+        np.testing.assert_array_equal(got, ids_c5)
     # (d) DP train step: per-host batch shards + cross-host grad all-reduce
     # reproduce the single-process loss/update (f32 reduction-order jitter)
     for pi in range(nproc):
