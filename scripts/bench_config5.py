@@ -287,6 +287,15 @@ def main():
             cfgs_h += ([(512, 410, 64, True), (512, 820, 102, True)]
                        if cascade else [(512, 205, None, True),
                                         (512, 410, None, True)])
+        if os.environ.get("CASC"):
+            # explicit cascade ladder: "rf:hf:top2,..." (r5 VERDICT item 3 —
+            # the 0.95 push rides deeper k_host at the measured 0.9783
+            # candidate ceiling; k_host ≤ ~2050 keeps the PCIe bound ≥ the
+            # 6,250 QPS/chip share at B=512)
+            cfgs_h = []
+            for spec in os.environ["CASC"].split(","):
+                rf, hf, t2 = spec.split(":")
+                cfgs_h.append((512, int(rf), int(hf) or None, t2 == "1"))
         for bq, rf, hf, top2 in cfgs_h:
             p_h = min(int(os.environ.get("HOST_P", p_list[-1])), n_tiles)
             hkw = {"host_factor": hf} if hf is not None else {}
