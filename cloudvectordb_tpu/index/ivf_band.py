@@ -26,6 +26,25 @@ from cloudvectordb_tpu.ops.pallas_band import (
 )
 from cloudvectordb_tpu.ops.topk import tiled_topk
 
+#: max list indices one arena tile may span (residual arenas): bounds the
+#: per-tile window W that sizes centroid_tiles (n_tiles, W, D) and the
+#: uint8 per-row local index (< 256). Enforced by _capacity_layout via
+#: tile-boundary hole padding; healthy data never triggers it.
+_W_CAP = 128
+
+
+def _assert_w_fits(tile_window: np.ndarray, family: str) -> None:
+    """Loud failure where a residual layout cannot carry its per-row local
+    list index in uint8: W > 256 means the data's cluster-size skew packs
+    >256 lists into one arena tile (anisotropic/cone data — real encoder
+    output measured at mean-cos 0.99 does this at nlist ≥ 4k)."""
+    w = int(tile_window.shape[1])
+    assert w <= 256, (
+        f"per-tile window W={w} overflows the uint8 local index "
+        f"({family}): too many lists per arena tile — rebuild with a "
+        "smaller nlist or larger tile_n; BandIVFIndex handles this skew "
+        "natively via its tile-span cap (_capacity_layout)")
+
 
 def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int,
                 tile_live=None):
@@ -848,12 +867,20 @@ class BandIVFIndex(Index):
         order, offsets = arena_sort(assign_all.astype(np.int32), nlist)
         dest = np.empty(n, np.int64)
         dest[order] = np.arange(n)  # source row -> arena position (compact)
+        counts = np.diff(offsets)
+        cap_layout = None
         if idx.slack > 0:
-            counts = np.diff(offsets)
-            offsets, cap_dest = idx._slack_layout(counts)
+            cap_layout = idx._slack_layout(counts)
+        elif idx._resid8:
+            off_c, dest_c = idx._capacity_layout(counts, counts)
+            if int(off_c[-1]) != n:  # tile-span cap forced hole padding
+                cap_layout = (off_c, dest_c)
+        if cap_layout is not None:
+            offsets, cap_dest = cap_layout
             dest = cap_dest[dest]  # source row -> capacity arena position
             extent = int(offsets[-1])
-            n_pad = -(-extent // idx.tile_n) * idx.tile_n
+            cap = int(np.ceil(extent * (1.0 + merge_headroom)))
+            n_pad = -(-cap // idx.tile_n) * idx.tile_n
             idx._list_lens = counts.astype(np.int64)
         else:
             extent = n
@@ -880,7 +907,7 @@ class BandIVFIndex(Index):
             arena = quant_scatter(arena, chunk, d, a_dev, cdev)
             base += sizes[ci]
         idx._payload = arena  # stays in HBM; never visits the host
-        if idx.slack > 0:
+        if cap_layout is not None:
             ids_full = np.full(n_pad, -1, np.int64)
             ids_full[dest] = np.arange(n, dtype=np.int64)  # global id = src row
             idx._ids = ids_full
@@ -894,21 +921,57 @@ class BandIVFIndex(Index):
         idx._dev = None
         return idx
 
-    def _slack_layout(self, counts: np.ndarray):
-        """Capacity offsets + per-sorted-row destination for slack arenas.
+    def _capacity_layout(self, counts: np.ndarray, caps: np.ndarray):
+        """Capacity offsets + per-sorted-row destination for hole-bearing
+        (residual) arenas, with the TILE-SPAN CAP applied.
+
+        The cap (r5): no arena tile may span more than ``_W_CAP`` list
+        indices — on anisotropic data (real encoder output: mean-cos 0.99,
+        intrinsic dim ~5) k-means leaves hundreds of near-empty lists that
+        pack consecutively into single tiles, exploding the per-tile window
+        W that sizes the residual kernel's centroid_tiles (n_tiles, W, D),
+        the (n_tiles, W) valid_end table, and the uint8 per-row local index
+        (hard limit 256) — measured: W=1016 at 1M encoder vectors → VMEM
+        OOM at every op point. When the (W_CAP+1)-th list would begin
+        inside the current tile, the layout pads to the next tile boundary
+        first; the holes are masked exactly like slack slots. Healthy data
+        inserts zero padding and the layout equals the plain cumsum.
 
         Returns (offsets_cap (nlist+1,), dest (n,)) where dest[i] is the
-        arena position of the i-th list-sorted row: each list's rows sit at
-        the START of its capacity segment, followed by ceil(count·slack)+8
-        empty slack slots that later `add()` calls fill in place."""
+        arena position of the i-th list-sorted row (each list's rows sit at
+        the START of its capacity segment)."""
         counts = counts.astype(np.int64)
-        caps = counts + np.ceil(counts * self.slack).astype(np.int64) + 8
-        offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+        caps = caps.astype(np.int64)
+        tile_n = self.tile_n
+        starts = np.empty(len(caps), np.int64)
+        off = 0
+        tile_of = -1
+        in_tile = 0
+        for li, c in enumerate(caps):
+            t = off // tile_n
+            if t != tile_of:
+                tile_of, in_tile = t, 0
+            in_tile += 1
+            if in_tile > _W_CAP:
+                off = (t + 1) * tile_n
+                tile_of, in_tile = t + 1, 1
+            starts[li] = off
+            off += int(c)
+        offsets = np.concatenate([starts, [off]]).astype(np.int64)
         start = np.concatenate([[0], np.cumsum(counts)])
         dest = (np.arange(int(counts.sum()), dtype=np.int64)
                 - np.repeat(start[:-1], counts)
                 + np.repeat(offsets[:-1], counts))
         return offsets, dest
+
+    def _slack_layout(self, counts: np.ndarray):
+        """Capacity offsets + per-sorted-row destination for slack arenas:
+        each list's rows sit at the START of its capacity segment, followed
+        by ceil(count·slack)+8 empty slack slots that later `add()` calls
+        fill in place. Tile-span-capped (_capacity_layout doc)."""
+        counts = counts.astype(np.int64)
+        caps = counts + np.ceil(counts * self.slack).astype(np.int64) + 8
+        return self._capacity_layout(counts, caps)
 
     def _assemble_compact(self, payload: np.ndarray, ids: np.ndarray,
                           assigns: np.ndarray) -> None:
@@ -921,9 +984,16 @@ class BandIVFIndex(Index):
         order, offsets = arena_sort(np.asarray(assigns, np.int32), self.nlist)
         sorted_payload = gather_rows(np.asarray(payload), order)
         n = sorted_payload.shape[0]
+        counts = np.diff(offsets)
+        cap_layout = None
         if self.slack > 0:
-            counts = np.diff(offsets)
-            offsets, dest = self._slack_layout(counts)
+            cap_layout = self._slack_layout(counts)
+        elif self._resid8:
+            off_c, dest_c = self._capacity_layout(counts, counts)
+            if int(off_c[-1]) != n:  # tile-span cap forced hole padding
+                cap_layout = (off_c, dest_c)
+        if cap_layout is not None:
+            offsets, dest = cap_layout
             extent = int(offsets[-1])
             n_pad = -(-extent // self.tile_n) * self.tile_n
             arena = np.zeros((n_pad, self.dim), sorted_payload.dtype)
@@ -1031,8 +1101,17 @@ class BandIVFIndex(Index):
             )
         n = int(payload.shape[0])
         counts = np.bincount(a_np, minlength=self.nlist)
+        cap_layout = None
         if self.slack > 0:
-            offsets, dest = self._slack_layout(counts)
+            cap_layout = self._slack_layout(counts)
+        elif self._resid8:
+            # tile-span cap (_capacity_layout doc): skewed list sizes may
+            # force hole padding; identity layout costs nothing otherwise
+            off_c, dest_c = self._capacity_layout(counts, counts)
+            if int(off_c[-1]) != n:
+                cap_layout = (off_c, dest_c)
+        if cap_layout is not None:
+            offsets, dest = cap_layout
             extent = int(offsets[-1])
             n_pad = -(-extent // self.tile_n) * self.tile_n
             arena = jnp.zeros((n_pad, self.dim), payload.dtype)
@@ -1074,6 +1153,9 @@ class BandIVFIndex(Index):
         local = assigns - tw[row_tile, 0]
         w = tw.shape[1]
         assert local.min(initial=0) >= 0 and local.max(initial=0) < w
+        assert w <= 256, (
+            f"per-tile window W={w} overflows the uint8 local index — a "
+            "layout path skipped the tile-span cap (_capacity_layout)")
         loc = np.zeros((1, n_pad), np.uint8)
         loc[0, :n] = local.astype(np.uint8)
         self._local = loc
@@ -2662,6 +2744,7 @@ class BandIVFPQIndex(BandIVFIndex):
         codes_cm[:m, :n] = sorted_codes.T
         if idx.residual:
             tw = idx._tile_window
+            _assert_w_fits(tw, "BandIVFPQIndex host build")
             row_tile = np.arange(n) // idx.tile_n
             local = assigns[order] - tw[row_tile, 0]
             codes_cm[m, :n] = local.astype(np.uint8)
@@ -2774,6 +2857,7 @@ class BandIVFPQIndex(BandIVFIndex):
         else:
             codes_rm = jnp.zeros((n_pad, m), jnp.uint8)
         if idx.residual:
+            _assert_w_fits(tw, "BandIVFPQIndex device build")
             row_tile = np.arange(n) // idx.tile_n
             local = (assign_all[order] - tw[row_tile, 0]).astype(np.uint8)
             loc_pad = np.zeros(n_pad, np.uint8)
@@ -3012,6 +3096,12 @@ class BandIVFPQIndex(BandIVFIndex):
             local = a_np[order] - tw[row_tile, 0]
             w = tw.shape[1]
             assert local.min() >= 0 and local.max() < w, (local.min(), local.max(), w)
+            assert w <= 256, (
+                f"per-tile window W={w} overflows the uint8 local code row "
+                "— the data's cluster-size skew packs too many lists into "
+                "one tile (anisotropic/cone data). Rebuild with a smaller "
+                "nlist or larger tile_n; the band family (BandIVFIndex) "
+                "handles this skew natively via its tile-span cap.")
             codes_cm = codes_cm.at[self.m, :n].set(
                 jnp.asarray(local.astype(np.uint8))
             )

@@ -491,13 +491,19 @@ def _tiles_resid_kernel(
         q, ct_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Q, D)·(W, D)ᵀ → (Q, W), f32 accumulation
-    # one-hot expansion in f32 on the VPU (W small). Routing the f32 qc
-    # through a bf16 MXU one-hot matmul instead rounds the ~1.0-scale
-    # accumulated q·c values to bf16 (abs err ~4e-3 — larger than the
-    # residual noise this encoding removes; measured: recall 0.90 vs 0.98).
-    c_scores = jnp.zeros_like(r_scores)
-    for wi in range(w_lists):
-        c_scores = c_scores + qc[:, wi : wi + 1] * (local[None, :] == wi)
+    # one-hot gather as a single f32 MXU matmul: each output element is
+    # exactly one qc value × 1.0, which the f32 (bf16-passes) matmul
+    # reproduces EXACTLY — unlike a bf16 one-hot matmul, which rounds the
+    # ~1.0-scale accumulated q·c to bf16 (abs err ~4e-3; measured recall
+    # 0.90 vs 0.98). An unrolled per-wi VPU loop is exact too but
+    # materializes W (Q, T) temps — 45 MB of scoped VMEM at the W=129
+    # tile-span cap (r5, measured OOM on anisotropic encoder data).
+    w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, local.shape[0]), 0)
+    onehot = (w_iota == local[None, :]).astype(jnp.float32)  # (W, T)
+    c_scores = lax.dot_general(
+        qc, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, T)
     scores = c_scores + scale_ref[:] * r_scores
     if l2:
         # L2 ranking key q·x̂ − ‖x̂‖²/2 (argmin ‖q−x̂‖² ≡ argmax of it):
@@ -518,27 +524,38 @@ def _tiles_resid_kernel(
             preferred_element_type=jnp.float32,
         )  # (1, T) = −s²‖r‖²/2
         ct32 = ct_ref[0].astype(jnp.float32)  # (W, D)
-        loc2 = local[None, :]
-        for wi in range(w_lists):
-            sel = (loc2 == wi).astype(jnp.float32)  # (1, T)
-            cw = lax.dot_general(
-                ct32[wi : wi + 1], r32, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, T) = c_w·r
-            cc = lax.dot_general(
-                ct32[wi : wi + 1], ct32[wi : wi + 1],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, 1) = ‖c_w‖²
-            bias = bias - sel * (s * cw + 0.5 * cc)
+        # c_{local[t]}·r_t: one (W, D)·(D, T) matmul + a one-hot row select
+        # (W-scalable — the per-wi skinny-matmul loop cost W kernel passes)
+        ctr = lax.dot_general(
+            ct32, r32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (W, T)
+        sel_cr = jnp.sum(onehot * ctr, axis=0, keepdims=True)  # (1, T)
+        ones_d = jnp.ones((1, ct32.shape[1]), jnp.float32)
+        cc = lax.dot_general(
+            ones_d, ct32 * ct32, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, W) = ‖c_w‖²
+        cc_row = lax.dot_general(
+            cc, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, T) exact one-hot gather
+        bias = bias - s * sel_cr - 0.5 * cc_row
         scores = scores + bias
 
     tile_sz = scores.shape[1]
-    # per-row valid end: ve of the row's local list (int32-exact select;
-    # W is small so the VPU loop is negligible next to the matmuls)
-    ve_row = jnp.zeros((tile_sz,), jnp.int32)
-    for wi in range(w_lists):
-        ve_row = ve_row + ve_ref[0, 0, wi] * (local == wi).astype(jnp.int32)
+    # per-row valid end: ve of the row's local list. One-hot f32 matmuls
+    # with a hi/lo split keep it int32-EXACT past 2^24 arena rows (f32
+    # mantissa limit; 125M-row arenas need 27 bits) without the W-unrolled
+    # VPU loop's scoped-VMEM blowup.
+    vei = ve_ref[0, 0, :]  # (W,) i32
+    ve_hi = (vei // 4096).astype(jnp.float32)[None, :]  # (1, W), < 2^24
+    ve_lo = (vei % 4096).astype(jnp.float32)[None, :]
+    gather = lambda v: lax.dot_general(  # noqa: E731 — (1, W)·(W, T)
+        v, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ve_row = (gather(ve_hi).astype(jnp.int32) * 4096
+              + gather(ve_lo).astype(jnp.int32))  # (1, T)
     if masked:
         # filtered search: per-row allow bit in arena order (tile_n int8
         # per tile — 0.13% of the payload's HBM traffic). Folded into the
@@ -547,7 +564,7 @@ def _tiles_resid_kernel(
         # pass (a scores-level where cost ~20% QPS at the headline op
         # point, measured). int8→i32 widen: v5e Mosaic rejects vector
         # cmpi on i8.
-        ve_row = ve_row * mask_ref[0, :].astype(jnp.int32)
+        ve_row = ve_row * mask_ref[:].astype(jnp.int32)  # (1, T)
     qt = pl.program_id(0)
     at = tile_table_ref[qt, j]
     rows_per_bucket = tile_sz // l_buckets
@@ -555,7 +572,7 @@ def _tiles_resid_kernel(
     mx2 = new_idx2 = None
     if rows_per_bucket == 1:
         g = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        mx = jnp.where(g < ve_row[None, :], scores, NEG_INF)
+        mx = jnp.where(g < ve_row, scores, NEG_INF)  # ve_row (1, T)
         new_idx = g
         if top2:
             mx2 = jnp.full_like(mx, NEG_INF)
@@ -567,7 +584,7 @@ def _tiles_resid_kernel(
         # v5e: (1024,)→(1, 4, 256) fails; the 128-lane minor happened to
         # work, which is all the headline op points ever exercised).
         g2 = base + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(g2 < ve_row[None, :], scores, NEG_INF)
+        scores = jnp.where(g2 < ve_row, scores, NEG_INF)  # ve_row (1, T)
         s3 = scores.reshape(scores.shape[0], rows_per_bucket, l_buckets)
         mx = jnp.max(s3, axis=1)
         is_max = s3 >= mx[:, None, :]

@@ -113,8 +113,15 @@ def main():
     mcfg = MiningConfig(strategy="inbatch", num_triplets=60_000, seed=3)
     trip = mine_triplets(passages[:400_000], doc_ids[:400_000], mcfg)
     ecfg = EncoderConfig(vocab_size=max(tok.vocab_size, 8), max_len=max_len)
+    # uniformity term (Wang–Isola, train/losses.py): without it this tiny
+    # from-scratch encoder collapses to a cone (r5 measured: mean-cos 0.994,
+    # intrinsic dim 4.6 at 1500 steps) whose neighbor gaps (~2e-6 IP) sit
+    # below ANY 8-bit payload's quantization step — the anti-collapse
+    # penalty is what makes the output geometry indexable at all
+    unif = float(os.environ.get("UNIF", "1.0"))
     tcfg = TrainConfig(encoder=ecfg, batch_size=256, total_steps=steps,
                        lr=5e-4, warmup_steps=100, ckpt_every=10 ** 9,
+                       uniformity_weight=unif,
                        ckpt_dir="/tmp/enc_real_ckpt")
     trainer = Trainer(tcfg)
     t0 = time.perf_counter()
@@ -186,7 +193,12 @@ def main():
         best_v, best_i = gt_merge(best_v, best_i, cv, ci, base_row)
         base_row += ch.shape[0]
     gt = jax.device_get(best_i)
-    print(f"[gt] {time.perf_counter()-t0:.0f} s", flush=True)
+    gv = jax.device_get(best_v)
+    # neighbor-gap diagnostic: any payload whose per-row score noise
+    # exceeds these gaps cannot resolve the ranking (r5 collapse finding)
+    print(f"[gt] {time.perf_counter()-t0:.0f} s; IP gaps: top1-top2 "
+          f"median {np.median(gv[:, 0] - gv[:, 1]):.2e}, top9-top10 "
+          f"{np.median(gv[:, -2] - gv[:, -1]):.2e}", flush=True)
 
     # -- residual-int8 tiles index on encoder output ------------------------
     t0 = time.perf_counter()
