@@ -491,19 +491,29 @@ def _tiles_resid_kernel(
         q, ct_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Q, D)·(W, D)ᵀ → (Q, W), f32 accumulation
-    # one-hot gather as a single f32 MXU matmul: each output element is
-    # exactly one qc value × 1.0, which the f32 (bf16-passes) matmul
-    # reproduces EXACTLY — unlike a bf16 one-hot matmul, which rounds the
-    # ~1.0-scale accumulated q·c to bf16 (abs err ~4e-3; measured recall
-    # 0.90 vs 0.98). An unrolled per-wi VPU loop is exact too but
-    # materializes W (Q, T) temps — 45 MB of scoped VMEM at the W=129
-    # tile-span cap (r5, measured OOM on anisotropic encoder data).
+    # one-hot gather via MXU matmuls, TWO-PASS bf16-split for near-f32
+    # precision: Mosaic's "f32" matmul TRUNCATES operands to one bf16 pass
+    # (measured r5: a naive one-hot f32 matmul rounds the ~1.0-scale q·c
+    # to bf16, abs err ~4e-3 — headline recall 0.955 → 0.567 at 12.5M).
+    # Splitting v = bf16(v) + (v − bf16(v)) makes each pass's products
+    # exact (bf16 value × 1.0) and leaves ≤2^-17 relative error — ~100×
+    # below the int8 residual noise floor. The old unrolled per-wi VPU
+    # loop was exact but materialized W (Q, T) temps — 45 MB of scoped
+    # VMEM at the W=129 tile-span cap (r5, measured OOM on anisotropic
+    # encoder data); the matmul form is W-scalable.
     w_iota = lax.broadcasted_iota(jnp.int32, (w_lists, local.shape[0]), 0)
     onehot = (w_iota == local[None, :]).astype(jnp.float32)  # (W, T)
-    c_scores = lax.dot_general(
-        qc, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Q, T)
+
+    def oh_dot(vals):  # (R, W) f32 → (R, T) single-pass gather matmul
+        return lax.dot_general(
+            vals, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def oh_gather(vals):  # two-pass split: exact to ~2^-17 relative
+        hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
+        return oh_dot(hi) + oh_dot(vals - hi)
+
+    c_scores = oh_gather(qc)  # (Q, T)
     scores = c_scores + scale_ref[:] * r_scores
     if l2:
         # L2 ranking key q·x̂ − ‖x̂‖²/2 (argmin ‖q−x̂‖² ≡ argmax of it):
@@ -536,26 +546,21 @@ def _tiles_resid_kernel(
             ones_d, ct32 * ct32, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (1, W) = ‖c_w‖²
-        cc_row = lax.dot_general(
-            cc, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, T) exact one-hot gather
+        cc_row = oh_gather(cc)  # (1, T), two-pass split (bf16-trunc matmul)
         bias = bias - s * sel_cr - 0.5 * cc_row
         scores = scores + bias
 
     tile_sz = scores.shape[1]
-    # per-row valid end: ve of the row's local list. One-hot f32 matmuls
-    # with a hi/lo split keep it int32-EXACT past 2^24 arena rows (f32
-    # mantissa limit; 125M-row arenas need 27 bits) without the W-unrolled
-    # VPU loop's scoped-VMEM blowup.
+    # per-row valid end: ve of the row's local list, gathered int32-EXACTLY
+    # through the bf16-truncating matmul by an 8-BIT RADIX split — each
+    # digit ≤ 255 is exact in bf16 (the r5 recall collapse: a 12-bit hi/lo
+    # split left hi ≈ 3052 at 12.5M rows, which bf16 rounds to multiples
+    # of 16 — valid-end cutoffs shifted ±32k rows). Covers 2^32 rows.
     vei = ve_ref[0, 0, :]  # (W,) i32
-    ve_hi = (vei // 4096).astype(jnp.float32)[None, :]  # (1, W), < 2^24
-    ve_lo = (vei % 4096).astype(jnp.float32)[None, :]
-    gather = lambda v: lax.dot_general(  # noqa: E731 — (1, W)·(W, T)
-        v, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ve_row = (gather(ve_hi).astype(jnp.int32) * 4096
-              + gather(ve_lo).astype(jnp.int32))  # (1, T)
+    ve_row = jnp.zeros((1, tile_sz), jnp.int32)
+    for shift in (24, 16, 8, 0):
+        digit = ((vei >> shift) & 0xFF).astype(jnp.float32)[None, :]
+        ve_row = ve_row + (oh_dot(digit).astype(jnp.int32) << shift)
     if masked:
         # filtered search: per-row allow bit in arena order (tile_n int8
         # per tile — 0.13% of the payload's HBM traffic). Folded into the
