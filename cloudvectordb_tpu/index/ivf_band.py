@@ -41,9 +41,9 @@ def _assert_w_fits(tile_window: np.ndarray, family: str) -> None:
     w = int(tile_window.shape[1])
     assert w <= 256, (
         f"per-tile window W={w} overflows the uint8 local index "
-        f"({family}): too many lists per arena tile — rebuild with a "
-        "smaller nlist or larger tile_n; BandIVFIndex handles this skew "
-        "natively via its tile-span cap (_capacity_layout)")
+        f"({family}): even at the tile_n floor this data packs >256 "
+        "lists into one tile — rebuild with a smaller nlist, or use "
+        "BandIVFIndex (its tile-span cap pads skew away natively)")
 
 
 def _plan_tiles(q, centroids, tile_window, tile_q: int, p_tiles: int,
@@ -2735,8 +2735,7 @@ class BandIVFPQIndex(BandIVFIndex):
         order, offsets = arena_sort(assigns, nlist)
         idx._offsets = offsets
         idx._n = n
-        n_pad = -(-n // idx.tile_n) * idx.tile_n
-        idx._n_pad_rows = n_pad
+        n_pad = idx._fit_tile_n_to_skew(n)
         idx._tile_window = idx._compute_tile_window()
         sorted_codes = gather_rows(codes_all, order)
         rows_cm = m + (1 if idx.residual else 0)
@@ -2834,10 +2833,9 @@ class BandIVFPQIndex(BandIVFIndex):
         order, offsets = arena_sort(assign_all.astype(np.int32), nlist)
         dest = np.empty(n, np.int64)
         dest[order] = np.arange(n)
-        n_pad = -(-n // idx.tile_n) * idx.tile_n
         idx._offsets = offsets
         idx._n = n
-        idx._n_pad_rows = n_pad
+        n_pad = idx._fit_tile_n_to_skew(n)
         idx._ids = order.astype(np.int64)
         idx._tile_window = idx._compute_tile_window()
         tw = idx._tile_window
@@ -3074,11 +3072,10 @@ class BandIVFPQIndex(BandIVFIndex):
         order_d = jnp.asarray(order)
         x = vectors[order_d]
         n = int(x.shape[0])
-        n_pad = -(-n // self.tile_n) * self.tile_n
         counts = np.bincount(a_np, minlength=self.nlist)
         self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self._n = n
-        self._n_pad_rows = n_pad
+        n_pad = self._fit_tile_n_to_skew(n)
         self._tile_window = self._compute_tile_window()
         cdev = jnp.asarray(self.centroids)
         a_sorted = jnp.asarray(a_np[order])
@@ -3098,10 +3095,10 @@ class BandIVFPQIndex(BandIVFIndex):
             assert local.min() >= 0 and local.max() < w, (local.min(), local.max(), w)
             assert w <= 256, (
                 f"per-tile window W={w} overflows the uint8 local code row "
-                "— the data's cluster-size skew packs too many lists into "
-                "one tile (anisotropic/cone data). Rebuild with a smaller "
-                "nlist or larger tile_n; the band family (BandIVFIndex) "
-                "handles this skew natively via its tile-span cap.")
+                "— even at the tile_n floor this data packs >256 lists "
+                "into one tile (anisotropic/cone data). Rebuild with a "
+                "smaller nlist, or use BandIVFIndex (its tile-span cap "
+                "pads skew away natively).")
             codes_cm = codes_cm.at[self.m, :n].set(
                 jnp.asarray(local.astype(np.uint8))
             )
@@ -3310,13 +3307,14 @@ class BandIVFPQIndex(BandIVFIndex):
             )
         self._offsets = offsets
         self._n = n
-        self._n_pad_rows = n_pad
+        n_pad = self._fit_tile_n_to_skew(n)
         self._ids = ids_all[order]
         self._tile_window = self._compute_tile_window()
         sorted_codes = gather_rows(codes_all, order)
         local = None
         if self.residual:
             tw = self._tile_window
+            _assert_w_fits(tw, "BandIVFPQIndex reassemble")
             row_tile = np.arange(n) // self.tile_n
             local = (assigns[order] - tw[row_tile, 0]).astype(np.uint8)
             ct = np.ascontiguousarray(self.centroids[tw])
@@ -3444,6 +3442,24 @@ class BandIVFPQIndex(BandIVFIndex):
         if self.opq_matrix is not None:  # rotated → original space
             out = out @ self.opq_matrix
         return out
+
+    def _fit_tile_n_to_skew(self, n: int) -> int:
+        """Residual mode: shrink tile_n (halving, floor 256) until the
+        per-tile window fits the uint8 local code row (W ≤ 256) on this
+        data's list-size distribution, returning the padded row count for
+        the final tile_n. Anisotropic (cone) data packs hundreds of tiny
+        lists into one tile at the default tile_n (r5 — see the band
+        family's ``_capacity_layout``); FEWER rows per tile span fewer
+        lists. Zero cost / no-op on healthy data. Requires ``_offsets``
+        and ``_n`` to be set. Data too skewed even at the floor still
+        fails loudly via ``_assert_w_fits`` downstream."""
+        while True:
+            n_pad = -(-n // self.tile_n) * self.tile_n
+            self._n_pad_rows = n_pad
+            if (not self.residual or self.tile_n <= 256
+                    or self._compute_tile_window().shape[1] <= 256):
+                return n_pad
+            self.tile_n //= 2
 
     def _compute_tile_window(self) -> np.ndarray:
         n_rows = getattr(self, "_n_pad_rows", None)
