@@ -15,20 +15,8 @@ arena tiles. Three regressions are pinned here:
 import numpy as np
 import pytest
 
-from cloudvectordb_tpu.data.synthetic import clustered_vectors
-from cloudvectordb_tpu.eval.recall import brute_force_topk, recall_at_k
 from cloudvectordb_tpu.index.ivf_band import (
     BandIVFIndex, BandIVFPQIndex, _W_CAP)
-
-
-def _cone(n, d, r, spread, seed=0):
-    rng = np.random.default_rng(seed)
-    u = rng.standard_normal(d).astype(np.float32)
-    u /= np.linalg.norm(u)
-    V = rng.standard_normal((r, d)).astype(np.float32) / np.sqrt(d)
-    z = rng.standard_normal((n, r)).astype(np.float32)
-    x = u[None] + spread * (z @ V)
-    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
 
 
 def test_capacity_layout_caps_tile_span():
