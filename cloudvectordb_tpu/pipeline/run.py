@@ -40,6 +40,15 @@ class Pipeline:
         self.cfg = cfg
         self.workdir = Path(cfg.workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
+        from cloudvectordb_tpu.utils.config import TrainConfig
+
+        if cfg.train.ckpt_dir == TrainConfig().ckpt_dir:
+            # the class default is CWD-relative and SHARED across runs — a
+            # second pipeline with a different encoder shape would resume
+            # from the first one's checkpoint (r5, observed shape error).
+            # Left at default → scope it under this run's workdir; explicit
+            # overrides are honored as-is.
+            cfg.train.ckpt_dir = str(self.workdir / "ckpt")
         # first run stamps the config; resumes must not clobber it (it is the
         # source of truth for artifact locations like ckpt_dir)
         if not (self.workdir / "pipeline_config.json").exists():
@@ -209,11 +218,26 @@ class Pipeline:
 
     def _eval_queries(self, emb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(queries, exact ground-truth ids) — perturbed corpus embeddings,
-        shared by stage_eval and stage_tune so both measure the same task."""
+        shared by stage_eval and stage_tune so both measure the same task.
+
+        The perturbation scales with the DATA's dispersion, not an absolute
+        0.01/dim: real encoder output concentrates on a narrow cone (r5:
+        mean-cos 0.98, RMS distance-to-mean ~0.18 at unit norm), where an
+        absolute 0.01/dim noise (~0.2 total) throws queries off-manifold
+        and recall measures tie-breaking among near-equidistant rows
+        instead of retrieval (measured: 0.66 vs 0.94 on the same index).
+        On unit-spread data (Gaussians) the factor is ~1 and the task is
+        unchanged."""
         nq = min(self.cfg.eval_queries, emb.shape[0])
         rng = np.random.default_rng(0)
         qsel = rng.choice(emb.shape[0], nq, replace=False)
-        q = emb[qsel] + 0.01 * rng.normal(size=(nq, emb.shape[1])).astype(np.float32)
+        sample = emb[rng.choice(emb.shape[0], min(65_536, emb.shape[0]),
+                                replace=False)]
+        mu = sample.mean(axis=0)
+        spread = float(np.sqrt(((sample - mu) ** 2).sum(axis=1).mean()))
+        sigma = 0.01 * max(min(spread, 1.0), 1e-6)
+        q = emb[qsel] + sigma * rng.normal(
+            size=(nq, emb.shape[1])).astype(np.float32)
         if self.cfg.index.metric == "ip":
             q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         _, gt = brute_force_topk(emb, q, self.cfg.eval_k, metric=self.cfg.index.metric)
