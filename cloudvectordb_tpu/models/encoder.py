@@ -48,7 +48,8 @@ class SelfAttention(nn.Module):
         v = dense("value")(x)
         scale = head_dim ** -0.5
         attn_p = c.dropout if c.attn_dropout is None else c.attn_dropout
-        impl = self._attn_dispatch(attn_p, deterministic, int(x.shape[1]))
+        impl = self._attn_dispatch(attn_p, deterministic, int(x.shape[1]),
+                                   int(x.shape[0]))
         if impl == "packed":
             # r4: the head-PACKED single-block kernel (ops/pallas_attn.py)
             # — heads ride the lane dim as (L, H·d), zero padding at
@@ -82,6 +83,33 @@ class SelfAttention(nn.Module):
                 sm_scale=scale,
             )
             out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
+        elif impl == "packed_batch":
+            # SERVING regime, short sequences (r5, VERDICT item 6): at
+            # L=32 the naive einsums run (B, H, 32, 32) batched matmuls —
+            # M=N=32 wastes 16× of every 128×128 MXU tile (measured: the
+            # 12-head einsum is 6.8× slower than the SAME FLOPs at one
+            # 384-wide head). Packing P=128/L sequences per attention
+            # block with a block-diagonal mask makes both matmuls
+            # full-tile (B/P, H, 128, 128) at P× attention FLOPs —
+            # attention is ~3% of encode FLOPs, so the trade is free.
+            # Math is IDENTICAL to the naive path (same -inf masking +
+            # f32 softmax); cross-sequence keys are masked out.
+            b, l = q.shape[0], q.shape[1]
+            P = 128 // l
+            qp = q.reshape(b // P, P * l, c.num_heads, head_dim)
+            kp = k.reshape(b // P, P * l, c.num_heads, head_dim)
+            vp = v.reshape(b // P, P * l, c.num_heads, head_dim)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qp * scale, kp)
+            blk = jnp.kron(jnp.eye(P, dtype=jnp.int32),
+                           jnp.ones((l, l), jnp.int32)
+                           ).astype(bool)  # (P·L, P·L) own-sequence block
+            keym = mask.reshape(b // P, P * l)
+            allowed = blk[None, None, :, :] & keym[:, None, None, :]
+            neg = jnp.finfo(jnp.float32).min
+            logits = jnp.where(allowed, logits.astype(jnp.float32), neg)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vp).reshape(
+                b, l, c.num_heads, head_dim)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
             neg = jnp.finfo(jnp.float32).min
@@ -96,8 +124,16 @@ class SelfAttention(nn.Module):
         return out
 
     def _attn_dispatch(self, attn_p: float, deterministic: bool,
-                       seq_len: int) -> str:
+                       seq_len: int, batch: int = 0) -> str:
         """Pick the attention implementation for this call.
+
+        - 'packed_batch' (r5, serving): for deterministic short-sequence
+          forwards (L < 128, 128 % L == 0, B % (128/L) == 0) pack 128/L
+          sequences per attention block with block-diagonal masking —
+          full-MXU-tile matmuls instead of (B, H, L, L) thin ones
+          (measured at L=32/B=4096: encode 187.6 → see bench; the naive
+          einsum pays 16× tile padding at M=N=32). 'auto' picks it on
+          TPU; explicit works on any backend (exact same math).
 
         - 'packed' (ops/pallas_attn.py, r4): the short-sequence small-head
           kernel — heads packed in the lane dim, per-sequence (L, L)
@@ -119,6 +155,15 @@ class SelfAttention(nn.Module):
         c = self.cfg
         no_drop = (deterministic
                    or (c.attn_dropout is not None and attn_p == 0.0))
+        pb_applies = (no_drop and 0 < seq_len < 128 and 128 % seq_len == 0
+                      and batch > 0 and batch % (128 // seq_len) == 0)
+        if impl == "packed_batch":
+            assert no_drop, (
+                "attn_impl='packed_batch' needs attn_dropout=0.0 or a "
+                "deterministic forward (no probs-dropout)")
+            # shape-conditional: identical math to naive, so batches that
+            # don't divide 128/L (e.g. the 2-row init trace) fall back
+            return impl if pb_applies else "naive"
         applies = (no_drop and seq_len % 128 == 0
                    and jax.default_backend() == "tpu")
         if impl in ("fused", "packed"):
@@ -126,6 +171,8 @@ class SelfAttention(nn.Module):
                 f"attn_impl={impl!r} needs the TPU backend, seq_len % 128 "
                 "== 0, and attn_dropout=0.0 (no probs-dropout in-kernel)")
             return impl
+        if pb_applies and jax.default_backend() == "tpu":
+            return "packed_batch"
         # regime split (measured r4, bench_encode.py): the packed kernel
         # wins TRAINING (269 vs 277 ms/step — the bwd never re-materializes
         # the (L, L) tensors) but loses fwd-only ENCODE (6.9k vs 8.0k
