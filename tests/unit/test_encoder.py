@@ -44,3 +44,32 @@ def test_projection_head():
         {"params": params}, jnp.ones((2, 16), jnp.int32), jnp.ones((2, 16), jnp.int32)
     )
     assert out.shape == (2, 24)
+
+
+def test_packed_batch_attention_matches_naive():
+    """r5 serving impl: 128/L sequences per attention block with
+    block-diagonal masking must be BIT-identical math to the naive path
+    (same -inf masking + f32 softmax) under real padding."""
+    import dataclasses
+
+    import jax
+
+    base = EncoderConfig(**{**CFG.__dict__, "max_len": 32, "dropout": 0.0})
+    m_n, p_n = init_encoder(dataclasses.replace(base, attn_impl="naive"),
+                            seed=0)
+    m_p, _ = init_encoder(dataclasses.replace(base,
+                                              attn_impl="packed_batch"),
+                          seed=0)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, base.vocab_size, (16, 32)).astype(np.int32)
+    mask = np.ones((16, 32), np.int32)
+    mask[:, 20:] = 0
+    mask[3, 5:] = 0  # ragged real padding
+    fn_n = jax.jit(lambda p, i, m: m_n.apply({"params": p}, i, m, True))
+    fn_p = jax.jit(lambda p, i, m: m_p.apply({"params": p}, i, m, True))
+    a = np.asarray(fn_n(p_n, jnp.asarray(ids), jnp.asarray(mask)))
+    b = np.asarray(fn_p(p_n, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+    # non-dividing batch falls back to naive (identical by definition)
+    c = np.asarray(fn_p(p_n, jnp.asarray(ids[:2]), jnp.asarray(mask[:2])))
+    np.testing.assert_allclose(a[:2], c, atol=2e-6)
